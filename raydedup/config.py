@@ -1,0 +1,77 @@
+"""Pipeline configuration — the engine's analog of the reference's builders.
+
+``SigConfig`` freezes every parameter that determines cluster assignments
+(seed, shingle width, permutation count, banding, thresholds). Its
+``fingerprint`` plays the role of the reference's 16-bit seedHash carried in
+every serialized sketch (thetacommon/ThetaUtil.java:93-109): partitions /
+manifests built under different fingerprints must never be merged — the
+pipeline raises, exactly as UnionImpl.java:308 does on seed-hash mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+from .hashing import xxh64_bytes
+
+DEFAULT_SEED = 9001  # thetacommon/ThetaUtil.java:78
+DEFAULT_NOMINAL_K = 4096  # thetacommon/ThetaUtil.java:57 (DEFAULT_NOMINAL_ENTRIES)
+
+
+@dataclass(frozen=True)
+class SigConfig:
+    """Frozen signature configuration (north_star: shingle=5, perms=128, b=16, r=8)."""
+
+    seed: int = DEFAULT_SEED
+    shingle_k: int = 5          # tokens per shingle
+    num_perm: int = 128         # MinHash permutations
+    bands: int = 16             # LSH bands (b)
+    rows_per_band: int = 8      # LSH rows per band (r); b*r must == num_perm
+    simhash_bits: int = 64
+    kmv_k: int = 128            # bottom-k KMV signature size per document
+    jaccard_threshold: float = 0.85
+    simhash_max_hamming: int = 8
+    # skew handling
+    max_bucket_size: int = 256      # LSH buckets above this get salted
+    salt_factor: int = 16           # number of salt sub-buckets for hot keys
+    bucket_ceiling: int = 20000     # above this, cluster-via-representative
+    # substring tier
+    winnow_k: int = 24              # token-gram length for substring fingerprints
+    winnow_window: int = 16         # winnowing window (guarantee t = k + w - 1)
+    min_substring_tokens: int = 200 # flag verbatim blocks >= this many tokens
+    # token normalization
+    lowercase: bool = False
+    max_content_bytes: int = 1 << 20  # truncate pathological rows for shingling
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+    @property
+    def fingerprint(self) -> int:
+        """64-bit config fingerprint (engine analog of the theta seedHash)."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return xxh64_bytes(payload, seed=0)
+
+    def check_compatible(self, other_fingerprint: int) -> None:
+        if self.fingerprint != other_fingerprint:
+            raise SketchesArgumentError(
+                f"config fingerprint mismatch: {self.fingerprint:#x} != "
+                f"{other_fingerprint:#x} — refusing to merge (seedHash rule, "
+                "thetacommon/ThetaUtil.java:93-109)"
+            )
+
+
+class SketchesArgumentError(ValueError):
+    """Engine analog of SketchesArgumentException (common/SketchesArgumentException.java)."""
+
+
+class SketchesStateError(RuntimeError):
+    """Engine analog of SketchesStateException."""
+
+
+DEFAULT_CONFIG = SigConfig()

@@ -1,0 +1,100 @@
+"""Hash-kernel conformance: vectorized kernels vs independent scalar specs
+and the reference library's published test vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.hashing import (
+    murmur3_128_bytes,
+    murmur3_128_u64s,
+    splitmix64,
+    theta_hash_u64s,
+    xxh64_bytes_many,
+    xxh64_flat,
+    xxh64_u64s,
+)
+from tests.reference_impls import xxh64 as ref_xxh64
+
+# Public known-answer vectors for XXH64 (xxHash spec / python-xxhash docs)
+KNOWN_XXH64 = [
+    (b"", 0, 0xEF46DB3751D8E999),
+    (b"a", 0, 0xD24EC4F1A98C6E5B),
+    (b"abc", 0, 0x44BC2CF5AD770999),
+]
+
+
+def test_scalar_ref_known_vectors():
+    for data, seed, expect in KNOWN_XXH64:
+        assert ref_xxh64(data, seed) == expect
+
+
+@pytest.mark.parametrize("seed", [0, 1, 9001, 2**63 + 17])
+def test_xxh64_bytes_many_matches_scalar(seed):
+    rng = np.random.default_rng(7)
+    items = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8)) for n in
+             [0, 1, 3, 4, 7, 8, 9, 15, 16, 31, 32, 33, 63, 64, 100, 255, 1024]]
+    got = xxh64_bytes_many(items, seed=seed)
+    want = [ref_xxh64(b, seed) for b in items]
+    assert [int(x) for x in got] == want
+
+
+def test_xxh64_flat_matches_scalar():
+    strs = ["", "a", "hello world", "x" * 40, "日本語テキスト", "tok"]
+    arr = pa.array(strs, type=pa.large_string())
+    flat = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(strs) + 1)
+    got = xxh64_flat(flat, offsets, seed=3)
+    want = [ref_xxh64(s.encode(), 3) for s in strs]
+    assert [int(x) for x in got] == want
+
+
+def test_xxh64_u64s_matches_byte_image():
+    rng = np.random.default_rng(11)
+    for w in [1, 2, 3, 4, 5, 8, 9]:
+        words = rng.integers(0, 2**63, size=(20, w), dtype=np.uint64)
+        got = xxh64_u64s(words, seed=42)
+        for i in range(20):
+            img = b"".join(int(x).to_bytes(8, "little") for x in words[i])
+            assert int(got[i]) == ref_xxh64(img, 42)
+
+
+def test_murmur3_reference_vectors():
+    # vectors published in the reference's own tests
+    # (T/hash/MurmurHash3Test.java:41-99)
+    key = b"The quick brown fox jumps over the lazy dog"
+    h1, h2 = murmur3_128_bytes(key, 0)
+    assert h1 == 0xE34BBC7BBC071B6C and h2 == 0x7A433CA9C49A9347
+    key = b"The quick brown fox jumps over the lazy eog"
+    h1, h2 = murmur3_128_bytes(key, 0)
+    assert h1 == 0x362108102C62D1C9 and h2 == 0x3285CD100292B305
+    key = b"The quick brown fox jumps over the lazy dogdogdog"
+    h1, h2 = murmur3_128_bytes(key, 0)
+    assert h1 == 0x9C8205300E612FC4 and h2 == 0xCBC0AF6136AA3DF9
+
+
+def test_murmur3_u64s_matches_scalar_bytes():
+    rng = np.random.default_rng(5)
+    for w in [1, 2, 3, 4, 7]:
+        words = rng.integers(0, 2**64, size=(10, w), dtype=np.uint64)
+        h1v, h2v = murmur3_128_u64s(words, seed=9001)
+        for i in range(10):
+            img = b"".join(int(x).to_bytes(8, "little") for x in words[i])
+            h1, h2 = murmur3_128_bytes(img, 9001)
+            assert (int(h1v[i]), int(h2v[i])) == (h1, h2)
+
+
+def test_theta_hash_domain():
+    vals = np.arange(1, 10000, dtype=np.uint64)
+    h = theta_hash_u64s(vals)
+    assert h.max() < np.uint64(1) << np.uint64(63)
+    assert len(np.unique(h)) == len(h)  # no collisions expected at this n
+
+
+def test_splitmix64_deterministic():
+    a = splitmix64(np.arange(10, dtype=np.uint64))
+    b = splitmix64(np.arange(10, dtype=np.uint64))
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == 10
