@@ -1,0 +1,267 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+Dataflow (all lazy Ray Data; one materialize at the signature checkpoint):
+
+  corpus(id, repo, path, commit, lang, content)
+    │ map_batches(SignatureStage)           [stateless, pyarrow, content dropped]
+  sigs(id, …, sha256, minhash, kmv, simhash, winnow)
+    ├─ groupby(sha256)                      → exact edges          (tier: exact)
+    ├─ map_batches(hh partials) → driver merge → hot band keys     (skew pre-pass)
+    ├─ map_batches(BandEmit[hot]) → groupby(band_key) → verified near edges
+    │    └─ salted sub-buckets → delegate round → delegate edges
+    ├─ flat_map(winnow fps) → groupby(fp) → pair counts → substring edges
+    └─ edges ∪ … → union-find → (id, cluster_id)  [cluster = min member id]
+
+Scale notes: the only all-to-alls are the band groupby (16 rows × ~1 KB per
+doc), the fp groupby (≤ n_tokens/w rows × 16 B per doc) and the sha groupby
+(1 row × 72 B); everything else is map-side. Verified edges are tiny.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .config import DEFAULT_CONFIG, SigConfig
+from .lsh import band_hashes, make_band_key
+from .sketches.freq import FrequentKeysSketch
+from .stages import (
+    BandEmitStage,
+    SignatureStage,
+    delegate_reducer,
+    make_pair_emitter,
+)
+from .unionfind import cluster_edges
+
+U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# exact tier
+# ---------------------------------------------------------------------------
+
+
+def _exact_group_edges(group: pa.Table) -> pa.Table:
+    ids = np.sort(group.column("id").to_numpy())
+    if len(ids) < 2:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "src": pa.array(np.full(len(ids) - 1, ids[0], dtype=np.int64)),
+            "dst": pa.array(ids[1:]),
+        }
+    )
+
+
+def exact_edges(sigs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """sha256-equality tier: star edges from the min id of each digest group."""
+    return (
+        sigs.select_columns(["sha256", "id"])
+        .groupby("sha256")
+        .map_groups(_exact_group_edges, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter pre-pass over band keys (skew detection)
+# ---------------------------------------------------------------------------
+
+
+class BandKeyHHPartial:
+    """Per-block Misra-Gries partial sketch of band-key frequencies; blocks
+    merge on the driver (frequencies-sketch partial+final split)."""
+
+    def __init__(self, cfg: SigConfig, map_size: int = 4096):
+        self.cfg = cfg
+        self.map_size = map_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(batch)
+        if n == 0:
+            return pa.table({"sketch": pa.array([], pa.large_binary())})
+        mh = np.frombuffer(
+            b"".join(batch.column("minhash").to_pylist()), dtype=np.uint64
+        ).reshape(n, cfg.num_perm)
+        nsh = batch.column("n_shingles").to_numpy()
+        bh = band_hashes(mh, cfg.bands, cfg.rows_per_band, cfg.seed)
+        sk = FrequentKeysSketch(self.map_size)
+        valid = nsh > 0
+        for b in range(cfg.bands):
+            keys = make_band_key(np.full(n, b, dtype=np.uint64), bh[:, b])[valid]
+            sk.update_many(keys.view(np.int64))
+        return pa.table({"sketch": pa.array([sk.serialize()], pa.large_binary())})
+
+
+def detect_hot_band_keys(sigs: "ray.data.Dataset", cfg: SigConfig) -> dict[int, int]:
+    """Merged heavy-hitter pass → {band_key: n_salt_subbuckets}."""
+    parts = sigs.map_batches(
+        BandKeyHHPartial(cfg), batch_format="pyarrow", batch_size=4096
+    ).take_all()
+    merged = FrequentKeysSketch(4096)
+    for row in parts:
+        merged.merge(FrequentKeysSketch.deserialize(row["sketch"]))
+    hot: dict[int, int] = {}
+    for key, est in merged.get_frequent_items(cfg.max_bucket_size):
+        n_salt = min(cfg.salt_factor, max(2, math.ceil(est / cfg.max_bucket_size)))
+        hot[int(np.int64(key).view(np.uint64))] = n_salt
+    return hot
+
+
+# ---------------------------------------------------------------------------
+# near tier
+# ---------------------------------------------------------------------------
+
+
+def near_edges(
+    sigs: "ray.data.Dataset", cfg: SigConfig, hot: dict[int, int] | None = None
+) -> "ray.data.Dataset":
+    band = sigs.map_batches(BandEmitStage(cfg, hot), batch_format="pyarrow")
+    emitter = make_pair_emitter(cfg)
+    edges = band.groupby("band_key").map_groups(emitter, batch_format="pyarrow")
+    if hot:
+        delegates = (
+            band.filter(expr="salted == True")
+            .groupby("band_key")
+            .map_groups(delegate_reducer, batch_format="pyarrow")
+        )
+        d_edges = delegates.groupby("band_key").map_groups(
+            emitter, batch_format="pyarrow"
+        )
+        edges = edges.union(d_edges)
+    return edges.select_columns(["src", "dst", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# substring tier (winnowing fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _explode_winnow(batch: pa.Table) -> pa.Table:
+    ids = batch.column("id").to_numpy()
+    blobs = batch.column("winnow").to_pylist()
+    out_fp, out_id = [], []
+    for i, blob in enumerate(blobs):
+        if not blob:
+            continue
+        arr = np.frombuffer(blob, dtype="<u8").reshape(-1, 2)
+        fps = np.unique(arr[:, 0])
+        out_fp.append(fps)
+        out_id.append(np.full(len(fps), ids[i], dtype=np.int64))
+    if not out_fp:
+        return pa.table(
+            {"fp": pa.array([], pa.uint64()), "id": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "fp": pa.array(np.concatenate(out_fp), type=pa.uint64()),
+            "id": pa.array(np.concatenate(out_id)),
+        }
+    )
+
+
+def _fp_bucket_pairs(max_bucket: int):
+    def emit(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("id").to_numpy())
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        if n > max_bucket:
+            src = np.full(n - 1, ids[0], dtype=np.int64)
+            dst = ids[1:]
+        else:
+            iu = np.triu_indices(n, k=1)
+            src, dst = ids[iu[0]], ids[iu[1]]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return emit
+
+
+def substring_edges(sigs: "ray.data.Dataset", cfg: SigConfig) -> "ray.data.Dataset":
+    """Pairs sharing enough winnow fingerprints to imply a verbatim block of
+    >= min_substring_tokens tokens."""
+    t = cfg.winnow_k + cfg.winnow_window - 1
+    min_shared = max(1, (cfg.min_substring_tokens - t) // cfg.winnow_window)
+    fp_rows = sigs.select_columns(["id", "winnow"]).map_batches(
+        _explode_winnow, batch_format="pyarrow"
+    )
+    pairs = fp_rows.groupby("fp").map_groups(
+        _fp_bucket_pairs(cfg.max_bucket_size), batch_format="pyarrow"
+    )
+    counted = pairs.groupby(["src", "dst"]).count()
+
+    def keep_shared(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("count()"), min_shared)
+        kept = batch.filter(mask)
+        return pa.table({"src": kept.column("src"), "dst": kept.column("dst")})
+
+    return counted.map_batches(keep_shared, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+
+def _dedup_pairs(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def dedup_clusters(
+    corpus: "ray.data.Dataset",
+    cfg: SigConfig = DEFAULT_CONFIG,
+    *,
+    with_substring: bool = True,
+    with_salting: bool = True,
+    cluster_method: str = "auto",
+) -> "ray.data.Dataset":
+    """corpus → (id, cluster_id) assignment for every input row."""
+    sigs = corpus.map_batches(
+        SignatureStage(cfg), batch_format="pyarrow"
+    ).materialize()  # signature checkpoint: every tier reads this
+
+    hot = detect_hot_band_keys(sigs, cfg) if with_salting else None
+
+    e_exact = exact_edges(sigs)
+    e_near = near_edges(sigs, cfg, hot)
+    edges = e_exact.union(e_near.select_columns(["src", "dst"]))
+    if with_substring:
+        edges = edges.union(substring_edges(sigs, cfg))
+    edges = edges.groupby(["src", "dst"]).map_groups(
+        _dedup_pairs, batch_format="pyarrow"
+    ).materialize()  # edge checkpoint: tiny; avoids re-running the whole DAG
+    # for the count() + clustering consumers
+
+    assigned = cluster_edges(edges, method=cluster_method)
+
+    defaults = sigs.select_columns(["id"]).map_batches(
+        lambda b: pa.table({"id": b.column("id"), "cluster_id": b.column("id")}),
+        batch_format="pyarrow",
+    )
+    return (
+        defaults.union(assigned)
+        .groupby("id")
+        .min("cluster_id")
+        .map_batches(
+            lambda b: pa.table(
+                {"id": b.column("id"), "cluster_id": b.column("min(cluster_id)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def signatures(
+    corpus: "ray.data.Dataset", cfg: SigConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    return corpus.map_batches(SignatureStage(cfg), batch_format="pyarrow")

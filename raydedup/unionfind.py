@@ -1,0 +1,155 @@
+"""Connected-components clustering over an edge Dataset.
+
+Two execution paths:
+
+* ``collect`` — exact union-find with path compression on the driver.
+  Appropriate while |edges| fits comfortably in driver memory (edges are
+  tiny relative to nodes: verified dup pairs only). Used below the
+  ``DRIVER_EDGE_LIMIT`` threshold.
+* ``distributed`` — bounded-round hash-to-min label propagation expressed
+  purely as Ray Data groupbys (no driver state): each round every node
+  announces min(label of self ∪ neighbors) to its neighborhood; converges in
+  O(log diameter) rounds (dup clusters have tiny diameters). Convergence is
+  detected with a per-round edge-checksum aggregate — the per-round manifest
+  the north_rule asks for.
+
+Cluster ids are the component-minimum node id — deterministic, matching the
+reference-oracle's assignment convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+DRIVER_EDGE_LIMIT = 5_000_000
+
+
+def unionfind_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact union-find; returns (unique_nodes, root_per_node) with root =
+    min node id of the component."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    a = inv[: len(src)]
+    b = inv[len(src) :]
+    for i in range(len(a)):
+        ra, rb = find(a[i]), find(b[i])
+        if ra != rb:
+            # union by min-id keeps roots = smallest node (nodes[] is sorted)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return nodes, nodes[roots]
+
+
+def cluster_edges(
+    edges: "ray.data.Dataset",
+    method: str = "auto",
+    max_rounds: int = 12,
+) -> "ray.data.Dataset":
+    """edges(src:int64, dst:int64, ...) → Dataset(id:int64, cluster_id:int64).
+
+    Only nodes that appear in an edge are emitted; callers union with
+    singleton assignments (cluster_id = id) for isolated nodes.
+    """
+    if method == "auto":
+        n_edges = edges.count()
+        method = "collect" if n_edges <= DRIVER_EDGE_LIMIT else "distributed"
+
+    if method == "collect":
+        tbl = pa.concat_tables(
+            [pa.table({"src": b["src"], "dst": b["dst"]}) for b in
+             edges.select_columns(["src", "dst"]).iter_batches(batch_format="pyarrow",
+                                                               batch_size=1 << 20)]
+        ) if edges.count() else pa.table({"src": pa.array([], pa.int64()),
+                                          "dst": pa.array([], pa.int64())})
+        src = tbl.column("src").to_numpy() if tbl.num_rows else np.zeros(0, np.int64)
+        dst = tbl.column("dst").to_numpy() if tbl.num_rows else np.zeros(0, np.int64)
+        nodes, roots = unionfind_numpy(src, dst)
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array(nodes), "cluster_id": pa.array(roots)})
+        )
+    return _cluster_distributed(edges, max_rounds)
+
+
+def _propagate_round(group: pa.Table) -> pa.Table:
+    """hash-to-min round: node u with neighborhood N → star edges from
+    m = min(N ∪ {u}) to every member."""
+    u = group.column("src")[0].as_py()
+    nbrs = group.column("dst").to_numpy()
+    m = min(int(nbrs.min()), u)
+    members = np.unique(np.concatenate([nbrs, [u]]))
+    members = members[members != m]
+    return pa.table(
+        {
+            "src": pa.array(np.full(len(members), m, dtype=np.int64)),
+            "dst": pa.array(members),
+        }
+    )
+
+
+def _dedup_edges(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def _cluster_distributed(
+    edges: "ray.data.Dataset", max_rounds: int
+) -> "ray.data.Dataset":
+    e = edges.select_columns(["src", "dst"])
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        d = batch.column("dst")
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s.combine_chunks(), d.combine_chunks()]),
+                "dst": pa.concat_arrays([d.combine_chunks(), s.combine_chunks()]),
+            }
+        )
+
+    prev_checksum = None
+    for _ in range(max_rounds):
+        sym = e.map_batches(both_dirs, batch_format="pyarrow")
+        e = sym.groupby("src").map_groups(_propagate_round, batch_format="pyarrow")
+        e = e.groupby(["src", "dst"]).map_groups(_dedup_edges, batch_format="pyarrow")
+        e = e.materialize()  # checkpointable round boundary (per-round manifest)
+        checksum = e.count()
+        stats = e.aggregate(
+            ray.data.aggregate.Sum("src"), ray.data.aggregate.Sum("dst")
+        )
+        sig = (checksum, stats.get("sum(src)"), stats.get("sum(dst)"))
+        if sig == prev_checksum:
+            break
+        prev_checksum = sig
+
+    def to_assignment(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch.column("dst"),
+                "cluster_id": batch.column("src"),
+            }
+        )
+
+    members = e.map_batches(to_assignment, batch_format="pyarrow")
+
+    def root_rows(batch: pa.Table) -> pa.Table:
+        roots = np.unique(batch.column("cluster_id").to_numpy())
+        return pa.table({"id": pa.array(roots), "cluster_id": pa.array(roots)})
+
+    roots = members.map_batches(root_rows, batch_format="pyarrow")
+    out = members.union(roots)
+    return out.groupby("id").map_groups(_dedup_edges, batch_format="pyarrow")
