@@ -265,3 +265,69 @@ def signatures(
     corpus: "ray.data.Dataset", cfg: SigConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
     return corpus.map_batches(SignatureStage(cfg), batch_format="pyarrow")
+
+
+def containment_pairs(
+    corpus: "ray.data.Dataset",
+    cfg: SigConfig = DEFAULT_CONFIG,
+    *,
+    num_partitions: int = 16,
+    concurrency: int | tuple[int, int] = 2,
+) -> "ray.data.Dataset":
+    """Verbatim-containment pairs: winnow candidates → content join →
+    suffix-automaton LCS verify in an actor pool (the north_star's
+    suffix-array stage). Returns (src, dst, lcs_tokens, contained) for pairs
+    where the smaller doc (>= min_substring_tokens tokens) is a verbatim
+    token run inside the larger."""
+    from .suffix import LcsVerifier
+
+    sigs = corpus.map_batches(SignatureStage(cfg), batch_format="pyarrow")
+    cands = substring_edges(sigs, cfg)
+    contents = corpus.select_columns(["id", "content"])
+    j1 = cands.join(
+        contents,
+        "inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("id",),
+        right_suffix="_a",
+    )
+    j1 = j1.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("src"), "dst": b.column("dst"),
+             "content_a": b.column("content")}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        contents,
+        "inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("id",),
+        right_suffix="_b",
+    )
+    j2 = j2.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("src"), "dst": b.column("dst"),
+             "content_a": b.column("content_a"), "content_b": b.column("content")}
+        ),
+        batch_format="pyarrow",
+    )
+    verified = j2.map_batches(
+        LcsVerifier,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=512,
+    )
+    min_tok = cfg.min_substring_tokens
+    return verified.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b.column("contained"), True),
+                pc.greater_equal(b.column("lcs_tokens"), min_tok),
+            )
+        ),
+        batch_format="pyarrow",
+    )
