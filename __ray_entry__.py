@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raydedup engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup clustering pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` gives DuckDB-equivalent SQL for every
+SQL-expressible one (same column names; order-insensitive value-hash
+compatible). Ray is initialised by the driver — nothing here calls
+ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The dedup queries run over the deterministic synthetic corpus
+(raydedup/corpus.py) built from the ``documents`` view by a construction
+that is itself a SQL expression — both sides execute the SAME definition,
+so oracles check the operators, not the input synthesis.
 """
 
 from __future__ import annotations
@@ -18,27 +18,489 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# Per-query sketch/signature parameters, chosen so the sf0.01 correctness
+# scale stays in exact mode (estimates == exact answers) while the same code
+# paths run estimation mode at scale (validated separately in tests).
+QUERY_CFG = dict(
+    kmv_k=256,
+    winnow_k=16,
+    winnow_window=8,
+    min_substring_tokens=24,
+    jaccard_threshold=0.7,
+)
+THETA_K = 1 << 17
+FREQ_MAP = 8192
+
+
+def _cfg():
+    from raydedup.config import SigConfig
+
+    return SigConfig(**QUERY_CFG)
+
+
+def _corpus_ds(sf_dir: str):
+    import ray.data
+
+    from raydedup.corpus import corpus_parquet_path
+
+    return ray.data.read_parquet(corpus_parquet_path(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: corpus(sf0.001) → (id, cluster_id)."""
+    from raydedup.pipeline import dedup_clusters
+
+    ds = _corpus_ds("/root/testdata/sf0.001")
+    return dedup_clusters(ds, _cfg())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dup_clusters(sf_dir: str):
+    """Exact tier: cluster = min id over sha256-equal contents."""
+    from raydedup.pipeline import signatures
+
+    sigs = signatures(_corpus_ds(sf_dir), _cfg())
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_numpy()
+        return pa.table(
+            {
+                "id": pa.array(np.sort(ids)),
+                "cluster_id": pa.array(np.full(len(ids), ids.min(), dtype=np.int64)),
+            }
+        )
+
+    return (
+        sigs.select_columns(["sha256", "id"])
+        .groupby("sha256")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
+def _q_exact_dup_groups(sf_dir: str):
+    """Digest groups with >1 member: (sha256, n_dups)."""
+    from raydedup.pipeline import signatures
+
+    sigs = signatures(_corpus_ds(sf_dir), _cfg())
+    counted = sigs.groupby("sha256").count()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater(batch.column("count()"), 1)
+        k = batch.filter(m)
+        return pa.table({"sha256": k.column("sha256"), "n_dups": k.column("count()")})
+
+    return counted.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from raydedup.njaccard import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_corpus_ds(sf_dir), _cfg(), threshold=0.7)
+
+
+def _q_containment_pairs(sf_dir: str):
+    from raydedup.pipeline import containment_pairs
+
+    out = containment_pairs(_corpus_ds(sf_dir), _cfg())
+    return out.select_columns(["src", "dst"])
+
+
+def _q_dedup_clusters(sf_dir: str):
+    from raydedup.pipeline import dedup_clusters
+
+    return dedup_clusters(_corpus_ds(sf_dir), _cfg())
+
+
+def _q_minhash_signatures(sf_dir: str):
+    from raydedup.pipeline import signatures
+
+    sigs = signatures(_corpus_ds(sf_dir), _cfg())
+    return sigs.select_columns(["id", "sha256", "simhash", "n_tokens", "n_shingles"])
+
+
+def _q_theta_distinct_orders(sf_dir: str):
+    import ray.data
+
+    from raydedup.aggregates import theta_distinct
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+    )
+    out = li.groupby("l_returnflag").aggregate(
+        theta_distinct("l_orderkey", k=THETA_K, name="distinct_orders")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "distinct_orders": pa.array(
+                    np.round(b.column("distinct_orders").to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_theta_distinct_users_by_type(sf_dir: str):
+    import ray.data
+
+    from raydedup.aggregates import theta_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = ev.groupby("event_type").aggregate(
+        theta_distinct("user_id", k=THETA_K, name="distinct_users")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "distinct_users": pa.array(
+                    np.round(b.column("distinct_users").to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_frequent_suppliers(sf_dir: str):
+    """Heavy hitters: suppliers with > threshold lineitems (exact regime)."""
+    import ray.data
+
+    from raydedup.aggregates import frequent_items
+    from raydedup.sketches.freq import FrequentKeysSketch
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    res = li.aggregate(frequent_items("l_suppkey", max_map_size=FREQ_MAP, name="fi"))
+    sk = FrequentKeysSketch.deserialize(res["fi"])
+    n = sk.stream_len
+    thr = max(1, n // 1000)
+    items = sk.get_frequent_items(thr)
+    return pa.table(
+        {
+            "l_suppkey": pa.array([k for k, _ in items], pa.int64()),
+            "est_count": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+def _q_kll_quantiles_price(sf_dir: str):
+    """KLL quantiles of l_extendedprice (exact regime at correctness sf)."""
+    import ray.data
+
+    from raydedup.aggregates import kll_quantile
+
+    ranks = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    res = li.aggregate(kll_quantile("l_extendedprice", ranks, k=1 << 17, name="q"))
+    qs = res["q"]
+    return pa.table(
+        {
+            "rank_q": pa.array(ranks, pa.float64()),
+            "quantile_value": pa.array(qs, pa.float64()),
+        }
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from raydedup.embed import ann_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.stack(first["embedding"].to_numpy())
+    out = ann_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        queries,
+        first["vec_id"].to_numpy(),
+        k=10,
+    )
+    return out
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from raydedup.embed import embedding_dup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # n_bits=0 → single bucket → exact all-pairs verification (oracle mode)
+    return embedding_dup_pairs(emb, threshold=0.45, n_bits=0)
+
+
+def _q_embedding_dup_pairs_lsh(sf_dir: str):
+    import ray.data
+
+    from raydedup.embed import embedding_dup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs(emb, threshold=0.45, n_bits=4)
+
+
+def _q_text_stats(sf_dir: str):
+    import ray.data
+
+    from raydedup.textstats import text_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats6(batch: pa.Table) -> pa.Table:
+        out = text_stats(batch)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "n_chars": out.column("n_chars"),
+                "n_tokens": out.column("n_tokens"),
+                "punct_ratio": pa.array(
+                    np.floor(out.column("punct_ratio").to_numpy() * 1e6) / 1e6
+                ),
+                "digit_ratio": pa.array(
+                    np.floor(out.column("digit_ratio").to_numpy() * 1e6) / 1e6
+                ),
+            }
+        )
+
+    return docs.map_batches(stats6, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from raydedup.textstats import lang_id
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(lang_id, batch_format="pyarrow")
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    import ray.data
+
+    from raydedup.textstats import fingerprint
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _q_top_dup_repos(sf_dir: str):
+    """FDT-style: repos ranked by number of distinct near-dup partner repos
+    (fdt/FdtSketch.java getResult analog: groupby primary dim → distinct
+    count of secondary dim → rank)."""
+    from raydedup.njaccard import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_corpus_ds(sf_dir), _cfg(), threshold=0.7)
+    corpus = _corpus_ds(sf_dir).select_columns(["id", "repo"])
+    j1 = pairs.select_columns(["src", "dst"]).join(
+        corpus, "inner", num_partitions=8, on=("src",), right_on=("id",)
+    )
+    j1 = j1.map_batches(
+        lambda b: pa.table(
+            {"dst": b.column("dst"), "repo_a": b.column("repo")}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(corpus, "inner", num_partitions=8, on=("dst",), right_on=("id",))
+    both = j2.map_batches(
+        lambda b: pa.table(
+            {
+                "repo": pa.concat_arrays(
+                    [b.column("repo_a").combine_chunks(), b.column("repo").combine_chunks()]
+                ),
+                "partner": pa.concat_arrays(
+                    [b.column("repo").combine_chunks(), b.column("repo_a").combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    from raydedup.aggregates import theta_distinct
+
+    agg = both.groupby("repo").aggregate(
+        theta_distinct("partner", k=1 << 14, name="distinct_partner_repos")
+    )
+    out = agg.map_batches(
+        lambda b: pa.table(
+            {
+                "repo": b.column("repo"),
+                "distinct_partner_repos": pa.array(
+                    np.round(
+                        b.column("distinct_partner_repos").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort(["distinct_partner_repos", "repo"], descending=[True, False]).limit(10)
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media table → actor-pool decode stub."""
+    import ray.data
+
+    from raydedup.multimodal import DecodeStage, synth_media_table
+
+    media = ray.data.from_arrow(synth_media_table(64))
+    return media.map_batches(
+        DecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dup_clusters": _q_exact_dup_clusters,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "containment_pairs": _q_containment_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_signatures": _q_minhash_signatures,
+        "theta_distinct_orders": _q_theta_distinct_orders,
+        "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
+        "frequent_suppliers": _q_frequent_suppliers,
+        "kll_quantiles_price": _q_kll_quantiles_price,
+        "ann_topk": _q_ann_topk,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "top_dup_repos": _q_top_dup_repos,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _corpus_cte() -> str:
+    from raydedup.corpus import corpus_sql
+
+    return f"corpus AS ({corpus_sql('documents')})"
+
+
+_SHINGLES_CTE = r"""
+toks0 AS (SELECT id, string_split_regex(trim(content), '\s+') toks FROM corpus),
+shing AS (
+  SELECT id,
+         list_distinct([list_aggregate(toks[i:i+4],'string_agg',' ')
+                        for i in range(1, greatest(len(toks)-4,1)+1)]) sh
+  FROM toks0 WHERE len(toks) > 0 AND toks[1] != ''
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    corpus = _corpus_cte()
+    return {
+        "exact_dup_clusters": f"""
+WITH {corpus}
+SELECT id, min(id) OVER (PARTITION BY content) AS cluster_id FROM corpus
+""",
+        "exact_dup_groups": f"""
+WITH {corpus}
+SELECT sha256(content) AS sha256, count(*) AS n_dups
+FROM corpus GROUP BY content HAVING count(*) > 1
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {corpus}, {_SHINGLES_CTE},
+e AS (SELECT id, unnest(sh) g FROM shing),
+cand AS (SELECT DISTINCT a.id src, b.id dst FROM e a JOIN e b ON a.g = b.g AND a.id < b.id),
+pj AS (
+  SELECT src, dst,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) jaccard
+  FROM cand JOIN shing sa ON sa.id = cand.src JOIN shing sb ON sb.id = cand.dst)
+SELECT src, dst, jaccard FROM pj WHERE jaccard >= 0.7
+""",
+        "containment_pairs": f"""
+WITH {corpus},
+t AS (SELECT id, content, len(string_split_regex(trim(content), '\\s+')) nt FROM corpus)
+SELECT a.id src, b.id dst
+FROM t a JOIN t b ON a.id < b.id
+WHERE (a.nt >= 24 AND contains(b.content, a.content))
+   OR (b.nt >= 24 AND contains(a.content, b.content))
+""",
+        "theta_distinct_orders": """
+SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
+FROM lineitem GROUP BY l_returnflag
+""",
+        "theta_distinct_users_by_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+""",
+        "frequent_suppliers": """
+WITH n AS (SELECT count(*) c FROM lineitem)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS est_count
+FROM lineitem GROUP BY l_suppkey
+HAVING count(*) > greatest(1, (SELECT c FROM n) // 1000)
+""",
+        # quantized cosine: floor(v * 2^20) integer embeddings →
+        # dot/(sqrt(na)*sqrt(nb)) is a fixed IEEE op sequence, bit-identical
+        # between numpy and DuckDB (see raydedup/embed.py QUANT_SCALE)
+        "ann_topk": """
+WITH qz AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 1048576.0)) qe
+  FROM embeddings),
+q AS (SELECT vec_id qid, qe FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid query_id, e.vec_id,
+         list_inner_product(e.qe, q.qe)
+           / (sqrt(list_inner_product(e.qe, e.qe))
+              * sqrt(list_inner_product(q.qe, q.qe))) AS cosine
+  FROM qz e CROSS JOIN q),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) rn
+  FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+""",
+        "embedding_dup_pairs": """
+WITH qz AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * 1048576.0)) qe
+  FROM embeddings)
+SELECT a.vec_id src, b.vec_id dst,
+       list_inner_product(a.qe, b.qe)
+         / (sqrt(list_inner_product(a.qe, a.qe))
+            * sqrt(list_inner_product(b.qe, b.qe))) AS cosine
+FROM qz a JOIN qz b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.qe, b.qe)
+        / (sqrt(list_inner_product(a.qe, a.qe))
+           * sqrt(list_inner_product(b.qe, b.qe))) >= 0.45
+""",
+        "kll_quantiles_price": """
+WITH qs AS (
+  SELECT quantile_disc(l_extendedprice,
+                       [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) ql
+  FROM lineitem)
+SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS rank_q,
+       unnest(ql) AS quantile_value
+FROM qs
+""",
+        "text_stats": r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       floor(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * 1e6) / 1e6 AS punct_ratio,
+       floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * 1e6) / 1e6 AS digit_ratio
+FROM documents
+""",
+    }

@@ -1,0 +1,161 @@
+"""Ray Data AggregateFn wrappers around the mergeable sketches.
+
+The reference's Union partial/final split (theta/UnionImpl.java:300-357)
+maps 1:1 onto Ray's AggregateFn(init, accumulate_block, merge, finalize):
+per-block partial sketches accumulate locally, merge in the combiner tree,
+finalize extracts the estimate — this is how sketches were always meant to
+be distributed (theta/package-info.java:20-26: callers own distribution).
+
+All accumulators serialize to bytes between stages (cloudpickle-safe and
+compact). Input hashing uses the theta ingest convention
+(murmur3_128(seed)[0] >>> 1, theta/UpdateSketch.java:222) for int64/string
+datums so estimates are reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFn
+
+from .hashing import murmur3_128_bytes, theta_hash_u64s
+from .kmv import KmvSketch, build_sketch, empty_sketch, union_many
+from .sketches.freq import FrequentKeysSketch
+from .sketches.hll import HllSketch
+from .sketches.kll import KllSketch
+
+
+def _column_theta_hashes(block: pa.Table, col: str, seed: int) -> np.ndarray:
+    arr = block.column(col)
+    if pa.types.is_integer(arr.type):
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return theta_hash_u64s(vals, seed)
+    # strings: murmur3 over utf8 bytes per datum (update(String) semantics)
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, s in enumerate(arr.to_pylist()):
+        h1, _ = murmur3_128_bytes(str(s).encode(), seed)
+        out[i] = np.uint64(h1) >> np.uint64(1)
+    return out
+
+
+def theta_distinct(col: str, k: int = 4096, seed: int = 9001, name: str | None = None) -> AggregateFn:
+    """Theta-sketch distinct count of a column; exact while n_distinct <= k."""
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = KmvSketch.deserialize(state) if state else empty_sketch(k)
+        h = _column_theta_hashes(block, col, seed)
+        new = build_sketch(np.concatenate([sk.hashes, h]), k)
+        # keep the min-theta rule across partials
+        if sk.theta < new.theta:
+            hs = new.hashes[new.hashes < sk.theta]
+            new = KmvSketch(sk.theta, hs, k)
+        return new.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or empty_sketch(k).serialize()
+        if not b:
+            return a
+        return union_many(
+            [KmvSketch.deserialize(a), KmvSketch.deserialize(b)], k
+        ).serialize()
+
+    def fin(state: bytes | None) -> float:
+        sk = KmvSketch.deserialize(state) if state else empty_sketch(k)
+        return sk.estimate()
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=fin,
+        name=name or f"theta_distinct({col})",
+    )
+
+
+def hll_distinct(col: str, lg_k: int = 12, seed: int = 9001, name: str | None = None) -> AggregateFn:
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = HllSketch.deserialize(state) if state else HllSketch(lg_k)
+        h = _column_theta_hashes(block, col, seed)
+        sk.update_hashes(h << np.uint64(1))  # use full-width hash bits
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or HllSketch(lg_k).serialize()
+        if not b:
+            return a
+        return HllSketch.deserialize(a).merge(HllSketch.deserialize(b)).serialize()
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: HllSketch.deserialize(s).estimate() if s else 0.0,
+        name=name or f"hll_distinct({col})",
+    )
+
+
+def kll_quantile(
+    col: str, ranks: list[float], k: int = 200, name: str | None = None
+) -> AggregateFn:
+    """KLL quantiles of a numeric column at the given ranks (list result)."""
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = KllSketch.deserialize(state) if state else KllSketch(k)
+        sk.update_many(block.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or KllSketch(k).serialize()
+        if not b:
+            return a
+        return KllSketch.deserialize(a).merge(KllSketch.deserialize(b)).serialize()
+
+    def fin(state: bytes | None):
+        sk = KllSketch.deserialize(state) if state else KllSketch(k)
+        return sk.quantiles(ranks)
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=fin,
+        name=name or f"kll_quantile({col})",
+    )
+
+
+def frequent_items(
+    col: str, max_map_size: int = 4096, name: str | None = None
+) -> AggregateFn:
+    """Misra-Gries heavy hitters of an integer column → serialized sketch."""
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = (
+            FrequentKeysSketch.deserialize(state)
+            if state
+            else FrequentKeysSketch(max_map_size)
+        )
+        sk.update_many(block.column(col).to_numpy(zero_copy_only=False).astype(np.int64))
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or FrequentKeysSketch(max_map_size).serialize()
+        if not b:
+            return a
+        return (
+            FrequentKeysSketch.deserialize(a)
+            .merge(FrequentKeysSketch.deserialize(b))
+            .serialize()
+        )
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: s,
+        name=name or f"frequent_items({col})",
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis stages for training-data pipelines (vectorized map_batches).
+
+Operators: token counting, quality scoring (length/punct/stopword ratios),
+n-gram-heuristic language ID, and rolling-hash document fingerprints.
+All pure pyarrow.compute / numpy over string columns; quality metrics are
+SQL-mirrorable so they get DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import xxh64_flat
+from .tokenize import _string_array_np, tokenize_hashes
+
+# tiny per-language stopword profiles (public common-word lists)
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"},
+    "fr": {"le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "por"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"},
+}
+
+
+def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-row stats: n_chars, n_tokens, avg_token_len, punct_ratio,
+    upper_ratio, digit_ratio. Mirrors straightforward SQL."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    n_chars = pc.utf8_length(text)
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    n_tokens = pc.list_value_length(toks)
+    # counts via regex extraction
+    punct = pc.count_substring_regex(text, r"[^\w\s]")
+    upper = pc.count_substring_regex(text, r"[A-Z]")
+    digit = pc.count_substring_regex(text, r"[0-9]")
+    nc = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+    cols = {name: batch.column(name) for name in batch.column_names if name != text_col}
+    cols["n_chars"] = n_chars
+    cols["n_tokens"] = pc.cast(n_tokens, pa.int64())
+    cols["punct_ratio"] = pa.array(punct.to_numpy(zero_copy_only=False) / nc)
+    cols["upper_ratio"] = pa.array(upper.to_numpy(zero_copy_only=False) / nc)
+    cols["digit_ratio"] = pa.array(digit.to_numpy(zero_copy_only=False) / nc)
+    return pa.table(cols)
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite quality heuristic in [0,1]: favors mid-length docs with low
+    punctuation/digit noise and a healthy stopword ratio."""
+    stats = text_stats(batch, text_col)
+    nt = stats.column("n_tokens").to_numpy().astype(np.float64)
+    length_score = np.clip(nt / 50.0, 0.0, 1.0) * np.clip(2.0 - nt / 5000.0, 0.0, 1.0).clip(0, 1)
+    punct = stats.column("punct_ratio").to_numpy()
+    digit = stats.column("digit_ratio").to_numpy()
+    noise_score = np.clip(1.0 - 3.0 * (punct + digit), 0.0, 1.0)
+    score = 0.6 * length_score + 0.4 * noise_score
+    return stats.append_column("quality", pa.array(np.round(score, 6)))
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-profile language ID with 'und' fallback (deterministic)."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    langs = []
+    scores = []
+    profiles = list(_LANG_PROFILES.items())
+    for s in text.to_pylist():
+        toks = (s or "").lower().split()
+        if not toks:
+            langs.append("und")
+            scores.append(0.0)
+            continue
+        best, best_hits = "und", 0
+        for lang, words in profiles:
+            hits = sum(1 for t in toks if t in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        ratio = best_hits / len(toks)
+        langs.append(best if ratio >= 0.02 else "und")
+        scores.append(round(ratio, 6))
+    cols = {name: batch.column(name) for name in batch.column_names if name != text_col}
+    cols["lang_pred"] = pa.array(langs, type=pa.string())
+    cols["lang_score"] = pa.array(scores, type=pa.float64())
+    return pa.table(cols)
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit whole-document fingerprint: xxh64 over the normalized
+    (whitespace-collapsed) token stream — stable under reformatting."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(text, "")), r"\s+", " "
+    )
+    flat, off = _string_array_np(norm)
+    fp = xxh64_flat(flat, off, seed=0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "fingerprint": pa.array(fp, type=pa.uint64()),
+        }
+    )
