@@ -1,0 +1,209 @@
+"""Ray-level pipeline tests: dedup clustering recall on a planted corpus,
+union-find (driver vs distributed), exact n-gram Jaccard vs brute force,
+sketch aggregates through groupby, containment via the actor-pool stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.config import SigConfig
+from tests.reference_impls import exact_jaccard, shingle_set
+
+CFG = SigConfig(
+    kmv_k=256, winnow_k=8, winnow_window=4, min_substring_tokens=12,
+    jaccard_threshold=0.7, max_bucket_size=64, salt_factor=4,
+)
+
+
+def _mini_corpus(n_base: int = 60, seed: int = 7) -> pa.Table:
+    """Tiny planted corpus: exact dups, near dups, substring dups."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows_id, rows_content = [], []
+    next_id = 0
+
+    def add(content: str) -> int:
+        nonlocal next_id
+        rows_id.append(next_id)
+        rows_content.append(content)
+        next_id += 1
+        return next_id - 1
+
+    for i in range(n_base):
+        toks = [vocab[j] for j in rng.integers(0, 300, 60)]
+        base_id = add(" ".join(toks))
+        if i % 5 == 0:
+            add(" ".join(toks))  # exact dup
+        if i % 4 == 0:
+            mut = list(toks)
+            for j in rng.choice(60, 3, replace=False):
+                mut[j] = vocab[int(rng.integers(300))]
+            add(" ".join(mut))  # near dup (J ≈ 0.75+)
+        if i % 7 == 0:
+            other = [vocab[j] for j in rng.integers(0, 300, 40)]
+            add(" ".join(other + toks[:20]))  # substring dup (20-token block)
+    n = len(rows_id)
+    return pa.table(
+        {
+            "id": pa.array(rows_id, pa.int64()),
+            "repo": pa.array([f"r{i%5}" for i in rows_id]),
+            "path": pa.array([f"p{i}" for i in rows_id]),
+            "commit": pa.array(["c" * 40] * n),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array(rows_content),
+        }
+    )
+
+
+def _truth_pairs(tbl: pa.Table, threshold: float) -> set[tuple[int, int]]:
+    ids = tbl.column("id").to_pylist()
+    contents = tbl.column("content").to_pylist()
+    shingles = [shingle_set(c.split(), CFG.shingle_k, CFG.seed) for c in contents]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if contents[i] == contents[j] or exact_jaccard(shingles[i], shingles[j]) >= threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_dedup_clusters_recall(ray_session):
+    import ray.data
+
+    from raydedup.pipeline import dedup_clusters
+
+    tbl = _mini_corpus()
+    ds = ray.data.from_arrow(tbl)
+    out = dedup_clusters(ds, CFG, with_substring=False).to_pandas()
+    assert len(out) == tbl.num_rows
+    lab = dict(zip(out["id"], out["cluster_id"]))
+    truth = _truth_pairs(tbl, CFG.jaccard_threshold)
+    assert truth, "fixture must plant dup pairs"
+    hit = sum(1 for a, b in truth if lab[a] == lab[b])
+    assert hit / len(truth) >= 0.95
+
+
+def test_exact_tier(ray_session):
+    import ray.data
+
+    from raydedup.pipeline import exact_edges, signatures
+
+    tbl = _mini_corpus()
+    sigs = signatures(ray.data.from_arrow(tbl), CFG)
+    edges = exact_edges(sigs).to_pandas()
+    contents = tbl.column("content").to_pylist()
+    ids = tbl.column("id").to_pylist()
+    by_content: dict[str, list[int]] = {}
+    for i, c in zip(ids, contents):
+        by_content.setdefault(c, []).append(i)
+    want = sum(len(v) - 1 for v in by_content.values() if len(v) > 1)
+    assert len(edges) == want
+
+
+def test_unionfind_driver_vs_distributed(ray_session):
+    import ray.data
+
+    from raydedup.unionfind import cluster_edges, unionfind_numpy
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 200, 150).astype(np.int64)
+    dst = rng.integers(0, 200, 150).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    d1 = cluster_edges(edges, method="collect").to_pandas().sort_values("id")
+    d2 = cluster_edges(edges, method="distributed").to_pandas().sort_values("id")
+    nodes, roots = unionfind_numpy(src, dst)
+    want = dict(zip(nodes, roots))
+    got1 = dict(zip(d1["id"], d1["cluster_id"]))
+    got2 = dict(zip(d2["id"], d2["cluster_id"]))
+    assert got1 == want
+    assert got2 == want
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    import ray.data
+
+    from raydedup.njaccard import ngram_jaccard_pairs
+
+    tbl = _mini_corpus(n_base=30)
+    pairs = ngram_jaccard_pairs(ray.data.from_arrow(tbl), CFG, threshold=0.6).to_pandas()
+    got = {(r.src, r.dst): r.jaccard for r in pairs.itertuples()}
+    ids = tbl.column("id").to_pylist()
+    contents = tbl.column("content").to_pylist()
+    sh = [shingle_set(c.split(), CFG.shingle_k, CFG.seed) for c in contents]
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = exact_jaccard(sh[i], sh[j])
+            if jac >= 0.6:
+                want[(ids[i], ids[j])] = jac
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_containment_actor_stage(ray_session):
+    import ray.data
+
+    from raydedup.pipeline import containment_pairs
+
+    tbl = _mini_corpus(n_base=30)
+    out = containment_pairs(
+        ray.data.from_arrow(tbl), CFG, num_partitions=2, concurrency=1
+    ).to_pandas()
+    # brute-force truth: token-run containment with >= min tokens
+    ids = tbl.column("id").to_pylist()
+    toks = [c.split() for c in tbl.column("content").to_pylist()]
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            small, big = (toks[i], toks[j]) if len(toks[i]) <= len(toks[j]) else (toks[j], toks[i])
+            if len(small) >= CFG.min_substring_tokens:
+                s = " " + " ".join(small) + " "
+                b = " " + " ".join(big) + " "
+                if s in b:
+                    want.add((ids[i], ids[j]))
+    got = set(zip(out["src"], out["dst"]))
+    assert got == want
+
+
+def test_theta_aggregate_groupby(ray_session):
+    import ray.data
+
+    from raydedup.aggregates import theta_distinct
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    tbl = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 5000, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = ds.groupby("g").aggregate(theta_distinct("v", k=8192, name="d")).to_pandas()
+    import pandas as pd
+
+    pdf = tbl.to_pandas()
+    want = pdf.groupby("g")["v"].nunique()
+    for _, row in out.iterrows():
+        assert row["d"] == want[row["g"]]  # exact mode
+
+
+def test_hll_and_kll_aggregates(ray_session):
+    import ray.data
+
+    from raydedup.aggregates import hll_distinct, kll_quantile
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 100_000, 50_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+    res = ds.aggregate(hll_distinct("v", lg_k=12, name="h"))
+    true_d = len(np.unique(vals))
+    assert abs(res["h"] - true_d) / true_d < 0.05
+    res2 = ds.aggregate(kll_quantile("v", [0.5], k=200, name="q"))
+    s = np.sort(vals.astype(np.float64))
+    med = res2["q"][0]
+    true_rank = np.searchsorted(s, med, side="right") / len(s)
+    assert abs(true_rank - 0.5) < 0.03

@@ -1,0 +1,222 @@
+"""Cardinality / quantile / frequency / sampling sketch contracts
+(cross-estimator consistency in the spirit of T/hll/CrossCountingTest.java:
+33-45; error contracts per BASELINE.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raydedup.hashing import splitmix64
+from raydedup.sketches.freq import NO_FALSE_NEGATIVES, FrequentKeysSketch
+from raydedup.sketches.hll import HllSketch
+from raydedup.sketches.kll import KllSketch
+from raydedup.sketches.sampling import PrioritySample, ReservoirSketch
+from raydedup.sketches.tuple import TupleSketch
+
+
+def _hashes(n: int, salt: int = 0) -> np.ndarray:
+    return splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(salt * 10**12))
+
+
+class TestHll:
+    def test_estimate_within_rse(self):
+        for n in [100, 10_000, 1_000_000]:
+            sk = HllSketch(lg_k=12)
+            sk.update_hashes(_hashes(n))
+            err = abs(sk.estimate() - n) / n
+            assert err < 3.5 * sk.rse, (n, sk.estimate())
+
+    def test_merge_equals_single_stream(self):
+        a, b = HllSketch(12), HllSketch(12)
+        a.update_hashes(_hashes(50_000))
+        b.update_hashes(_hashes(50_000, salt=1))
+        a.merge(b)
+        c = HllSketch(12)
+        c.update_hashes(np.concatenate([_hashes(50_000), _hashes(50_000, salt=1)]))
+        assert a.estimate() == c.estimate()
+
+    def test_merge_mixed_k_downsamples(self):
+        a, b = HllSketch(10), HllSketch(12)
+        a.update_hashes(_hashes(10_000))
+        b.update_hashes(_hashes(10_000, salt=2))
+        a.merge(b)
+        assert a.lg_k == 10
+        assert abs(a.estimate() - 20_000) / 20_000 < 3.5 * a.rse
+
+    def test_serde(self):
+        sk = HllSketch(11)
+        sk.update_hashes(_hashes(1000))
+        rt = HllSketch.deserialize(sk.serialize())
+        assert rt.estimate() == sk.estimate()
+
+
+class TestKll:
+    def test_exact_when_under_capacity(self):
+        rng = np.random.default_rng(1)
+        vals = rng.standard_normal(150)
+        sk = KllSketch(k=200)
+        sk.update_many(vals)
+        s = np.sort(vals)
+        assert sk.quantile(0.5) == s[int(np.floor((len(s) - 1) * 0.5))]
+        assert sk.min_value == s[0] and sk.max_value == s[-1]
+
+    def test_rank_error_contract(self):
+        # k=200 → ~1.65% @99%; assert 3% on one stream
+        rng = np.random.default_rng(2)
+        vals = rng.standard_normal(200_000)
+        sk = KllSketch(k=200)
+        sk.update_many(vals)
+        s = np.sort(vals)
+        for r in [0.1, 0.25, 0.5, 0.75, 0.9]:
+            q = sk.quantile(r)
+            true_rank = np.searchsorted(s, q, side="right") / len(s)
+            assert abs(true_rank - r) < 0.03, (r, true_rank)
+
+    def test_merge_matches_contract(self):
+        rng = np.random.default_rng(3)
+        a_vals = rng.standard_normal(100_000)
+        b_vals = rng.standard_normal(100_000) + 0.5
+        a, b = KllSketch(200), KllSketch(200)
+        a.update_many(a_vals)
+        b.update_many(b_vals)
+        a.merge(b)
+        s = np.sort(np.concatenate([a_vals, b_vals]))
+        assert a.n == 200_000
+        for r in [0.25, 0.5, 0.75]:
+            q = a.quantile(r)
+            true_rank = np.searchsorted(s, q, side="right") / len(s)
+            assert abs(true_rank - r) < 0.04
+
+    def test_pmf_cdf(self):
+        sk = KllSketch(k=200)
+        sk.update_many(np.arange(1000, dtype=np.float64))
+        cdf = sk.cdf([250.0, 500.0, 750.0])
+        assert cdf[-1] == 1.0
+        assert abs(cdf[1] - 0.5) < 0.03
+        pmf = sk.pmf([250.0, 500.0, 750.0])
+        assert abs(sum(pmf) - 1.0) < 1e-9
+
+    def test_serde(self):
+        sk = KllSketch(k=200)
+        sk.update_many(np.random.default_rng(4).standard_normal(5000))
+        rt = KllSketch.deserialize(sk.serialize())
+        assert rt.n == sk.n
+        assert rt.quantile(0.5) == sk.quantile(0.5)
+
+
+class TestFrequentKeys:
+    def test_exact_when_under_capacity(self):
+        sk = FrequentKeysSketch(64)
+        keys = np.repeat(np.arange(10), [100, 90, 80, 70, 60, 5, 4, 3, 2, 1])
+        sk.update_many(keys)
+        assert sk.get_estimate(0) == 100
+        assert sk.maximum_error == 0
+
+    def test_no_false_negatives_under_purge(self):
+        rng = np.random.default_rng(5)
+        # zipf-ish stream: key i appears ~ n/i times
+        keys = np.concatenate([np.full(5000 // (i + 1), i) for i in range(500)])
+        rng.shuffle(keys)
+        sk = FrequentKeysSketch(64)
+        for chunk in np.array_split(keys, 7):
+            sk.update_many(chunk)
+        true_counts = {i: 5000 // (i + 1) for i in range(500)}
+        thr = 500
+        found = {k for k, _ in sk.get_frequent_items(thr, NO_FALSE_NEGATIVES)}
+        for k, c in true_counts.items():
+            if c > thr + sk.maximum_error:
+                assert k in found, (k, c)
+
+    def test_merge(self):
+        a, b = FrequentKeysSketch(256), FrequentKeysSketch(256)
+        a.update_many(np.repeat([1, 2], [50, 10]))
+        b.update_many(np.repeat([1, 3], [30, 20]))
+        a.merge(b)
+        assert a.get_estimate(1) >= 80
+        assert a.stream_len == 110
+
+    def test_serde(self):
+        sk = FrequentKeysSketch(32)
+        sk.update_many(np.repeat([7, 8], [5, 3]))
+        rt = FrequentKeysSketch.deserialize(sk.serialize())
+        assert rt.get_estimate(7) == 5 and rt.stream_len == 8
+
+
+class TestSampling:
+    def test_reservoir_size_and_count(self):
+        sk = ReservoirSketch(32, seed=1)
+        sk.update_many(list(range(1000)))
+        assert len(sk.samples) == 32
+        assert sk.n == 1000
+        assert all(0 <= s < 1000 for s in sk.samples)
+
+    def test_reservoir_merge(self):
+        a, b = ReservoirSketch(16, seed=1), ReservoirSketch(16, seed=2)
+        a.update_many(list(range(100)))
+        b.update_many(list(range(100, 300)))
+        a.merge(b)
+        assert a.n == 300
+        assert len(a.samples) == 16
+
+    def test_priority_subset_sum_unbiased(self):
+        rng = np.random.default_rng(6)
+        weights = rng.exponential(1.0, size=2000)
+        keys = np.arange(2000, dtype=np.int64)
+        true_even = weights[keys % 2 == 0].sum()
+        ests = []
+        for trial in range(30):
+            sk = PrioritySample(256, seed=trial)
+            sk.update_many(keys, weights)
+            s = sk.estimate_subset_sum(lambda k: k % 2 == 0)
+            ests.append(s.estimate)
+            assert s.total_sketch_weight == pytest.approx(weights.sum())
+        mean_est = np.mean(ests)
+        assert abs(mean_est - true_even) / true_even < 0.1
+
+    def test_priority_merge_dedups_keys(self):
+        keys = np.arange(100, dtype=np.int64)
+        w = np.ones(100)
+        a, b = PrioritySample(64, seed=0), PrioritySample(64, seed=0)
+        a.update_many(keys[:70], w[:70])
+        b.update_many(keys[30:], w[30:])
+        a.merge(b)
+        assert len(np.unique(a.keys)) == len(a.keys)
+
+
+class TestTuple:
+    def _hashes(self, lo, n):
+        from raydedup.hashing import theta_hash_u64s
+
+        return theta_hash_u64s(np.arange(lo, lo + n, dtype=np.uint64))
+
+    def test_update_sum_mode(self):
+        sk = TupleSketch.empty(k=256, num_values=1, mode="sum")
+        h = self._hashes(0, 100)
+        sk = sk.update_many(h, np.ones((100, 1)))
+        sk = sk.update_many(h[:50], np.ones((50, 1)))
+        assert sk.estimate() == 100.0
+        assert sk.values.sum() == 150.0
+
+    def test_union_intersect_anotb(self):
+        a = TupleSketch.empty(256, 1, "sum").update_many(
+            self._hashes(0, 100), np.ones((100, 1))
+        )
+        b = TupleSketch.empty(256, 1, "sum").update_many(
+            self._hashes(50, 100), np.ones((100, 1))
+        )
+        u = a.union(b)
+        assert u.estimate() == 150.0
+        i = a.intersect(b)
+        assert i.estimate() == 50.0
+        assert (i.values == 2.0).all()  # sum combine of 1+1
+        d = a.a_not_b(b)
+        assert d.estimate() == 50.0
+
+    def test_filter_preserves_theta(self):
+        a = TupleSketch.empty(64, 1, "sum").update_many(
+            self._hashes(0, 1000), np.arange(1000, dtype=np.float64)[:, None]
+        )
+        f = a.filter(lambda v: v[:, 0] > 100)
+        assert f.theta == a.theta
+        assert (f.values[:, 0] > 100).all()
