@@ -300,10 +300,13 @@ def _q_top_dup_repos(sf_dir: str):
     count of secondary dim → rank)."""
     from raydedup.njaccard import ngram_jaccard_pairs
 
+    from raydedup.pipeline import join_partitions
+
+    nparts = join_partitions(8)
     pairs = ngram_jaccard_pairs(_corpus_ds(sf_dir), _cfg(), threshold=0.7)
     corpus = _corpus_ds(sf_dir).select_columns(["id", "repo"])
     j1 = pairs.select_columns(["src", "dst"]).join(
-        corpus, "inner", num_partitions=8, on=("src",), right_on=("id",)
+        corpus, "inner", num_partitions=nparts, on=("src",), right_on=("id",)
     )
     j1 = j1.map_batches(
         lambda b: pa.table(
@@ -311,7 +314,7 @@ def _q_top_dup_repos(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    j2 = j1.join(corpus, "inner", num_partitions=8, on=("dst",), right_on=("id",))
+    j2 = j1.join(corpus, "inner", num_partitions=nparts, on=("dst",), right_on=("id",))
     both = j2.map_batches(
         lambda b: pa.table(
             {

@@ -1,0 +1,177 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the flagship dedup pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 over the same amplified corpus and reports
+throughput at both plus scaling efficiency (the sandbox stand-in for the
+north_rule's N vs 4N cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "9"))
+
+
+def _sf_tag(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_config():
+    from raydedup.config import SigConfig
+
+    return SigConfig(kmv_k=128, jaccard_threshold=0.8)
+
+
+def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import numpy as np  # noqa: F401
+
+    from raydedup.corpus import amplified_corpus_path
+    from raydedup.pipeline import dedup_clusters, signatures
+
+    cfg = bench_config()
+    corpus_dir = amplified_corpus_path(SF_DIR, replicas=REPLICAS)
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def read_corpus():
+        return ray.data.read_parquet(corpus_dir)
+
+    # flagship: full near-dup clustering
+    t0 = time.time()
+    out = dedup_clusters(read_corpus(), cfg, with_substring=False)
+    n_rows = out.count()
+    t_flag = time.time() - t0
+    queries["dedup_clusters"] = round(t_flag, 3)
+    extra["corpus_rows"] = n_rows
+    extra["files_per_sec"] = round(n_rows / t_flag, 1)
+
+    if not flagship_only:
+        t0 = time.time()
+        sigs = signatures(read_corpus(), cfg)
+        # consume the stream without materializing content
+        sigs.select_columns(["id", "simhash"]).count()
+        queries["signatures"] = round(time.time() - t0, 3)
+
+        from raydedup.aggregates import kll_quantile, theta_distinct
+
+        t0 = time.time()
+        li = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+        )
+        li.groupby("l_returnflag").aggregate(
+            theta_distinct("l_orderkey", k=1 << 17, name="d")
+        ).count()
+        queries["theta_distinct_orders"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        li2 = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"]
+        )
+        li2.aggregate(kll_quantile("l_extendedprice", [0.5, 0.9, 0.99], k=200, name="q"))
+        queries["kll_quantiles"] = round(time.time() - t0, 3)
+
+        from raydedup.embed import ann_topk
+
+        t0 = time.time()
+        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        first = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+        q = np.stack(first["embedding"].to_numpy())
+        ann_topk(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            q,
+            first["vec_id"].to_numpy(),
+            k=10,
+        ).count()
+        queries["ann_topk"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "dedup+sketch pipeline wall time (amplified corpus)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(SF_DIR),
+        "num_cpus": num_cpus,
+        **extra,
+    }
+    return result
+
+
+def run_scaling() -> dict:
+    """Same flagship job at num_cpus=8 and 32 in fresh processes."""
+    # warm the corpus cache first so neither run pays generation cost
+    from raydedup.corpus import amplified_corpus_path
+
+    amplified_corpus_path(SF_DIR, replicas=REPLICAS)
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["BENCH_FLAGSHIP_ONLY"] = "1"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["queries"]["dedup_clusters"]
+    t32 = results[32]["queries"]["dedup_clusters"]
+    thr8 = results[8]["files_per_sec"]
+    thr32 = results[32]["files_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    return {
+        "metric": "scaling efficiency (8 → 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"dedup_clusters_8cpu": t8, "dedup_clusters_32cpu": t32},
+        "throughput_8cpu_files_per_sec": thr8,
+        "throughput_32cpu_files_per_sec": thr32,
+        "sf": _sf_tag(SF_DIR),
+        "num_cpus": 32,
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    flagship_only = os.environ.get("BENCH_FLAGSHIP_ONLY") == "1"
+    result = run_benchmarks(NUM_CPUS, flagship_only=flagship_only)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -121,23 +121,117 @@ def detect_hot_band_keys(sigs: "ray.data.Dataset", cfg: SigConfig) -> dict[int, 
 # ---------------------------------------------------------------------------
 
 
-def near_edges(
-    sigs: "ray.data.Dataset", cfg: SigConfig, hot: dict[int, int] | None = None
+def join_partitions(wanted: int = 32) -> int:
+    """Hash-join aggregator actors each need a CPU slot; requesting more
+    partitions than the cluster has CPUs deadlocks scheduling. Clamp."""
+    try:
+        cpus = int(ray.available_resources().get("CPU", 1) or 1)
+    except Exception:  # noqa: BLE001 — outside a Ray session
+        cpus = 1
+    return max(1, min(wanted, cpus))
+
+
+def _banded(
+    sigs: "ray.data.Dataset",
+    cfg: SigConfig,
+    hot: dict[int, int] | None,
+    carry_kmv: bool,
+    verify: bool,
 ) -> "ray.data.Dataset":
-    band = sigs.map_batches(BandEmitStage(cfg, hot), batch_format="pyarrow")
-    emitter = make_pair_emitter(cfg)
-    edges = band.groupby("band_key").map_groups(emitter, batch_format="pyarrow")
+    cols = ["id", "minhash", "n_shingles"]
+    if carry_kmv:
+        cols += ["kmv_theta", "kmv"]
+    band = sigs.select_columns(cols).map_batches(
+        BandEmitStage(cfg, hot, carry_kmv=carry_kmv), batch_format="pyarrow"
+    )
+    emitter = make_pair_emitter(cfg, verify=verify)
+    pairs = band.groupby("band_key").map_groups(emitter, batch_format="pyarrow")
     if hot:
         delegates = (
             band.filter(expr="salted == True")
             .groupby("band_key")
             .map_groups(delegate_reducer, batch_format="pyarrow")
         )
-        d_edges = delegates.groupby("band_key").map_groups(
+        d_pairs = delegates.groupby("band_key").map_groups(
             emitter, batch_format="pyarrow"
         )
-        edges = edges.union(d_edges)
-    return edges.select_columns(["src", "dst", "jaccard"])
+        pairs = pairs.union(d_pairs)
+    return pairs
+
+
+def candidate_pairs_lsh(
+    sigs: "ray.data.Dataset", cfg: SigConfig, hot: dict[int, int] | None = None
+) -> "ray.data.Dataset":
+    """LSH band shuffle → UNIQUE unverified candidate pairs (src, dst)."""
+    pairs = _banded(sigs, cfg, hot, carry_kmv=False, verify=False)
+    # dedup multi-band discoveries before the (expensive) verify join
+    return (
+        pairs.select_columns(["src", "dst"])
+        .groupby(["src", "dst"])
+        .map_groups(_dedup_pairs, batch_format="pyarrow")
+    )
+
+
+def verify_pairs(
+    pairs: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    cfg: SigConfig,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Join each unique candidate pair with both KMV sketches and verify
+    once (theta Jaccard, JaccardSimilarity.java:55-96 semantics)."""
+    num_partitions = num_partitions or join_partitions()
+    kmv_tbl = sigs.select_columns(["id", "kmv_theta", "kmv"])
+    j1 = pairs.join(
+        kmv_tbl, "inner", num_partitions=num_partitions, on=("src",), right_on=("id",)
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "theta_a": b.column("kmv_theta"),
+                "kmv_a": b.column("kmv"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        kmv_tbl, "inner", num_partitions=num_partitions, on=("dst",), right_on=("id",)
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "theta_a": b.column("theta_a"),
+                "kmv_a": b.column("kmv_a"),
+                "theta_b": b.column("kmv_theta"),
+                "kmv_b": b.column("kmv"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from .stages import PairVerifyStage
+
+    return j2.map_batches(
+        PairVerifyStage(cfg), batch_format="pyarrow"
+    ).select_columns(["src", "dst", "jaccard"])
+
+
+def near_edges(
+    sigs: "ray.data.Dataset",
+    cfg: SigConfig,
+    hot: dict[int, int] | None = None,
+    num_partitions: int | None = None,
+    mode: str = "bucket",
+) -> "ray.data.Dataset":
+    """Verified near-dup edges. mode='bucket' (default): single shuffle with
+    in-bucket verification; mode='join': ids-only shuffle + dedup + hash-join
+    verify (see BandEmitStage docstring for the trade-off)."""
+    if mode == "bucket":
+        edges = _banded(sigs, cfg, hot, carry_kmv=True, verify=True)
+        return edges.select_columns(["src", "dst", "jaccard"])
+    pairs = candidate_pairs_lsh(sigs, cfg, hot)
+    return verify_pairs(pairs, sigs, cfg, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +365,7 @@ def containment_pairs(
     corpus: "ray.data.Dataset",
     cfg: SigConfig = DEFAULT_CONFIG,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     concurrency: int | tuple[int, int] = 2,
 ) -> "ray.data.Dataset":
     """Verbatim-containment pairs: winnow candidates → content join →
@@ -281,6 +375,7 @@ def containment_pairs(
     token run inside the larger."""
     from .suffix import LcsVerifier
 
+    num_partitions = num_partitions or join_partitions(16)
     sigs = corpus.map_batches(SignatureStage(cfg), batch_format="pyarrow")
     cands = substring_edges(sigs, cfg)
     contents = corpus.select_columns(["id", "content"])

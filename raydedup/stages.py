@@ -13,10 +13,12 @@ Stage layout (SURVEY §3.2 engine trace):
 Design notes for 100 TB scale:
   * The signature stage reads ONLY (id, content, …) columns and drops
     ``content`` on output — everything downstream ships ≤ ~2 KB/row.
-  * Band rows carry the (truncated) KMV sketch so candidate verification
-    happens inside the band groupby — ONE all-to-all shuffle for the near
-    tier, no sig joins. Pairs discovered in several bands deduplicate in the
-    (tiny) edge dataset afterwards.
+  * Near-tier shuffle layout is switchable (see BandEmitStage): in-bucket
+    verification with the KMV sketch carried in the band rows (one
+    all-to-all; measured fastest here), or ids-only band rows with a
+    dedup-then-hash-join verify (decouples shuffle volume from sketch
+    size for very large kmv_k·bands). Both verify with the same theta
+    Jaccard semantics.
   * Hot band keys (boilerplate) are detected by a Misra-Gries heavy-hitter
     pre-pass (frequencies/LongsSketch.java:55-94 analog) and split into salt
     sub-buckets with a delegate round so connectivity survives
@@ -136,18 +138,31 @@ def _segments_binary(flat: np.ndarray, offsets: np.ndarray, width: int) -> pa.Ar
 
 
 class BandEmitStage:
-    """sigs → (band_key, id, kmv_theta, kmv) rows, bands*n per batch.
+    """sigs → (band_key, orig_key, salted, id[, kmv_theta, kmv]) rows.
 
-    ``hot_keys``/``hot_salts``: optional dict band_key → n_salts from the
-    heavy-hitter pre-pass; hot keys are split by hash(id) into sub-buckets
-    and each member additionally emits a delegate row (salt slot 0xFFFF) iff
-    it is its sub-bucket's minimum — done lazily in the pair stage instead,
-    so here hot rows just get salted keys.
+    Two shuffle layouts (pipeline.near_edges mode):
+      * carry_kmv=True (default, "bucket" mode): rows carry the KMV sketch
+        (~kmv_k·8 B) so pairs verify inside the band groupby — one all-to-all
+        total. Wins when sketches are small or bands few (measured best
+        locally: the sketch payload shuffle is cheaper than a second shuffle
+        + hash-join constant costs).
+      * carry_kmv=False ("join" mode): rows are 3×u64 + bool; unique pairs
+        are verified once via a hash join against the sigs checkpoint
+        (pipeline.verify_pairs). Wins when kmv_k·bands is large relative to
+        the dup rate (it decouples shuffle volume from sketch size).
+    ``hot_keys``: dict band_key → n_salts from the heavy-hitter pre-pass;
+    hot keys split by hash(id) into sub-buckets, reconnected by delegates.
     """
 
-    def __init__(self, cfg: SigConfig, hot_keys: dict[int, int] | None = None):
+    def __init__(
+        self,
+        cfg: SigConfig,
+        hot_keys: dict[int, int] | None = None,
+        carry_kmv: bool = True,
+    ):
         self.cfg = cfg
         self.hot = hot_keys or {}
+        self.carry_kmv = carry_kmv
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -159,6 +174,9 @@ class BandEmitStage:
         ).reshape(n, cfg.num_perm)
         ids = batch.column("id").to_numpy()
         nsh = batch.column("n_shingles").to_numpy()
+        kmv_theta = batch.column("kmv_theta") if self.carry_kmv else None
+        kmv_col = batch.column("kmv") if self.carry_kmv else None
+        del batch  # only sig-derived columns leave this stage
         bh = band_hashes(mh, cfg.bands, cfg.rows_per_band, cfg.seed)
         keys = np.empty((n, cfg.bands), dtype=np.uint64)
         for b in range(cfg.bands):
@@ -169,19 +187,18 @@ class BandEmitStage:
         rep_ids = np.repeat(ids[valid], cfg.bands)
         orig_keys = keys[valid].reshape(-1)
         flat_keys, salted = self._salt(orig_keys, rep_ids)
-        reps = np.repeat(np.flatnonzero(valid), cfg.bands)
-        kmv_col = batch.column("kmv").take(pa.array(reps))
-        theta_col = batch.column("kmv_theta").take(pa.array(reps))
-        return pa.table(
-            {
-                "band_key": pa.array(flat_keys, type=pa.uint64()),
-                "orig_key": pa.array(orig_keys, type=pa.uint64()),
-                "salted": pa.array(salted, type=pa.bool_()),
-                "id": pa.array(rep_ids, type=pa.int64()),
-                "kmv_theta": theta_col,
-                "kmv": kmv_col,
-            }
-        )
+        cols = {
+            "band_key": pa.array(flat_keys, type=pa.uint64()),
+            "orig_key": pa.array(orig_keys, type=pa.uint64()),
+            "salted": pa.array(salted, type=pa.bool_()),
+            "id": pa.array(rep_ids, type=pa.int64()),
+        }
+        if self.carry_kmv:
+            reps = np.repeat(np.flatnonzero(valid), cfg.bands)
+            take = pa.array(reps)
+            cols["kmv_theta"] = kmv_theta.take(take)
+            cols["kmv"] = kmv_col.take(take)
+        return pa.table(cols)
 
     def _salt(self, keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         if not self.hot:
@@ -212,8 +229,6 @@ def _empty_band_table() -> pa.Table:
             "orig_key": pa.array([], type=pa.uint64()),
             "salted": pa.array([], type=pa.bool_()),
             "id": pa.array([], type=pa.int64()),
-            "kmv_theta": pa.array([], type=pa.uint64()),
-            "kmv": pa.array([], type=pa.large_binary()),
         }
     )
 
@@ -225,16 +240,16 @@ def delegate_reducer(group: pa.Table) -> pa.Table:
     among themselves, restoring connectivity across salt sub-buckets."""
     ids = group.column("id").to_numpy()
     i = int(np.argmin(ids))
-    return pa.table(
-        {
-            "band_key": group.column("orig_key").slice(i, 1),
-            "orig_key": group.column("orig_key").slice(i, 1),
-            "salted": pa.array([False]),
-            "id": group.column("id").slice(i, 1),
-            "kmv_theta": group.column("kmv_theta").slice(i, 1),
-            "kmv": group.column("kmv").slice(i, 1),
-        }
-    )
+    cols = {
+        "band_key": group.column("orig_key").slice(i, 1),
+        "orig_key": group.column("orig_key").slice(i, 1),
+        "salted": pa.array([False]),
+        "id": group.column("id").slice(i, 1),
+    }
+    for extra in ("kmv_theta", "kmv"):
+        if extra in group.column_names:
+            cols[extra] = group.column(extra).slice(i, 1)
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -242,67 +257,117 @@ def delegate_reducer(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def make_pair_emitter(cfg: SigConfig):
-    """map_groups fn over a band bucket → verified candidate edges.
+def make_pair_emitter(cfg: SigConfig, verify: bool = True):
+    """map_groups fn over a band bucket → pairs (KMV-verified in place when
+    ``verify`` and the bucket rows carry sketches; raw candidates otherwise).
 
     Bucket policy (skew ladder):
-      size ≤ max_bucket_size    : all pairs, KMV-verified here.
-      ≤ bucket_ceiling          : representative star — every member vs the
-                                  min-id member only (linear).
-      > bucket_ceiling          : star against min-id, sampled members
-                                  (cap), logged via the 'capped' column.
+      size ≤ max_bucket_size : all pairs (vectorized triu).
+      ≤ bucket_ceiling       : representative star — every member vs the
+                               min-id member only (linear).
+      > bucket_ceiling       : star against min-id, truncated at the
+                               ceiling (logged via the 'capped' column).
+
+    Verification happens once per UNIQUE pair downstream
+    (pipeline.verify_pairs), so multi-band duplicates cost nothing here but
+    a dedup groupby on 16-byte rows.
     """
 
-    thr = cfg.jaccard_threshold
-    kmv_k = cfg.kmv_k
-
     def emit(group: pa.Table) -> pa.Table:
-        n = len(group)
-        if n < 2:
-            return _empty_edge_table()
-        ids = group.column("id").to_numpy()
-        thetas = group.column("kmv_theta").to_numpy()
-        blobs = group.column("kmv").to_pylist()
-        order = np.argsort(ids)
-        ids, thetas = ids[order], thetas[order]
-        blobs = [blobs[i] for i in order]
-        # dedupe same doc appearing twice in a bucket (can't happen per band,
-        # but buckets merge bands after salting)
-        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
-        ids, thetas = ids[keep], thetas[keep]
-        blobs = [b for b, k0 in zip(blobs, keep) if k0]
+        raw_ids = group.column("id").to_numpy()
+        ids, first_idx = np.unique(raw_ids, return_index=True)
         n = len(ids)
         if n < 2:
-            return _empty_edge_table()
-        sketches = [np.frombuffer(b, dtype="<u8") for b in blobs]
-
+            return _empty_pair_table(verify)
         if n <= cfg.max_bucket_size:
-            pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+            iu = np.triu_indices(n, k=1)
+            ia, ib = iu[0], iu[1]
             capped = False
         else:
             limit = min(n, cfg.bucket_ceiling)
-            pairs = [(0, j) for j in range(1, limit)]
+            ia = np.zeros(limit - 1, dtype=np.int64)
+            ib = np.arange(1, limit)
             capped = True
-
-        la, lb, ja = [], [], []
-        for i, j in pairs:
-            est = _kmv_jaccard_fast(
-                thetas[i], sketches[i], thetas[j], sketches[j], kmv_k
+        src, dst = ids[ia], ids[ib]
+        if not verify:
+            return pa.table(
+                {
+                    "src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64()),
+                    "capped": pa.array(np.full(len(src), capped)),
+                }
             )
-            if est >= thr:
-                la.append(ids[i])
-                lb.append(ids[j])
-                ja.append(est)
+        thetas = group.column("kmv_theta").to_numpy()[first_idx]
+        blobs = group.column("kmv").to_pylist()
+        sketches = [np.frombuffer(blobs[i], dtype="<u8") for i in first_idx]
+        jac = np.empty(len(src), dtype=np.float64)
+        for p in range(len(src)):
+            jac[p] = _kmv_jaccard_fast(
+                thetas[ia[p]], sketches[ia[p]], thetas[ib[p]], sketches[ib[p]], cfg.kmv_k
+            )
+        keep = jac >= cfg.jaccard_threshold
         return pa.table(
             {
-                "src": pa.array(la, type=pa.int64()),
-                "dst": pa.array(lb, type=pa.int64()),
-                "jaccard": pa.array(ja, type=pa.float64()),
-                "capped": pa.array([capped] * len(la), type=pa.bool_()),
+                "src": pa.array(src[keep], type=pa.int64()),
+                "dst": pa.array(dst[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep]),
+                "capped": pa.array(np.full(int(keep.sum()), capped)),
             }
         )
 
     return emit
+
+
+def _empty_pair_table(verify: bool = False) -> pa.Table:
+    cols = {
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64()),
+    }
+    if verify:
+        cols["jaccard"] = pa.array([], type=pa.float64())
+    cols["capped"] = pa.array([], type=pa.bool_())
+    return pa.table(cols)
+
+
+class PairVerifyStage:
+    """Batched KMV-Jaccard verification of joined candidate pairs.
+
+    Input columns: src, dst, theta_a, kmv_a, theta_b, kmv_b. Output: pairs
+    with jaccard >= cfg.jaccard_threshold. Point estimate per
+    JaccardSimilarity.java:55-96 (exact when both sketches exact-mode)."""
+
+    def __init__(self, cfg: SigConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(batch)
+        if n == 0:
+            return _empty_edge_table()
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        ta = batch.column("theta_a").to_numpy()
+        tb = batch.column("theta_b").to_numpy()
+        ba = batch.column("kmv_a").to_pylist()
+        bb = batch.column("kmv_b").to_pylist()
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            out[i] = _kmv_jaccard_fast(
+                ta[i],
+                np.frombuffer(ba[i], dtype="<u8"),
+                tb[i],
+                np.frombuffer(bb[i], dtype="<u8"),
+                cfg.kmv_k,
+            )
+        keep = out >= cfg.jaccard_threshold
+        return pa.table(
+            {
+                "src": pa.array(src[keep]),
+                "dst": pa.array(dst[keep]),
+                "jaccard": pa.array(out[keep]),
+                "capped": pa.array(np.zeros(int(keep.sum()), dtype=bool)),
+            }
+        )
 
 
 def _kmv_jaccard_fast(
