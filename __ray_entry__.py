@@ -350,6 +350,152 @@ def _q_top_dup_repos(sf_dir: str):
     return out.sort(["distinct_partner_repos", "repo"], descending=[True, False]).limit(10)
 
 
+def _q_theta_setops_orders(sf_dir: str):
+    """Theta set algebra over order-key sets: |R∪A|, |R∩A|, |R∖A| of the
+    distinct l_orderkey sets of returnflags R and A (exact mode at sf0.01)."""
+    import ray.data
+
+    from raydedup import kmv
+    from raydedup.aggregates import theta_distinct
+    from raydedup.kmv import KmvSketch
+    from ray.data.aggregate import AggregateFn
+
+    base = theta_distinct("l_orderkey", k=THETA_K, name="sk")
+    sketch_agg = AggregateFn(
+        init=base.init, merge=base.merge, accumulate_block=base.accumulate_block,
+        finalize=lambda s: s, name="sk",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+    )
+    rows = li.groupby("l_returnflag").aggregate(sketch_agg).take_all()
+    sk = {r["l_returnflag"]: KmvSketch.deserialize(r["sk"]) for r in rows}
+    r, a = sk["R"], sk["A"]
+    return pa.table(
+        {
+            "union_cnt": pa.array([int(round(kmv.union(r, a).estimate()))], pa.int64()),
+            "intersect_cnt": pa.array(
+                [int(round(kmv.intersection(r, a).estimate()))], pa.int64()
+            ),
+            "anotb_cnt": pa.array([int(round(kmv.a_not_b(r, a).estimate()))], pa.int64()),
+        }
+    )
+
+
+def _q_tuple_parts_qty(sf_dir: str):
+    """Tuple sketch: per returnflag, distinct parts + summed quantity payload."""
+    import ray.data
+
+    from raydedup.aggregates import tuple_distinct_sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_partkey", "l_quantity"],
+    )
+    out = li.groupby("l_returnflag").aggregate(
+        tuple_distinct_sum("l_partkey", "l_quantity", k=THETA_K, name="t")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vals = batch.column("t").to_pylist()
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "distinct_parts": pa.array(
+                    [int(round(v[0])) for v in vals], pa.int64()
+                ),
+                "sum_qty": pa.array([int(round(v[1])) for v in vals], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_fdt_supplier_parts(sf_dir: str):
+    """FDT: top suppliers by distinct parts shipped (fdt/FdtSketch analog)."""
+    import ray.data
+
+    from raydedup.fdt import frequent_distinct_tuples
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    out = frequent_distinct_tuples(
+        li, ["l_suppkey"], "l_partkey", k=THETA_K, limit=10
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "distinct_parts": pa.array(
+                    np.round(b.column("distinct_est").to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_windowed_events(sf_dir: str):
+    """Tumbling 1-hour window: event counts + distinct users per type."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raydedup.aggregates import theta_distinct
+    from ray.data.aggregate import Count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+
+    def window(batch: pa.Table) -> pa.Table:
+        w = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="hour"), "%Y-%m-%d %H:00:00"
+        )
+        return pa.table(
+            {
+                "window_start": w,
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+
+    out = (
+        ev.map_batches(window, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(), theta_distinct("user_id", k=THETA_K, name="du"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b.column("window_start"),
+                "event_type": b.column("event_type"),
+                "n_events": b.column("count()"),
+                "distinct_users": pa.array(
+                    np.round(b.column("du").to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_simhash_dup_pairs(sf_dir: str):
+    from raydedup.simdedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_corpus_ds(sf_dir), _cfg(), max_hamming=3)
+
+
+def _q_quality_scores(sf_dir: str):
+    import ray.data
+
+    from raydedup.textstats import quality_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(quality_score, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "quality"])
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic media table → actor-pool decode stub."""
     import ray.data
@@ -382,6 +528,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "top_dup_repos": _q_top_dup_repos,
         "media_features": _q_media_features,
+        "theta_setops_orders": _q_theta_setops_orders,
+        "tuple_parts_qty": _q_tuple_parts_qty,
+        "fdt_supplier_parts": _q_fdt_supplier_parts,
+        "windowed_events": _q_windowed_events,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "quality_scores": _q_quality_scores,
     }
 
 
@@ -495,6 +647,32 @@ WITH qs AS (
 SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS rank_q,
        unnest(ql) AS quantile_value
 FROM qs
+""",
+        "theta_setops_orders": """
+WITH r AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+a AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+SELECT
+  (SELECT count(*) FROM (SELECT l_orderkey FROM r UNION SELECT l_orderkey FROM a)) AS union_cnt,
+  (SELECT count(*) FROM r WHERE l_orderkey IN (SELECT l_orderkey FROM a)) AS intersect_cnt,
+  (SELECT count(*) FROM r WHERE l_orderkey NOT IN (SELECT l_orderkey FROM a)) AS anotb_cnt
+""",
+        "tuple_parts_qty": """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+        "fdt_supplier_parts": """
+SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+FROM lineitem GROUP BY l_suppkey
+ORDER BY distinct_parts DESC, l_suppkey ASC LIMIT 10
+""",
+        "windowed_events": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY 1, 2
 """,
         "text_stats": r"""
 SELECT doc_id,

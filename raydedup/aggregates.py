@@ -127,6 +127,48 @@ def kll_quantile(
     )
 
 
+def tuple_distinct_sum(
+    key_col: str,
+    value_col: str,
+    k: int = 4096,
+    seed: int = 9001,
+    name: str | None = None,
+) -> AggregateFn:
+    """Tuple-sketch aggregate: distinct count of key_col + per-key summed
+    value_col payload (tuple/UpdatableSketch semantics, Sum summary mode).
+    Finalizes to [distinct_estimate, retained_value_sum] — in exact mode the
+    second equals SUM(value_col) over the whole group."""
+    import pickle
+
+    from .sketches.tuple import TupleSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = pickle.loads(state) if state else TupleSketch.empty(k, 1, "sum")
+        h = _column_theta_hashes(block, key_col, seed)
+        v = block.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = sk.update_many(h, v[:, None])
+        return pickle.dumps(sk)
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps(TupleSketch.empty(k, 1, "sum"))
+        if not b:
+            return a
+        return pickle.dumps(pickle.loads(a).union(pickle.loads(b)))
+
+    def fin(state: bytes | None):
+        sk = pickle.loads(state) if state else TupleSketch.empty(k, 1, "sum")
+        return [sk.estimate(), float(sk.values.sum())]
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=fin,
+        name=name or f"tuple_distinct_sum({key_col},{value_col})",
+    )
+
+
 def frequent_items(
     col: str, max_map_size: int = 4096, name: str | None = None
 ) -> AggregateFn:

@@ -367,6 +367,22 @@ def theta_hash_u64s(values: np.ndarray, seed: int = DEFAULT_UPDATE_SEED) -> np.n
     return h1 >> U64(1)
 
 
+# MurmurHash3Adaptor-style post-ops (hash/MurmurHash3Adaptor.java:43-306):
+# map a 64-bit hash into an int range or a uniform double in [0,1).
+
+
+def hash_to_int_range(h: np.ndarray, n: int) -> np.ndarray:
+    """Uniform int in [0, n) from a 64-bit hash (adaptor asInt/modulo)."""
+    return (np.asarray(h, dtype=np.uint64) % np.uint64(n)).astype(np.int64)
+
+
+def hash_to_double(h: np.ndarray) -> np.ndarray:
+    """Uniform double in [0, 1) from the top 53 bits (adaptor asDouble)."""
+    return (np.asarray(h, dtype=np.uint64) >> np.uint64(11)).astype(np.float64) / float(
+        1 << 53
+    )
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer — public-domain mix used to derive permutation
     constants and salts from indices (deterministic, stateless)."""

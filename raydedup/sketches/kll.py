@@ -159,6 +159,36 @@ class KllSketch:
 
     # -- serde -------------------------------------------------------------
 
+    @staticmethod
+    def ks_delta(a: "KllSketch", b: "KllSketch") -> float:
+        """Kolmogorov-Smirnov statistic between two sketched distributions:
+        max |CDF_a(x) - CDF_b(x)| over both sketches' retained items
+        (quantiles/KolmogorovSmirnov.java:26-54 computeKSDelta)."""
+        pts = np.unique(
+            np.concatenate([a._weighted_items()[0], b._weighted_items()[0]])
+        )
+        if len(pts) == 0:
+            return 0.0
+        delta = 0.0
+        for p in pts:
+            delta = max(delta, abs(a.rank(float(p)) - b.rank(float(p))))
+        return delta
+
+    @staticmethod
+    def ks_threshold(a: "KllSketch", b: "KllSketch", num_std_dev: float = 2.0) -> float:
+        """Rejection threshold for ks_delta: sqrt sum of the two sketches'
+        normalized rank errors scaled by num_std_dev
+        (quantiles/KolmogorovSmirnov.java:56-82 semantics)."""
+        ea = KllSketch.normalized_rank_error(a.k)
+        eb = KllSketch.normalized_rank_error(b.k)
+        return num_std_dev * math.sqrt((ea * ea + eb * eb) / 2.0)
+
+    @staticmethod
+    def ks_test(a: "KllSketch", b: "KllSketch", num_std_dev: float = 2.0) -> bool:
+        """True iff the two distributions are distinguishable at the given
+        confidence (delta > threshold)."""
+        return KllSketch.ks_delta(a, b) > KllSketch.ks_threshold(a, b, num_std_dev)
+
     def serialize(self) -> bytes:
         head = np.array([self.k, self.n, len(self.levels)], dtype=np.int64).tobytes()
         head += np.array([self._min, self._max], dtype=np.float64).tobytes()
