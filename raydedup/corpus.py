@@ -154,14 +154,16 @@ def amplified_corpus_path(
     variants. Written as multiple parquet shards (resumable layout). Returns
     the directory path.
 
-    Variant r of doc d (rng seeded by (seed, d, r)):
-      * r % 7 == 0  → exact copy (byte-identical)
-      * else        → delete ~2-8% of tokens + substitute ~0-5% from an
-                      auxiliary vocabulary → near-dups across a controlled
-                      Jaccard spread.
+    Replicas are organized into sub-clusters of ~9 so dup-cluster sizes stay
+    CONSTANT as the corpus grows (otherwise pair counts grow quadratically
+    with the amplification factor, which no real corpus does):
+      * sub-cluster base = heavy mutation of the doc (~40% token churn →
+        J << threshold vs other sub-clusters),
+      * members = light mutations of the sub-cluster base (J ≈ 0.8-0.98),
+      * every 7th member = exact copy of the sub-cluster base.
     """
     out_dir = os.path.join(
-        SCRATCH_ROOT, "amplified", f"{_sf_tag(sf_dir)}_x{replicas}_s{seed}"
+        SCRATCH_ROOT, "amplified", f"{_sf_tag(sf_dir)}_x{replicas}_s{seed}_v2"
     )
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
@@ -218,17 +220,32 @@ def amplified_corpus_path(
     for d in range(n):
         add(int(doc_ids[d]), "base", texts[d], langs[d])
     next_id = 10_000_000
+    sub_size = 9
     for d in range(n):
         toks = texts[d].split(" ")
+        sub_base: list[str] | None = None
+        sub_idx = -1
         for r in range(replicas):
+            s = r // sub_size
+            if s != sub_idx:
+                # new sub-cluster: heavy mutation → unrelated to siblings
+                rng = np.random.default_rng((seed, int(doc_ids[d]), 777_000 + s))
+                sub_base = [
+                    _VOCAB_EXTRA[int(rng.integers(len(_VOCAB_EXTRA)))]
+                    if rng.random() < 0.4
+                    else t
+                    for t in toks
+                ]
+                rng.shuffle(sub_base)
+                sub_idx = s
             rng = np.random.default_rng((seed, int(doc_ids[d]), r))
             if r % 7 == 0:
-                content = texts[d]
+                content = " ".join(sub_base)
             else:
                 del_rate = rng.uniform(0.02, 0.08)
                 sub_rate = rng.uniform(0.0, 0.05)
-                keep = rng.random(len(toks)) >= del_rate
-                out_toks = [t for t, k in zip(toks, keep) if k]
+                keep = rng.random(len(sub_base)) >= del_rate
+                out_toks = [t for t, k in zip(sub_base, keep) if k]
                 subs = rng.random(len(out_toks)) < sub_rate
                 for j in np.flatnonzero(subs):
                     out_toks[j] = _VOCAB_EXTRA[int(rng.integers(len(_VOCAB_EXTRA)))]

@@ -144,7 +144,7 @@ def _banded(
     band = sigs.select_columns(cols).map_batches(
         BandEmitStage(cfg, hot, carry_kmv=carry_kmv), batch_format="pyarrow"
     )
-    emitter = make_pair_emitter(cfg, verify=verify)
+    emitter = make_pair_emitter(cfg, verify=verify, hot=hot)
     pairs = band.groupby("band_key").map_groups(emitter, batch_format="pyarrow")
     if hot:
         delegates = (
@@ -164,12 +164,9 @@ def candidate_pairs_lsh(
 ) -> "ray.data.Dataset":
     """LSH band shuffle → UNIQUE unverified candidate pairs (src, dst)."""
     pairs = _banded(sigs, cfg, hot, carry_kmv=False, verify=False)
-    # dedup multi-band discoveries before the (expensive) verify join
-    return (
-        pairs.select_columns(["src", "dst"])
-        .groupby(["src", "dst"])
-        .map_groups(_dedup_pairs, batch_format="pyarrow")
-    )
+    # pairs are already globally unique thanks to the owner-band rule
+    # (delegate-bucket pairs may rarely duplicate a normal pair; harmless)
+    return pairs.select_columns(["src", "dst"])
 
 
 def verify_pairs(
@@ -331,10 +328,11 @@ def dedup_clusters(
     edges = e_exact.union(e_near.select_columns(["src", "dst"]))
     if with_substring:
         edges = edges.union(substring_edges(sigs, cfg))
-    edges = edges.groupby(["src", "dst"]).map_groups(
-        _dedup_pairs, batch_format="pyarrow"
-    ).materialize()  # edge checkpoint: tiny; avoids re-running the whole DAG
-    # for the count() + clustering consumers
+    # no (src,dst) dedup shuffle needed: the near tier's owner-band rule
+    # makes its pairs unique, and union-find is idempotent under the few
+    # cross-tier duplicates
+    edges = edges.materialize()  # edge checkpoint: tiny; avoids re-running
+    # the whole DAG for the count() + clustering consumers
 
     assigned = cluster_edges(edges, method=cluster_method)
 

@@ -93,9 +93,7 @@ class SignatureStage:
         cols["n_tokens"] = pa.array(np.diff(tok_off).astype(np.int32))
         cols["n_shingles"] = pa.array(np.diff(uniq_off).astype(np.int32))
         cols["simhash"] = pa.array(sim.astype(np.uint64), type=pa.uint64())
-        cols["minhash"] = pa.array(
-            [mh[i].tobytes() for i in range(n)], type=pa.large_binary()
-        )
+        cols["minhash"] = _matrix_binary(mh)
         cols["kmv_theta"] = pa.array(thetas, type=pa.uint64())
         cols["kmv"] = kmv_blobs
         cols["winnow"] = _segments_binary(
@@ -104,32 +102,66 @@ class SignatureStage:
         return pa.table(cols)
 
 
+def _binary_from_segments(flat_bytes: np.ndarray, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy LargeBinaryArray over a flat uint8 buffer + int64 offsets."""
+    n = len(byte_offsets) - 1
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(np.ascontiguousarray(byte_offsets, dtype=np.int64)),
+         pa.py_buffer(np.ascontiguousarray(flat_bytes, dtype=np.uint8))],
+    )
+
+
 def _kmv_blobs(
     flat_sorted: np.ndarray, offsets: np.ndarray, k: int
 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """Per-row (theta, bottom-k hashes) from sorted-distinct segments."""
+    """Per-row (theta, bottom-k hashes) from sorted-distinct segments —
+    fully vectorized (single gather + one Arrow buffer, no per-row python)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     lens = np.diff(offsets)
+    # drop the illegal 0 sentinel (sorted-first per row;
+    # HashOperations.java:305)
+    starts = offsets[:-1].copy()
+    has_zero = (lens > 0) & (flat_sorted[np.minimum(starts, len(flat_sorted) - 1)] == U64(0)) if len(flat_sorted) else np.zeros(n, dtype=bool)
+    starts = starts + has_zero
+    eff_lens = lens - has_zero
+    keep_lens = np.minimum(eff_lens, k)
     thetas = np.full(n, MAX_THETA, dtype=np.uint64)
-    blobs = []
-    for i in range(n):
-        seg = flat_sorted[offsets[i] : offsets[i + 1]]
-        if len(seg) and seg[0] == U64(0):
-            seg = seg[1:]  # 0 is an illegal sentinel (HashOperations.java:305)
-        if len(seg) > k:
-            thetas[i] = seg[k]
-            seg = seg[:k]
-        blobs.append(seg.astype("<u8").tobytes())
-    return pa.array(blobs, type=pa.large_binary()), thetas, lens
+    over = eff_lens > k
+    if over.any():
+        thetas[over] = flat_sorted[starts[over] + k]
+    # gather the kept prefix of each segment
+    out_off = np.concatenate([[0], np.cumsum(keep_lens)]).astype(np.int64)
+    idx = np.repeat(starts, keep_lens) + _intra(keep_lens)
+    kept = flat_sorted[idx].astype("<u8")
+    blobs = _binary_from_segments(kept.view(np.uint8), out_off * 8)
+    return blobs, thetas, lens
+
+
+def _intra(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
 
 
 def _segments_binary(flat: np.ndarray, offsets: np.ndarray, width: int) -> pa.Array:
     """Pack per-row u64 segments (width words per element) as binary cells."""
-    out = []
+    offsets = np.asarray(offsets, dtype=np.int64)
     flat = np.ascontiguousarray(flat, dtype="<u8")
-    for i in range(len(offsets) - 1):
-        out.append(flat[offsets[i] * width : offsets[i + 1] * width].tobytes())
-    return pa.array(out, type=pa.large_binary())
+    return _binary_from_segments(flat.view(np.uint8), offsets * 8 * width)
+
+
+def _matrix_binary(m: np.ndarray) -> pa.Array:
+    """(n, w) uint64 matrix → n fixed-size binary cells, one buffer copy."""
+    n, w = m.shape
+    offsets = np.arange(n + 1, dtype=np.int64) * (8 * w)
+    return _binary_from_segments(
+        np.ascontiguousarray(m, dtype="<u8").view(np.uint8).reshape(-1), offsets
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -184,14 +216,22 @@ class BandEmitStage:
                 np.full(n, b, dtype=np.uint64), bh[:, b]
             )
         valid = nsh > 0  # zero-shingle rows never band (sentinel sigs collide)
+        nv = int(valid.sum())
         rep_ids = np.repeat(ids[valid], cfg.bands)
         orig_keys = keys[valid].reshape(-1)
         flat_keys, salted = self._salt(orig_keys, rep_ids)
+        band_idx = np.tile(np.arange(cfg.bands, dtype=np.uint8), nv)
+        # every row carries the doc's full band-hash vector (bands×8 B) so
+        # the pair stage can assign each pair to its FIRST colliding band —
+        # exactly one bucket emits any given pair (no dedup shuffle needed)
+        bh_rows = np.repeat(bh[valid], cfg.bands, axis=0)
         cols = {
             "band_key": pa.array(flat_keys, type=pa.uint64()),
             "orig_key": pa.array(orig_keys, type=pa.uint64()),
             "salted": pa.array(salted, type=pa.bool_()),
+            "band_idx": pa.array(band_idx, type=pa.uint8()),
             "id": pa.array(rep_ids, type=pa.int64()),
+            "bandhashes": _matrix_binary(bh_rows),
         }
         if self.carry_kmv:
             reps = np.repeat(np.flatnonzero(valid), cfg.bands)
@@ -228,7 +268,9 @@ def _empty_band_table() -> pa.Table:
             "band_key": pa.array([], type=pa.uint64()),
             "orig_key": pa.array([], type=pa.uint64()),
             "salted": pa.array([], type=pa.bool_()),
+            "band_idx": pa.array([], type=pa.uint8()),
             "id": pa.array([], type=pa.int64()),
+            "bandhashes": pa.array([], type=pa.large_binary()),
         }
     )
 
@@ -244,7 +286,11 @@ def delegate_reducer(group: pa.Table) -> pa.Table:
         "band_key": group.column("orig_key").slice(i, 1),
         "orig_key": group.column("orig_key").slice(i, 1),
         "salted": pa.array([False]),
+        # sentinel band_idx: delegate buckets bypass the owner-band rule
+        # (their raison d'être is cross-salt pairs the rule would drop)
+        "band_idx": pa.array(np.array([255], dtype=np.uint8)),
         "id": group.column("id").slice(i, 1),
+        "bandhashes": group.column("bandhashes").slice(i, 1),
     }
     for extra in ("kmv_theta", "kmv"):
         if extra in group.column_names:
@@ -257,9 +303,13 @@ def delegate_reducer(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def make_pair_emitter(cfg: SigConfig, verify: bool = True):
+def make_pair_emitter(
+    cfg: SigConfig, verify: bool = True, hot: dict[int, int] | None = None
+):
     """map_groups fn over a band bucket → pairs (KMV-verified in place when
     ``verify`` and the bucket rows carry sketches; raw candidates otherwise).
+    ``hot`` must be the same hot-key dict given to BandEmitStage so the
+    owner-band rule accounts for salt sub-bucket splits.
 
     Bucket policy (skew ladder):
       size ≤ max_bucket_size : all pairs (vectorized triu).
@@ -288,34 +338,98 @@ def make_pair_emitter(cfg: SigConfig, verify: bool = True):
             ia = np.zeros(limit - 1, dtype=np.int64)
             ib = np.arange(1, limit)
             capped = True
+        # owner-band rule: a pair belongs to the FIRST band where the two
+        # docs are actually co-bucketed (band hashes agree AND, for hot
+        # salted keys, both land in the same salt sub-bucket); only that
+        # bucket emits it, so pairs are globally unique with no dedup
+        # shuffle.
+        my_band = int(group.column("band_idx")[0].as_py())
+        if my_band == 255:  # delegate bucket: emit everything (tiny)
+            src, dst = ids[ia], ids[ib]
+            return _finish_pairs(
+                cfg, verify, group, first_idx, ia, ib, src, dst, capped
+            )
+        bh_blobs = group.column("bandhashes").to_pylist()
+        bh = np.frombuffer(
+            b"".join(bh_blobs[i] for i in first_idx), dtype=np.uint64
+        ).reshape(n, -1)
+        co = bh[ia] == bh[ib]  # (npairs, bands)
+        if hot:
+            # where hashes agree the two docs share the band key, so hot
+            # status is symmetric; a hot band only co-buckets equal salts
+            hotm = _hot_matrix(cfg, hot, bh)
+            salts = _same_salt_matrix(cfg, hot, bh, ids)
+            co &= (~hotm[ia]) | (salts[ia] == salts[ib])
+        owner = np.argmax(co, axis=1)  # first co-bucketed band
+        # rows where co has no True can't occur for this bucket's band, but
+        # argmax would return 0 — guard with the actual co value
+        own_mask = (owner == my_band) & co[np.arange(len(ia)), owner]
+        ia, ib = ia[own_mask], ib[own_mask]
+        if len(ia) == 0:
+            return _empty_pair_table(verify)
+        capped = capped and bool(len(ia))
         src, dst = ids[ia], ids[ib]
-        if not verify:
-            return pa.table(
-                {
-                    "src": pa.array(src, type=pa.int64()),
-                    "dst": pa.array(dst, type=pa.int64()),
-                    "capped": pa.array(np.full(len(src), capped)),
-                }
-            )
-        thetas = group.column("kmv_theta").to_numpy()[first_idx]
-        blobs = group.column("kmv").to_pylist()
-        sketches = [np.frombuffer(blobs[i], dtype="<u8") for i in first_idx]
-        jac = np.empty(len(src), dtype=np.float64)
-        for p in range(len(src)):
-            jac[p] = _kmv_jaccard_fast(
-                thetas[ia[p]], sketches[ia[p]], thetas[ib[p]], sketches[ib[p]], cfg.kmv_k
-            )
-        keep = jac >= cfg.jaccard_threshold
-        return pa.table(
-            {
-                "src": pa.array(src[keep], type=pa.int64()),
-                "dst": pa.array(dst[keep], type=pa.int64()),
-                "jaccard": pa.array(jac[keep]),
-                "capped": pa.array(np.full(int(keep.sum()), capped)),
-            }
-        )
+        return _finish_pairs(cfg, verify, group, first_idx, ia, ib, src, dst, capped)
 
     return emit
+
+
+def _finish_pairs(cfg, verify, group, first_idx, ia, ib, src, dst, capped):
+    if not verify:
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "capped": pa.array(np.full(len(src), capped)),
+            }
+        )
+    thetas = group.column("kmv_theta").to_numpy()[first_idx]
+    blobs = group.column("kmv").to_pylist()
+    sketches = [np.frombuffer(blobs[i], dtype="<u8") for i in first_idx]
+    jac = np.empty(len(src), dtype=np.float64)
+    for p in range(len(src)):
+        jac[p] = _kmv_jaccard_fast(
+            thetas[ia[p]], sketches[ia[p]], thetas[ib[p]], sketches[ib[p]], cfg.kmv_k
+        )
+    keep = jac >= cfg.jaccard_threshold
+    return pa.table(
+        {
+            "src": pa.array(src[keep], type=pa.int64()),
+            "dst": pa.array(dst[keep], type=pa.int64()),
+            "jaccard": pa.array(jac[keep]),
+            "capped": pa.array(np.full(int(keep.sum()), capped)),
+        }
+    )
+
+
+def _hot_matrix(cfg: SigConfig, hot: dict[int, int], bh: np.ndarray) -> np.ndarray:
+    """(n_docs, bands) bool: is the doc's band key hot in that band."""
+    n, bands = bh.shape
+    out = np.zeros((n, bands), dtype=bool)
+    hot_arr = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
+    hot_arr = np.sort(hot_arr)
+    for b in range(bands):
+        keys = make_band_key(np.full(n, b, dtype=np.uint64), bh[:, b])
+        idx = np.clip(np.searchsorted(hot_arr, keys), 0, len(hot_arr) - 1)
+        out[:, b] = hot_arr[idx] == keys
+    return out
+
+
+def _same_salt_matrix(
+    cfg: SigConfig, hot: dict[int, int], bh: np.ndarray, ids: np.ndarray
+) -> np.ndarray:
+    """(n_docs, bands) salt slot per doc/band for hot keys (0 elsewhere),
+    compared pairwise by the caller. Returns a matrix usable as
+    salts[ia] == salts[ib] via broadcasting — we return the salt slots."""
+    n, bands = bh.shape
+    salts = np.zeros((n, bands), dtype=np.int64)
+    for b in range(bands):
+        keys = make_band_key(np.full(n, b, dtype=np.uint64), bh[:, b])
+        for i in range(n):
+            ns = hot.get(int(keys[i]))
+            if ns:
+                salts[i, b] = 1 + int(splitmix64(np.array([ids[i]], dtype=np.uint64))[0] % np.uint64(ns))
+    return salts
 
 
 def _empty_pair_table(verify: bool = False) -> pa.Table:
