@@ -57,16 +57,27 @@ def _sha256_hex(content: pa.Array) -> pa.Array:
 class SignatureStage:
     """content → signatures. Stateless; usable as a plain function in
     map_batches (class form keeps the config construction out of the
-    per-batch path, actor-pool style)."""
+    per-batch path, actor-pool style).
 
-    def __init__(self, cfg: SigConfig):
+    ``normalizer``: optional pluggable content normalizer
+    (pa.Array → pa.Array), the engine's user-extension point analogous to
+    the reference's ArrayOfItemsSerDe (common/ArrayOfItemsSerDe.java:30-50)
+    — e.g. per-language comment stripping or case folding. It must be a
+    top-level callable (cloudpickled to workers)."""
+
+    def __init__(self, cfg: SigConfig, normalizer=None):
         self.cfg = cfg
+        self.normalizer = normalizer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         content = batch.column("content")
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
+        if self.normalizer is not None:
+            content = self.normalizer(content)
+        elif cfg.lowercase:
+            content = pc.utf8_lower(content)
 
         flat_tok, tok_off = tokenize_hashes(content, seed=cfg.seed)
         sh, sh_off = shingle_hashes(flat_tok, tok_off, cfg.shingle_k, cfg.seed)
