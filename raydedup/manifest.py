@@ -151,6 +151,54 @@ def resumable_signatures(
     return ray.data.read_parquet(shard_files)
 
 
+def run_dedup_job(
+    input_files: list[str],
+    ckpt_root: str,
+    cfg: SigConfig,
+    *,
+    with_substring: bool = True,
+    with_salting: bool = True,
+) -> str:
+    """End-to-end resumable dedup job: shard-checkpointed signatures →
+    tiers → union-find → partitioned cluster output + manifests.
+
+    Re-running after a crash reuses every completed signature shard and
+    rewrites only the (cheap, edge-level) downstream stages — the unit of
+    replay is one input file (north_rule idempotent-partition semantics).
+    Returns the cluster output directory.
+    """
+    from .pipeline import detect_hot_band_keys, exact_edges, near_edges, substring_edges
+    from .unionfind import cluster_edges
+
+    sigs = resumable_signatures(input_files, ckpt_root, cfg).materialize()
+    hot = detect_hot_band_keys(sigs, cfg) if with_salting else None
+    edges = exact_edges(sigs).union(
+        near_edges(sigs, cfg, hot).select_columns(["src", "dst"])
+    )
+    if with_substring:
+        edges = edges.union(substring_edges(sigs, cfg))
+    edges = edges.materialize()
+    assigned = cluster_edges(edges, method="auto")
+
+    def defaults(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("id"), "cluster_id": batch.column("id")})
+
+    full = (
+        sigs.select_columns(["id"])
+        .map_batches(defaults, batch_format="pyarrow")
+        .union(assigned)
+        .groupby("id")
+        .min("cluster_id")
+        .map_batches(
+            lambda b: pa.table(
+                {"id": b.column("id"), "cluster_id": b.column("min(cluster_id)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return write_clusters_checkpoint(full, ckpt_root, cfg)
+
+
 def write_clusters_checkpoint(
     assignments: "ray.data.Dataset", ckpt_root: str, cfg: SigConfig
 ) -> str:

@@ -68,6 +68,32 @@ def test_resume_skips_done_shards(ray_session, tmp_path):
             assert os.path.getmtime(f) == m
 
 
+def test_run_dedup_job_end_to_end_resume(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from raydedup.manifest import run_dedup_job
+
+    inp = str(tmp_path / "in")
+    ck = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    files = _make_shards(inp, n_shards=2, rows=30)
+    out_dir = run_dedup_job(files, ck, CFG, with_substring=False)
+    df1 = ray.data.read_parquet(out_dir).to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(df1) == 60
+    # resume run produces identical assignments without redoing signatures
+    ckpt = StageCheckpoint(ck, "signatures", CFG)
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(ckpt.dir, "shard=*/part-0.parquet"))
+    }
+    out_dir2 = run_dedup_job(files, ck, CFG, with_substring=False)
+    df2 = ray.data.read_parquet(out_dir2).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df1, df2)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m
+
+
 def test_fingerprint_isolates_configs(ray_session, tmp_path):
     inp = str(tmp_path / "in")
     ck = str(tmp_path / "ckpt")
