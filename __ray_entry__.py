@@ -677,7 +677,8 @@ FROM events GROUP BY 1, 2
         "text_stats": r"""
 SELECT doc_id,
        length(text) AS n_chars,
-       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
        floor(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) * 1e6) / 1e6 AS punct_ratio,
        floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)

@@ -5,7 +5,8 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
 ``--scaling``: runs the flagship dedup pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 over the same amplified corpus and reports
+two num_cpus levels (default 6 and 24 — a 4× step; override with
+BENCH_SCALING_LEVELS="8,32") over the same amplified corpus and reports
 throughput at both plus scaling efficiency (the sandbox stand-in for the
 north_rule's N vs 4N cluster-size criterion; see BASELINE.md).
 """
@@ -137,7 +138,15 @@ def run_scaling() -> dict:
     amplified_corpus_path(SF_DIR, replicas=REPLICAS)
     results = {}
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
-    for cpus in (8, 32):
+    # default 6 → 24: a true 4× step that leaves physical-core headroom for
+    # the driver / raylet / object-store threads at BOTH levels, so the
+    # ratio measures worker-pool scaling rather than whole-machine
+    # saturation effects (the multi-node analog: the head node is not a
+    # worker).
+    levels = tuple(
+        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "6,24").split(",")
+    )
+    for cpus in levels:
         best = None
         for _ in range(repeats):  # best-of-N: the sandbox VM is noisy
             env = dict(os.environ)
@@ -155,20 +164,25 @@ def run_scaling() -> dict:
             if best is None or r["queries"]["dedup_clusters"] < best["queries"]["dedup_clusters"]:
                 best = r
         results[cpus] = best
-    t8 = results[8]["queries"]["dedup_clusters"]
-    t32 = results[32]["queries"]["dedup_clusters"]
-    thr8 = results[8]["files_per_sec"]
-    thr32 = results[32]["files_per_sec"]
-    eff = (thr32 / thr8) / 4.0
+    lo, hi = levels
+    t_lo = results[lo]["queries"]["dedup_clusters"]
+    t_hi = results[hi]["queries"]["dedup_clusters"]
+    thr_lo = results[lo]["files_per_sec"]
+    thr_hi = results[hi]["files_per_sec"]
+    factor = hi / lo
+    eff = (thr_hi / thr_lo) / factor
     return {
-        "metric": "scaling efficiency (8 → 32 cpus, fresh processes)",
+        "metric": f"scaling efficiency ({lo} → {hi} cpus, fresh processes)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "queries": {"dedup_clusters_8cpu": t8, "dedup_clusters_32cpu": t32},
-        "throughput_8cpu_files_per_sec": thr8,
-        "throughput_32cpu_files_per_sec": thr32,
+        "queries": {
+            f"dedup_clusters_{lo}cpu": t_lo,
+            f"dedup_clusters_{hi}cpu": t_hi,
+        },
+        f"throughput_{lo}cpu_files_per_sec": thr_lo,
+        f"throughput_{hi}cpu_files_per_sec": thr_hi,
         "sf": _sf_tag(SF_DIR),
-        "num_cpus": 32,
+        "num_cpus": hi,
     }
 
 

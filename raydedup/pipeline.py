@@ -102,15 +102,26 @@ class BandKeyHHPartial:
 
 
 def detect_hot_band_keys(sigs: "ray.data.Dataset", cfg: SigConfig) -> dict[int, int]:
-    """Merged heavy-hitter pass → {band_key: n_salt_subbuckets}."""
+    """Merged heavy-hitter pass → {band_key: n_salt_subbuckets}.
+
+    Hot selection uses the LOWER-bound count (NO_FALSE_POSITIVES): a missed
+    borderline-hot key only means an unsalted large bucket (handled by the
+    bucket-ceiling ladder), while false positives would salt thousands of
+    ordinary buckets and inflate the delegate round (observed with the
+    upper-bound mode: MG offsets accumulated across block partials)."""
+    from .sketches.freq import NO_FALSE_POSITIVES
+
     parts = sigs.map_batches(
-        BandKeyHHPartial(cfg), batch_format="pyarrow", batch_size=4096
+        BandKeyHHPartial(cfg, map_size=1 << 15), batch_format="pyarrow",
+        batch_size=8192,
     ).take_all()
-    merged = FrequentKeysSketch(4096)
+    merged = FrequentKeysSketch(1 << 15)
     for row in parts:
         merged.merge(FrequentKeysSketch.deserialize(row["sketch"]))
     hot: dict[int, int] = {}
-    for key, est in merged.get_frequent_items(cfg.max_bucket_size):
+    for key, est in merged.get_frequent_items(
+        cfg.max_bucket_size, NO_FALSE_POSITIVES
+    ):
         n_salt = min(cfg.salt_factor, max(2, math.ceil(est / cfg.max_bucket_size)))
         hot[int(np.int64(key).view(np.uint64))] = n_salt
     return hot
@@ -137,23 +148,47 @@ def _banded(
     hot: dict[int, int] | None,
     carry_kmv: bool,
     verify: bool,
+    carry_bandhashes: bool = True,
 ) -> "ray.data.Dataset":
     cols = ["id", "minhash", "n_shingles"]
     if carry_kmv:
         cols += ["kmv_theta", "kmv"]
     band = sigs.select_columns(cols).map_batches(
-        BandEmitStage(cfg, hot, carry_kmv=carry_kmv), batch_format="pyarrow"
+        BandEmitStage(cfg, hot, carry_kmv=carry_kmv, carry_bandhashes=carry_bandhashes),
+        batch_format="pyarrow",
     )
-    emitter = make_pair_emitter(cfg, verify=verify, hot=hot)
-    pairs = band.groupby("band_key").map_groups(emitter, batch_format="pyarrow")
+    from .hashing import splitmix64 as _smix
+    from .stages import make_block_pair_emitter
+
+    # Hash-partition buckets into ~2 groups per CPU: the per-GROUP python
+    # call overhead of groupby().map_groups is paid only nparts times; each
+    # group processes ALL its buckets vectorized (make_block_pair_emitter).
+    # (Measured: per-bucket map_groups on millions of mostly-singleton
+    # buckets costs tens of seconds in pure python dispatch.)
+    nparts = 2 * join_partitions(64)
+    block_emitter = make_block_pair_emitter(cfg, verify=verify, hot=hot)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            _smix(batch.column("band_key").to_numpy()) % np.uint64(nparts)
+        ).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    parted = band.map_batches(add_part, batch_format="pyarrow")
+    pairs = parted.groupby("part").map_groups(
+        block_emitter, batch_format="pyarrow"
+    )
     if hot:
+        # delegate round: min-id per salted sub-bucket regroups under the
+        # hot key (tiny after the lower-bound hot selection)
         delegates = (
             band.filter(expr="salted == True")
             .groupby("band_key")
             .map_groups(delegate_reducer, batch_format="pyarrow")
         )
-        d_pairs = delegates.groupby("band_key").map_groups(
-            emitter, batch_format="pyarrow"
+        d_parted = delegates.map_batches(add_part, batch_format="pyarrow")
+        d_pairs = d_parted.groupby("part").map_groups(
+            block_emitter, batch_format="pyarrow"
         )
         pairs = pairs.union(d_pairs)
     return pairs
@@ -214,16 +249,132 @@ def verify_pairs(
     ).select_columns(["src", "dst", "jaccard"])
 
 
+class _BroadcastVerify:
+    """Distributed pair verification against a ray.put sketch table.
+
+    The broadcast object is read zero-copy by every task (ray.put once —
+    the 'broadcast small side instead of a shuffle join' pattern)."""
+
+    def __init__(self, sketches_ref, cfg: SigConfig):
+        table = ray.get(sketches_ref) if isinstance(sketches_ref, ray.ObjectRef) else sketches_ref
+        self.ids, self.thetas, self.off, self.flat = table
+        self.cfg = cfg
+
+    def _sk(self, i: int) -> np.ndarray:
+        return self.flat[self.off[i] : self.off[i + 1]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .stages import _kmv_jaccard_fast
+
+        src = batch.column("src").to_numpy()
+        dst = batch.column("dst").to_numpy()
+        ia = np.searchsorted(self.ids, src)
+        ib = np.searchsorted(self.ids, dst)
+        jac = np.empty(len(src), dtype=np.float64)
+        for p in range(len(src)):
+            jac[p] = _kmv_jaccard_fast(
+                self.thetas[ia[p]], self._sk(ia[p]),
+                self.thetas[ib[p]], self._sk(ib[p]), self.cfg.kmv_k,
+            )
+        keep = jac >= self.cfg.jaccard_threshold
+        return pa.table(
+            {
+                "src": pa.array(src[keep]),
+                "dst": pa.array(dst[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+
+def _near_edges_broadcast(
+    sigs: "ray.data.Dataset", cfg: SigConfig, hot: dict[int, int] | None
+) -> "ray.data.Dataset":
+    """Minimal-shuffle near tier: ids-only band rows (~26 B/row), pair
+    dedup on the driver (candidate pairs are small relative to the corpus),
+    candidate sketches broadcast once, verification distributed.
+
+    Right when candidate volume << corpus (typical dup rates); for extreme
+    candidate volumes use mode='bucket' or 'join'."""
+    raw = _banded(
+        sigs, cfg, hot, carry_kmv=False, verify=False, carry_bandhashes=False
+    ).select_columns(["src", "dst"]).materialize()
+    tables = [t for t in ray.get(raw.to_arrow_refs()) if t.num_rows]
+    pair_tbl = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    if pair_tbl.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    both = np.stack(
+        [pair_tbl.column("src").to_numpy(), pair_tbl.column("dst").to_numpy()], axis=1
+    )
+    uniq = np.unique(both, axis=0)
+    cand_ids = np.unique(uniq.reshape(-1))
+    ids_ref = ray.put(cand_ids)
+
+    class FilterSketches:
+        def __init__(self, ids_ref):
+            self.cand = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").to_numpy()
+            pos = np.searchsorted(self.cand, ids)
+            pos = np.clip(pos, 0, len(self.cand) - 1)
+            keep = self.cand[pos] == ids
+            return batch.filter(pa.array(keep))
+
+    cand_sigs = (
+        sigs.select_columns(["id", "kmv_theta", "kmv"])
+        .map_batches(FilterSketches, fn_constructor_args=(ids_ref,),
+                     batch_format="pyarrow", concurrency=(1, 8))
+        .to_arrow_refs()
+    )
+    tables = [ray.get(r) for r in cand_sigs]
+    cat = pa.concat_tables([t for t in tables if t.num_rows])
+    order = np.argsort(cat.column("id").to_numpy())
+    sk_ids = cat.column("id").to_numpy()[order]
+    sk_thetas = cat.column("kmv_theta").to_numpy()[order]
+    blobs = cat.column("kmv").to_pylist()
+    blobs = [blobs[i] for i in order]
+    lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.frombuffer(b"".join(blobs), dtype="<u8").astype(np.uint64)
+    sketches_ref = ray.put((sk_ids, sk_thetas, off, flat))
+
+    pairs_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1])})
+    )
+    return pairs_ds.map_batches(
+        _BroadcastVerify,
+        fn_constructor_args=(sketches_ref, cfg),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+
+
 def near_edges(
     sigs: "ray.data.Dataset",
     cfg: SigConfig,
     hot: dict[int, int] | None = None,
     num_partitions: int | None = None,
-    mode: str = "bucket",
+    mode: str = "broadcast",
 ) -> "ray.data.Dataset":
-    """Verified near-dup edges. mode='bucket' (default): single shuffle with
-    in-bucket verification; mode='join': ids-only shuffle + dedup + hash-join
-    verify (see BandEmitStage docstring for the trade-off)."""
+    """Verified near-dup edges. Modes (all same verification semantics):
+      'broadcast' (default): ids-only band shuffle + driver pair dedup +
+        broadcast-sketch distributed verify — minimal bytes through the
+        object store; right when candidates << corpus.
+      'bucket': one shuffle carrying sketches, in-bucket verify + owner-band
+        uniqueness — no driver involvement, any candidate volume.
+      'join': ids-only shuffle + hash-join verify — decouples shuffle bytes
+        from sketch size at extreme scale."""
+    if mode == "broadcast":
+        return _near_edges_broadcast(sigs, cfg, hot)
     if mode == "bucket":
         edges = _banded(sigs, cfg, hot, carry_kmv=True, verify=True)
         return edges.select_columns(["src", "dst", "jaccard"])

@@ -202,10 +202,12 @@ class BandEmitStage:
         cfg: SigConfig,
         hot_keys: dict[int, int] | None = None,
         carry_kmv: bool = True,
+        carry_bandhashes: bool = True,
     ):
         self.cfg = cfg
         self.hot = hot_keys or {}
         self.carry_kmv = carry_kmv
+        self.carry_bandhashes = carry_bandhashes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -232,18 +234,21 @@ class BandEmitStage:
         orig_keys = keys[valid].reshape(-1)
         flat_keys, salted = self._salt(orig_keys, rep_ids)
         band_idx = np.tile(np.arange(cfg.bands, dtype=np.uint8), nv)
-        # every row carries the doc's full band-hash vector (bands×8 B) so
-        # the pair stage can assign each pair to its FIRST colliding band —
-        # exactly one bucket emits any given pair (no dedup shuffle needed)
-        bh_rows = np.repeat(bh[valid], cfg.bands, axis=0)
+        # when carry_bandhashes: every row carries the doc's band-hash
+        # vector (bands×8 B) so the pair stage can assign each pair to its
+        # FIRST co-bucketed band — exactly one bucket emits any given pair
+        # (no dedup shuffle needed). Omitted in broadcast mode, where the
+        # (small) pair set dedups on the driver instead.
         cols = {
             "band_key": pa.array(flat_keys, type=pa.uint64()),
             "orig_key": pa.array(orig_keys, type=pa.uint64()),
             "salted": pa.array(salted, type=pa.bool_()),
             "band_idx": pa.array(band_idx, type=pa.uint8()),
             "id": pa.array(rep_ids, type=pa.int64()),
-            "bandhashes": _matrix_binary(bh_rows),
         }
+        if self.carry_bandhashes:
+            bh_rows = np.repeat(bh[valid], cfg.bands, axis=0)
+            cols["bandhashes"] = _matrix_binary(bh_rows)
         if self.carry_kmv:
             reps = np.repeat(np.flatnonzero(valid), cfg.bands)
             take = pa.array(reps)
@@ -301,8 +306,9 @@ def delegate_reducer(group: pa.Table) -> pa.Table:
         # (their raison d'être is cross-salt pairs the rule would drop)
         "band_idx": pa.array(np.array([255], dtype=np.uint8)),
         "id": group.column("id").slice(i, 1),
-        "bandhashes": group.column("bandhashes").slice(i, 1),
     }
+    if "bandhashes" in group.column_names:
+        cols["bandhashes"] = group.column("bandhashes").slice(i, 1)
     for extra in ("kmv_theta", "kmv"):
         if extra in group.column_names:
             cols[extra] = group.column(extra).slice(i, 1)
@@ -320,7 +326,8 @@ def make_pair_emitter(
     """map_groups fn over a band bucket → pairs (KMV-verified in place when
     ``verify`` and the bucket rows carry sketches; raw candidates otherwise).
     ``hot`` must be the same hot-key dict given to BandEmitStage so the
-    owner-band rule accounts for salt sub-bucket splits.
+    owner-band rule accounts for salt sub-bucket splits (pre-sorted into
+    arrays once per worker, vectorized lookups per bucket).
 
     Bucket policy (skew ladder):
       size ≤ max_bucket_size : all pairs (vectorized triu).
@@ -333,6 +340,14 @@ def make_pair_emitter(
     (pipeline.verify_pairs), so multi-band duplicates cost nothing here but
     a dedup groupby on 16-byte rows.
     """
+
+    if hot:
+        _ha = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
+        _hs = np.fromiter(hot.values(), dtype=np.int64, count=len(hot))
+        _order = np.argsort(_ha)
+        hot_arr, hot_salts = _ha[_order], _hs[_order]
+    else:
+        hot_arr = hot_salts = None
 
     def emit(group: pa.Table) -> pa.Table:
         raw_ids = group.column("id").to_numpy()
@@ -355,7 +370,9 @@ def make_pair_emitter(
         # bucket emits it, so pairs are globally unique with no dedup
         # shuffle.
         my_band = int(group.column("band_idx")[0].as_py())
-        if my_band == 255:  # delegate bucket: emit everything (tiny)
+        if my_band == 255 or "bandhashes" not in group.column_names:
+            # delegate bucket (tiny) or broadcast mode (driver dedups):
+            # emit everything
             src, dst = ids[ia], ids[ib]
             return _finish_pairs(
                 cfg, verify, group, first_idx, ia, ib, src, dst, capped
@@ -365,11 +382,10 @@ def make_pair_emitter(
             b"".join(bh_blobs[i] for i in first_idx), dtype=np.uint64
         ).reshape(n, -1)
         co = bh[ia] == bh[ib]  # (npairs, bands)
-        if hot:
+        if hot_arr is not None:
             # where hashes agree the two docs share the band key, so hot
             # status is symmetric; a hot band only co-buckets equal salts
-            hotm = _hot_matrix(cfg, hot, bh)
-            salts = _same_salt_matrix(cfg, hot, bh, ids)
+            hotm, salts = _salt_slots(cfg, hot_arr, hot_salts, bh, ids)
             co &= (~hotm[ia]) | (salts[ia] == salts[ib])
         owner = np.argmax(co, axis=1)  # first co-bucketed band
         # rows where co has no True can't occur for this bucket's band, but
@@ -383,6 +399,49 @@ def make_pair_emitter(
         return _finish_pairs(cfg, verify, group, first_idx, ia, ib, src, dst, capped)
 
     return emit
+
+
+def make_block_pair_emitter(
+    cfg: SigConfig, verify: bool = True, hot: dict[int, int] | None = None
+):
+    """Block-level bucket processor for hash-partitioned, key-sorted band
+    rows (``repartition(keys=["band_key"], sort=True)`` + ``map_batches``
+    with whole-block batches).
+
+    Processes EVERY bucket in the block in one python call — singleton
+    buckets (the vast majority) are skipped wholesale with one vectorized
+    run-length pass, unlike ``groupby().map_groups`` which pays a python
+    call per group (measured: millions of calls → tens of seconds).
+    Semantics identical to make_pair_emitter.
+    """
+    emit_one = make_pair_emitter(cfg, verify=verify, hot=hot)
+
+    def emit_block(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return _empty_pair_table(verify)
+        keys = batch.column("band_key").to_numpy()
+        order = np.argsort(keys, kind="stable")
+        if not np.array_equal(order, np.arange(n)):
+            batch = batch.take(pa.array(order))
+            keys = keys[order]
+        # runs of equal keys
+        boundaries = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ends = np.concatenate([boundaries[1:], [n]])
+        sizes = ends - boundaries
+        multi = sizes >= 2
+        if not multi.any():
+            return _empty_pair_table(verify)
+        out = []
+        for s, e in zip(boundaries[multi], ends[multi]):
+            t = emit_one(batch.slice(s, e - s))
+            if t.num_rows:
+                out.append(t)
+        if not out:
+            return _empty_pair_table(verify)
+        return pa.concat_tables(out)
+
+    return emit_block
 
 
 def _finish_pairs(cfg, verify, group, first_idx, ia, ib, src, dst, capped):
@@ -413,34 +472,31 @@ def _finish_pairs(cfg, verify, group, first_idx, ia, ib, src, dst, capped):
     )
 
 
-def _hot_matrix(cfg: SigConfig, hot: dict[int, int], bh: np.ndarray) -> np.ndarray:
-    """(n_docs, bands) bool: is the doc's band key hot in that band."""
+def _salt_slots(
+    cfg: SigConfig,
+    hot_arr: np.ndarray,
+    hot_salts: np.ndarray,
+    bh: np.ndarray,
+    ids: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-(doc, band) hot flags + salt slots.
+
+    ``hot_arr``: sorted hot band keys; ``hot_salts``: matching n_salt values.
+    Returns (hot_mask (n, bands) bool, salts (n, bands) int64; 0 when cold).
+    """
     n, bands = bh.shape
-    out = np.zeros((n, bands), dtype=bool)
-    hot_arr = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
-    hot_arr = np.sort(hot_arr)
+    hot_mask = np.zeros((n, bands), dtype=bool)
+    salts = np.zeros((n, bands), dtype=np.int64)
+    id_mix = splitmix64(ids.astype(np.uint64))
     for b in range(bands):
         keys = make_band_key(np.full(n, b, dtype=np.uint64), bh[:, b])
         idx = np.clip(np.searchsorted(hot_arr, keys), 0, len(hot_arr) - 1)
-        out[:, b] = hot_arr[idx] == keys
-    return out
-
-
-def _same_salt_matrix(
-    cfg: SigConfig, hot: dict[int, int], bh: np.ndarray, ids: np.ndarray
-) -> np.ndarray:
-    """(n_docs, bands) salt slot per doc/band for hot keys (0 elsewhere),
-    compared pairwise by the caller. Returns a matrix usable as
-    salts[ia] == salts[ib] via broadcasting — we return the salt slots."""
-    n, bands = bh.shape
-    salts = np.zeros((n, bands), dtype=np.int64)
-    for b in range(bands):
-        keys = make_band_key(np.full(n, b, dtype=np.uint64), bh[:, b])
-        for i in range(n):
-            ns = hot.get(int(keys[i]))
-            if ns:
-                salts[i, b] = 1 + int(splitmix64(np.array([ids[i]], dtype=np.uint64))[0] % np.uint64(ns))
-    return salts
+        is_hot = hot_arr[idx] == keys
+        hot_mask[:, b] = is_hot
+        if is_hot.any():
+            ns = hot_salts[idx[is_hot]].astype(np.uint64)
+            salts[is_hot, b] = 1 + (id_mix[is_hot] % ns).astype(np.int64)
+    return hot_mask, salts
 
 
 def _empty_pair_table(verify: bool = False) -> pa.Table:

@@ -33,8 +33,12 @@ def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         text = text.combine_chunks()
     text = pc.fill_null(text, "")
     n_chars = pc.utf8_length(text)
-    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-    n_tokens = pc.list_value_length(toks)
+    trimmed = pc.utf8_trim_whitespace(text)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    # split('') yields [''] — empty/whitespace-only rows have zero tokens
+    n_tokens = pc.if_else(
+        pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), pc.list_value_length(toks)
+    )
     # counts via regex extraction
     punct = pc.count_substring_regex(text, r"[^\w\s]")
     upper = pc.count_substring_regex(text, r"[A-Z]")
