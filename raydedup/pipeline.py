@@ -363,14 +363,15 @@ def near_edges(
     cfg: SigConfig,
     hot: dict[int, int] | None = None,
     num_partitions: int | None = None,
-    mode: str = "broadcast",
+    mode: str = "bucket",
 ) -> "ray.data.Dataset":
     """Verified near-dup edges. Modes (all same verification semantics):
-      'broadcast' (default): ids-only band shuffle + driver pair dedup +
-        broadcast-sketch distributed verify — minimal bytes through the
-        object store; right when candidates << corpus.
-      'bucket': one shuffle carrying sketches, in-bucket verify + owner-band
-        uniqueness — no driver involvement, any candidate volume.
+      'bucket' (default): one shuffle carrying sketches, block-vectorized
+        in-bucket verify + owner-band uniqueness — fully distributed, no
+        driver involvement; fastest measured.
+      'broadcast': ids-only band shuffle + driver pair dedup + broadcast-
+        sketch distributed verify — minimal object-store bytes; right when
+        candidates << corpus but pays driver-side latency.
       'join': ids-only shuffle + hash-join verify — decouples shuffle bytes
         from sketch size at extreme scale."""
     if mode == "broadcast":
