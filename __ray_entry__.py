@@ -64,23 +64,27 @@ def entry() -> Any:
 
 def _q_exact_dup_clusters(sf_dir: str):
     """Exact tier: cluster = min id over sha256-equal contents."""
-    from raydedup.pipeline import signatures
+    from raydedup.pipeline import grouped_blocks, signatures
 
     sigs = signatures(_corpus_ds(sf_dir), _cfg())
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = group.column("id").to_numpy()
+    def emit_block(block: pa.Table) -> pa.Table:
+        sha = block.column("sha256").to_numpy(zero_copy_only=False)
+        ids = block.column("id").to_numpy()
+        order = np.lexsort((ids, sha))
+        sha, ids = sha[order], ids[order]
+        new_run = np.concatenate([[True], sha[1:] != sha[:-1]]) if len(sha) else np.zeros(0, bool)
+        run_id = np.cumsum(new_run) - 1
+        firsts = ids[new_run] if len(sha) else ids
         return pa.table(
             {
-                "id": pa.array(np.sort(ids)),
-                "cluster_id": pa.array(np.full(len(ids), ids.min(), dtype=np.int64)),
+                "id": pa.array(ids),
+                "cluster_id": pa.array(firsts[run_id] if len(sha) else ids),
             }
         )
 
-    return (
-        sigs.select_columns(["sha256", "id"])
-        .groupby("sha256")
-        .map_groups(emit, batch_format="pyarrow")
+    return grouped_blocks(
+        sigs.select_columns(["sha256", "id"]), "sha256", emit_block
     )
 
 

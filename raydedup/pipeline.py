@@ -47,26 +47,75 @@ U64 = np.uint64
 # ---------------------------------------------------------------------------
 
 
-def _exact_group_edges(group: pa.Table) -> pa.Table:
-    ids = np.sort(group.column("id").to_numpy())
-    if len(ids) < 2:
+def grouped_blocks(
+    ds: "ray.data.Dataset",
+    key: str,
+    block_fn,
+    nparts: int | None = None,
+    key_to_u64=None,
+) -> "ray.data.Dataset":
+    """Hash-partitioned grouping: co-locate equal keys into ~2×CPU partition
+    groups and run ``block_fn(sorted_block)`` once per PARTITION.
+
+    ``groupby(key).map_groups(fn)`` pays a python call per group — ruinous
+    for millions of small groups; this pays ``nparts`` calls and lets the
+    block fn process all its groups vectorized. ``key_to_u64`` converts
+    non-integer keys to uint64 for partition hashing (default: uint64 view /
+    xxh64 of strings)."""
+    from .hashing import splitmix64 as _smix
+    from .hashing import xxh64_flat
+    from .tokenize import _string_array_np
+
+    nparts = nparts or 2 * join_partitions(64)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if key_to_u64 is not None:
+            k64 = key_to_u64(col)
+        elif pa.types.is_integer(col.type):
+            k64 = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        else:
+            flat, off = _string_array_np(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            k64 = xxh64_flat(flat, off, seed=17)
+        part = (_smix(k64) % np.uint64(nparts)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def run_block(block: pa.Table) -> pa.Table:
+        return block_fn(block.select([c for c in block.column_names if c != "part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(run_block, batch_format="pyarrow")
+    )
+
+
+def _exact_block_edges(block: pa.Table) -> pa.Table:
+    """Star edges for every sha run in a partition block, vectorized."""
+    n = len(block)
+    if n == 0:
         return pa.table(
             {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
         )
-    return pa.table(
-        {
-            "src": pa.array(np.full(len(ids) - 1, ids[0], dtype=np.int64)),
-            "dst": pa.array(ids[1:]),
-        }
-    )
+    sha = block.column("sha256").to_numpy(zero_copy_only=False)
+    ids = block.column("id").to_numpy()
+    order = np.lexsort((ids, sha))
+    sha, ids = sha[order], ids[order]
+    new_run = np.concatenate([[True], sha[1:] != sha[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    # first id of each run (min id — ids sorted within run)
+    firsts = ids[new_run]
+    src = firsts[run_id]
+    keep = ~new_run  # every non-first member links to its run's first
+    return pa.table({"src": pa.array(src[keep]), "dst": pa.array(ids[keep])})
 
 
 def exact_edges(sigs: "ray.data.Dataset") -> "ray.data.Dataset":
     """sha256-equality tier: star edges from the min id of each digest group."""
-    return (
-        sigs.select_columns(["sha256", "id"])
-        .groupby("sha256")
-        .map_groups(_exact_group_edges, batch_format="pyarrow")
+    return grouped_blocks(
+        sigs.select_columns(["sha256", "id"]), "sha256", _exact_block_edges
     )
 
 
@@ -411,21 +460,39 @@ def _explode_winnow(batch: pa.Table) -> pa.Table:
     )
 
 
-def _fp_bucket_pairs(max_bucket: int):
-    def emit(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("id").to_numpy())
-        n = len(ids)
-        if n < 2:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-            )
-        if n > max_bucket:
-            src = np.full(n - 1, ids[0], dtype=np.int64)
-            dst = ids[1:]
-        else:
-            iu = np.triu_indices(n, k=1)
-            src, dst = ids[iu[0]], ids[iu[1]]
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+def _fp_block_pairs(max_bucket: int):
+    def emit(block: pa.Table) -> pa.Table:
+        n = len(block)
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        fps = block.column("fp").to_numpy()
+        ids = block.column("id").to_numpy()
+        order = np.lexsort((ids, fps))
+        fps, ids = fps[order], ids[order]
+        new_run = np.concatenate([[True], fps[1:] != fps[:-1]])
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate([starts[1:], [n]])
+        out_s, out_d = [], []
+        for s, e in zip(starts, ends):
+            u = np.unique(ids[s:e])
+            m = len(u)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                out_s.append(np.full(m - 1, u[0], dtype=np.int64))
+                out_d.append(u[1:])
+            else:
+                iu = np.triu_indices(m, k=1)
+                out_s.append(u[iu[0]])
+                out_d.append(u[iu[1]])
+        if not out_s:
+            return empty
+        return pa.table(
+            {"src": pa.array(np.concatenate(out_s)), "dst": pa.array(np.concatenate(out_d))}
+        )
 
     return emit
 
@@ -438,9 +505,7 @@ def substring_edges(sigs: "ray.data.Dataset", cfg: SigConfig) -> "ray.data.Datas
     fp_rows = sigs.select_columns(["id", "winnow"]).map_batches(
         _explode_winnow, batch_format="pyarrow"
     )
-    pairs = fp_rows.groupby("fp").map_groups(
-        _fp_bucket_pairs(cfg.max_bucket_size), batch_format="pyarrow"
-    )
+    pairs = grouped_blocks(fp_rows, "fp", _fp_block_pairs(cfg.max_bucket_size))
     counted = pairs.groupby(["src", "dst"]).count()
 
     def keep_shared(batch: pa.Table) -> pa.Table:
