@@ -22,6 +22,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "29"))
+# scaling runs use a larger corpus so the parallel fraction dominates the
+# fixed per-stage scheduling constants (Amdahl; see BASELINE.md)
+SCALING_REPLICAS = int(os.environ.get("BENCH_SCALING_REPLICAS", "119"))
 
 
 def _sf_tag(sf_dir: str) -> float:
@@ -135,7 +138,7 @@ def run_scaling() -> dict:
     # warm the corpus cache first so neither run pays generation cost
     from raydedup.corpus import amplified_corpus_path
 
-    amplified_corpus_path(SF_DIR, replicas=REPLICAS)
+    amplified_corpus_path(SF_DIR, replicas=SCALING_REPLICAS)
     results = {}
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     # default 6 → 24: a true 4× step that leaves physical-core headroom for
@@ -152,6 +155,7 @@ def run_scaling() -> dict:
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["BENCH_FLAGSHIP_ONLY"] = "1"
+            env["BENCH_REPLICAS"] = str(SCALING_REPLICAS)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
