@@ -401,45 +401,130 @@ def make_pair_emitter(
     return emit
 
 
+def _binary_col_flat_u64(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64, element offsets in words) view of a large_binary column
+    whose cells are u64 sequences — zero-copy from Arrow buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint64) if bufs[2] is not None else np.zeros(0, np.uint64)
+    return data, (offsets // 8).astype(np.int64)
+
+
 def make_block_pair_emitter(
     cfg: SigConfig, verify: bool = True, hot: dict[int, int] | None = None
 ):
-    """Block-level bucket processor for hash-partitioned, key-sorted band
-    rows (``repartition(keys=["band_key"], sort=True)`` + ``map_batches``
-    with whole-block batches).
+    """Block-level bucket processor for hash-partitioned band rows.
 
-    Processes EVERY bucket in the block in one python call — singleton
-    buckets (the vast majority) are skipped wholesale with one vectorized
-    run-length pass, unlike ``groupby().map_groups`` which pays a python
-    call per group (measured: millions of calls → tens of seconds).
+    Processes EVERY bucket in the block in one python call with all column
+    data pre-extracted as flat numpy arrays (zero-copy from Arrow) —
+    ``groupby().map_groups`` pays a python call + pyarrow slicing per group,
+    which measured ~300 CPU-seconds across millions of small buckets.
     Semantics identical to make_pair_emitter.
     """
-    emit_one = make_pair_emitter(cfg, verify=verify, hot=hot)
+    if hot:
+        _ha = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
+        _hs = np.fromiter(hot.values(), dtype=np.int64, count=len(hot))
+        _o = np.argsort(_ha)
+        hot_arr, hot_salts = _ha[_o], _hs[_o]
+    else:
+        hot_arr = hot_salts = None
 
     def emit_block(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
             return _empty_pair_table(verify)
         keys = batch.column("band_key").to_numpy()
-        order = np.argsort(keys, kind="stable")
-        if not np.array_equal(order, np.arange(n)):
-            batch = batch.take(pa.array(order))
-            keys = keys[order]
-        # runs of equal keys
+        ids_all = batch.column("id").to_numpy()
+        order = np.lexsort((ids_all, keys))
+        keys = keys[order]
+        ids_all = ids_all[order]
+        band_idx_all = batch.column("band_idx").to_numpy()[order]
+        have_bh = "bandhashes" in batch.column_names
+        if have_bh:
+            bh_flat, bh_off = _binary_col_flat_u64(batch.column("bandhashes"))
+            bands = cfg.bands
+            # offset-safe gather (cells are uniform bands-word sequences)
+            bh_mat = bh_flat[bh_off[:-1, None] + np.arange(bands)][order]
+        if verify:
+            kmv_flat, kmv_off = _binary_col_flat_u64(batch.column("kmv"))
+            thetas_all = batch.column("kmv_theta").to_numpy()[order]
+            kstart = kmv_off[:-1][order]
+            kend = kmv_off[1:][order]
+
         boundaries = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
         ends = np.concatenate([boundaries[1:], [n]])
-        sizes = ends - boundaries
-        multi = sizes >= 2
+        multi = (ends - boundaries) >= 2
         if not multi.any():
             return _empty_pair_table(verify)
-        out = []
+
+        out_src: list[np.ndarray] = []
+        out_dst: list[np.ndarray] = []
+        out_jac: list[np.ndarray] = []
+        out_cap: list[bool] = []
+
         for s, e in zip(boundaries[multi], ends[multi]):
-            t = emit_one(batch.slice(s, e - s))
-            if t.num_rows:
-                out.append(t)
-        if not out:
+            seg_ids = ids_all[s:e]
+            # rows sorted by id within the run → dedupe with a mask
+            keep = np.concatenate([[True], seg_ids[1:] != seg_ids[:-1]])
+            rows = np.flatnonzero(keep) + s  # absolute row index per member
+            u = seg_ids[keep]
+            m = len(u)
+            if m < 2:
+                continue
+            if m <= cfg.max_bucket_size:
+                ia, ib = np.triu_indices(m, k=1)
+                capped = False
+            else:
+                limit = min(m, cfg.bucket_ceiling)
+                ia = np.zeros(limit - 1, dtype=np.int64)
+                ib = np.arange(1, limit)
+                capped = True
+            my_band = int(band_idx_all[s])
+            if my_band != 255 and have_bh:
+                bh = bh_mat[rows]
+                co = bh[ia] == bh[ib]
+                if hot_arr is not None:
+                    hotm, salts = _salt_slots(cfg, hot_arr, hot_salts, bh, u)
+                    co &= (~hotm[ia]) | (salts[ia] == salts[ib])
+                owner = np.argmax(co, axis=1)
+                mask = (owner == my_band) & co[np.arange(len(ia)), owner]
+                ia, ib = ia[mask], ib[mask]
+                if len(ia) == 0:
+                    continue
+            src, dst = u[ia], u[ib]
+            if verify:
+                ra, rb = rows[ia], rows[ib]
+                jac = np.empty(len(src), dtype=np.float64)
+                for p in range(len(src)):
+                    jac[p] = _kmv_jaccard_fast(
+                        thetas_all[ra[p]],
+                        kmv_flat[kstart[ra[p]] : kend[ra[p]]],
+                        thetas_all[rb[p]],
+                        kmv_flat[kstart[rb[p]] : kend[rb[p]]],
+                        cfg.kmv_k,
+                    )
+                km = jac >= cfg.jaccard_threshold
+                if not km.any():
+                    continue
+                src, dst, jac = src[km], dst[km], jac[km]
+                out_jac.append(jac)
+            out_src.append(src)
+            out_dst.append(dst)
+            out_cap.extend([capped] * len(src))
+
+        if not out_src:
             return _empty_pair_table(verify)
-        return pa.concat_tables(out)
+        cols = {
+            "src": pa.array(np.concatenate(out_src), type=pa.int64()),
+            "dst": pa.array(np.concatenate(out_dst), type=pa.int64()),
+        }
+        if verify:
+            cols["jaccard"] = pa.array(np.concatenate(out_jac))
+        cols["capped"] = pa.array(np.array(out_cap, dtype=bool))
+        return pa.table(cols)
 
     return emit_block
 
