@@ -553,6 +553,58 @@ def dedup_clusters(
 
     assigned = cluster_edges(edges, method=cluster_method)
 
+    return assign_clusters(sigs, assigned)
+
+
+def assign_clusters(
+    sigs: "ray.data.Dataset",
+    assigned: "ray.data.Dataset",
+    broadcast_limit: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Full (id, cluster_id) assignment: edge-nodes take their component
+    root, everything else is a singleton (cluster_id = id).
+
+    The assignment table is tiny relative to the corpus (only docs that
+    appear in a dup edge), so it is broadcast once via ray.put and applied
+    map-side — no shuffle. Falls back to a groupby-min merge when the
+    assignment exceeds ``broadcast_limit`` rows."""
+    n_assigned = assigned.count()
+    if n_assigned <= broadcast_limit:
+        tables = [t for t in ray.get(assigned.to_arrow_refs()) if t.num_rows]
+        if tables:
+            cat = pa.concat_tables(tables)
+            a_ids = cat.column("id").to_numpy()
+            a_roots = cat.column("cluster_id").to_numpy()
+            order = np.argsort(a_ids)
+            a_ids, a_roots = a_ids[order], a_roots[order]
+        else:
+            a_ids = np.zeros(0, dtype=np.int64)
+            a_roots = np.zeros(0, dtype=np.int64)
+        lookup_ref = ray.put((a_ids, a_roots))
+
+        class Assign:
+            def __init__(self, ref):
+                self.ids, self.roots = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                )
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column("id").to_numpy()
+                out = ids.copy()
+                if len(self.ids):
+                    pos = np.searchsorted(self.ids, ids)
+                    pos = np.clip(pos, 0, len(self.ids) - 1)
+                    hit = self.ids[pos] == ids
+                    out[hit] = self.roots[pos[hit]]
+                return pa.table(
+                    {"id": pa.array(ids), "cluster_id": pa.array(out)}
+                )
+
+        return sigs.select_columns(["id"]).map_batches(
+            Assign, fn_constructor_args=(lookup_ref,),
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
+
     defaults = sigs.select_columns(["id"]).map_batches(
         lambda b: pa.table({"id": b.column("id"), "cluster_id": b.column("id")}),
         batch_format="pyarrow",
