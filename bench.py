@@ -38,7 +38,7 @@ def _sf_tag(sf_dir: str) -> float:
 def bench_config():
     from raydedup.config import SigConfig
 
-    return SigConfig(kmv_k=128, jaccard_threshold=0.8)
+    return SigConfig(kmv_k=128, jaccard_threshold=0.8, kmv_hash_bytes=4)
 
 
 def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:

@@ -30,6 +30,9 @@ class SigConfig:
     rows_per_band: int = 8      # LSH rows per band (r); b*r must == num_perm
     simhash_bits: int = 64
     kmv_k: int = 128            # bottom-k KMV signature size per document
+    kmv_hash_bytes: int = 8     # stored bytes per retained hash (8 = full;
+                                # 4 = top-32-bit truncation: halves the
+                                # near-tier shuffle, collision odds 2^-32)
     jaccard_threshold: float = 0.85
     simhash_max_hamming: int = 8
     # skew handling

@@ -97,8 +97,14 @@ def _shard_metrics(tbl: pa.Table) -> dict:
     # feeding their union is a theta-style distinct estimate of shingles.
     blobs = tbl.column("kmv").to_pylist()
     if blobs:
-        allh = np.frombuffer(b"".join(blobs), dtype="<u8")
-        hll.update_hashes(allh.astype(np.uint64) << np.uint64(1))
+        raw = b"".join(blobs)
+        # kmv cells may be 4- or 8-byte hashes depending on kmv_hash_bytes;
+        # infer from alignment (cells are homogeneous within a run)
+        if len(raw) % 8 == 0:
+            allh = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
+        else:
+            allh = np.frombuffer(raw, dtype="<u4").astype(np.uint64) << np.uint64(32)
+        hll.update_hashes(allh << np.uint64(1))
     return {
         "rows": tbl.num_rows,
         "bytes": tbl.nbytes,

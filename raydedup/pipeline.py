@@ -312,6 +312,9 @@ class _BroadcastVerify:
     def _sk(self, i: int) -> np.ndarray:
         return self.flat[self.off[i] : self.off[i + 1]]
 
+    def _theta(self, t):
+        return (t >> np.uint64(31)).astype(self.flat.dtype) if self.flat.dtype == np.uint32 else t
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .stages import _kmv_jaccard_fast
 
@@ -319,11 +322,12 @@ class _BroadcastVerify:
         dst = batch.column("dst").to_numpy()
         ia = np.searchsorted(self.ids, src)
         ib = np.searchsorted(self.ids, dst)
+        thetas = self._theta(self.thetas)
         jac = np.empty(len(src), dtype=np.float64)
         for p in range(len(src)):
             jac[p] = _kmv_jaccard_fast(
-                self.thetas[ia[p]], self._sk(ia[p]),
-                self.thetas[ib[p]], self._sk(ib[p]), self.cfg.kmv_k,
+                thetas[ia[p]], self._sk(ia[p]),
+                thetas[ib[p]], self._sk(ib[p]), self.cfg.kmv_k,
             )
         keep = jac >= self.cfg.jaccard_threshold
         return pa.table(
@@ -390,9 +394,12 @@ def _near_edges_broadcast(
     sk_thetas = cat.column("kmv_theta").to_numpy()[order]
     blobs = cat.column("kmv").to_pylist()
     blobs = [blobs[i] for i in order]
-    lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+    wb = cfg.kmv_hash_bytes
+    lens = np.array([len(b) // wb for b in blobs], dtype=np.int64)
     off = np.concatenate([[0], np.cumsum(lens)])
-    flat = np.frombuffer(b"".join(blobs), dtype="<u8").astype(np.uint64)
+    dt = "<u4" if wb == 4 else "<u8"
+    flat = np.frombuffer(b"".join(blobs), dtype=dt)
+    flat = flat.astype(np.uint32 if wb == 4 else np.uint64)
     sketches_ref = ray.put((sk_ids, sk_thetas, off, flat))
 
     pairs_ds = ray.data.from_arrow(

@@ -89,7 +89,9 @@ class SignatureStage:
         # per-row KMV sketch in the theta domain (h >> 1, drop 0) —
         # theta/UpdateSketch.java:222 masking semantics
         theta_dom = uniq >> U64(1)
-        kmv_blobs, thetas, n_retained = _kmv_blobs(theta_dom, uniq_off, cfg.kmv_k)
+        kmv_blobs, thetas, n_retained = _kmv_blobs(
+            theta_dom, uniq_off, cfg.kmv_k, cfg.kmv_hash_bytes
+        )
 
         wfp, wpos, w_off = winnow_fingerprints(
             flat_tok, tok_off, cfg.winnow_k, cfg.winnow_window, cfg.seed
@@ -125,7 +127,7 @@ def _binary_from_segments(flat_bytes: np.ndarray, byte_offsets: np.ndarray) -> p
 
 
 def _kmv_blobs(
-    flat_sorted: np.ndarray, offsets: np.ndarray, k: int
+    flat_sorted: np.ndarray, offsets: np.ndarray, k: int, hash_bytes: int = 8
 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """Per-row (theta, bottom-k hashes) from sorted-distinct segments —
     fully vectorized (single gather + one Arrow buffer, no per-row python)."""
@@ -146,8 +148,12 @@ def _kmv_blobs(
     # gather the kept prefix of each segment
     out_off = np.concatenate([[0], np.cumsum(keep_lens)]).astype(np.int64)
     idx = np.repeat(starts, keep_lens) + _intra(keep_lens)
-    kept = flat_sorted[idx].astype("<u8")
-    blobs = _binary_from_segments(kept.view(np.uint8), out_off * 8)
+    if hash_bytes == 4:
+        kept = (flat_sorted[idx] >> U64(31)).astype("<u4")
+        blobs = _binary_from_segments(kept.view(np.uint8), out_off * 4)
+    else:
+        kept = flat_sorted[idx].astype("<u8")
+        blobs = _binary_from_segments(kept.view(np.uint8), out_off * 8)
     return blobs, thetas, lens
 
 
@@ -401,16 +407,18 @@ def make_pair_emitter(
     return emit
 
 
-def _binary_col_flat_u64(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(flat uint64, element offsets in words) view of a large_binary column
-    whose cells are u64 sequences — zero-copy from Arrow buffers."""
+def _binary_col_flat_u64(arr: pa.Array, word_bytes: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """(flat words, element offsets in words) view of a large_binary column
+    whose cells are fixed-width word sequences — zero-copy from Arrow
+    buffers. ``word_bytes``: 8 (uint64) or 4 (uint32)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)
     offsets = offsets[arr.offset : arr.offset + len(arr) + 1]
-    data = np.frombuffer(bufs[2], dtype=np.uint64) if bufs[2] is not None else np.zeros(0, np.uint64)
-    return data, (offsets // 8).astype(np.int64)
+    dt = np.uint64 if word_bytes == 8 else np.uint32
+    data = np.frombuffer(bufs[2], dtype=dt) if bufs[2] is not None else np.zeros(0, dt)
+    return data, (offsets // word_bytes).astype(np.int64)
 
 
 def make_block_pair_emitter(
@@ -449,8 +457,12 @@ def make_block_pair_emitter(
             # offset-safe gather (cells are uniform bands-word sequences)
             bh_mat = bh_flat[bh_off[:-1, None] + np.arange(bands)][order]
         if verify:
-            kmv_flat, kmv_off = _binary_col_flat_u64(batch.column("kmv"))
+            kmv_flat, kmv_off = _binary_col_flat_u64(
+                batch.column("kmv"), cfg.kmv_hash_bytes
+            )
             thetas_all = batch.column("kmv_theta").to_numpy()[order]
+            if cfg.kmv_hash_bytes == 4:
+                thetas_all = (thetas_all >> U64(31)).astype(np.uint32)
             kstart = kmv_off[:-1][order]
             kend = kmv_off[1:][order]
 
@@ -614,15 +626,19 @@ class PairVerifyStage:
         dst = batch.column("dst").to_numpy()
         ta = batch.column("theta_a").to_numpy()
         tb = batch.column("theta_b").to_numpy()
+        dt = "<u4" if cfg.kmv_hash_bytes == 4 else "<u8"
+        if cfg.kmv_hash_bytes == 4:
+            ta = (ta >> U64(31)).astype(np.uint32)
+            tb = (tb >> U64(31)).astype(np.uint32)
         ba = batch.column("kmv_a").to_pylist()
         bb = batch.column("kmv_b").to_pylist()
         out = np.empty(n, dtype=np.float64)
         for i in range(n):
             out[i] = _kmv_jaccard_fast(
                 ta[i],
-                np.frombuffer(ba[i], dtype="<u8"),
+                np.frombuffer(ba[i], dtype=dt),
                 tb[i],
-                np.frombuffer(bb[i], dtype="<u8"),
+                np.frombuffer(bb[i], dtype=dt),
                 cfg.kmv_k,
             )
         keep = out >= cfg.jaccard_threshold
