@@ -313,7 +313,7 @@ class _BroadcastVerify:
         return self.flat[self.off[i] : self.off[i + 1]]
 
     def _theta(self, t):
-        return (t >> np.uint64(31)).astype(self.flat.dtype) if self.flat.dtype == np.uint32 else t
+        return (t >> np.uint64(32)).astype(self.flat.dtype) if self.flat.dtype == np.uint32 else t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .stages import _kmv_jaccard_fast

@@ -149,7 +149,7 @@ def _kmv_blobs(
     out_off = np.concatenate([[0], np.cumsum(keep_lens)]).astype(np.int64)
     idx = np.repeat(starts, keep_lens) + _intra(keep_lens)
     if hash_bytes == 4:
-        kept = (flat_sorted[idx] >> U64(31)).astype("<u4")
+        kept = (flat_sorted[idx] >> U64(32)).astype("<u4")
         blobs = _binary_from_segments(kept.view(np.uint8), out_off * 4)
     else:
         kept = flat_sorted[idx].astype("<u8")
@@ -462,7 +462,7 @@ def make_block_pair_emitter(
             )
             thetas_all = batch.column("kmv_theta").to_numpy()[order]
             if cfg.kmv_hash_bytes == 4:
-                thetas_all = (thetas_all >> U64(31)).astype(np.uint32)
+                thetas_all = (thetas_all >> U64(32)).astype(np.uint32)
             kstart = kmv_off[:-1][order]
             kend = kmv_off[1:][order]
 
@@ -628,8 +628,8 @@ class PairVerifyStage:
         tb = batch.column("theta_b").to_numpy()
         dt = "<u4" if cfg.kmv_hash_bytes == 4 else "<u8"
         if cfg.kmv_hash_bytes == 4:
-            ta = (ta >> U64(31)).astype(np.uint32)
-            tb = (tb >> U64(31)).astype(np.uint32)
+            ta = (ta >> U64(32)).astype(np.uint32)
+            tb = (tb >> U64(32)).astype(np.uint32)
         ba = batch.column("kmv_a").to_pylist()
         bb = batch.column("kmv_b").to_pylist()
         out = np.empty(n, dtype=np.float64)
