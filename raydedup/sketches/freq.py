@@ -51,11 +51,18 @@ class FrequentKeysSketch:
 
     def _maybe_purge(self) -> None:
         while len(self.counts) > self.max_map_size:
-            # decrement by the median of counts (classic MG purge step;
-            # ReversePurgeLongHashMap uses the same "sample median" purge)
-            vals = np.fromiter(self.counts.values(), dtype=np.int64)
-            dec = int(np.median(vals))
-            dec = max(dec, 1)
+            # decrement by the median of the LOWER-BOUND counts (value minus
+            # current offset) — classic MG purge (ReversePurgeLongHashMap
+            # "sample median" step). Using raw values here would feed the
+            # offset back into itself and grow it exponentially across
+            # merges of many partials.
+            off = self.offset
+            lbs = np.fromiter(
+                (v - off for v in self.counts.values()),
+                dtype=np.int64,
+                count=len(self.counts),
+            )
+            dec = max(1, int(np.median(lbs)))
             self.offset += dec
             self.counts = {k: v for k, v in self.counts.items() if v - self.offset > 0}
 

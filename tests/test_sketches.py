@@ -142,6 +142,22 @@ class TestFrequentKeys:
         rt = FrequentKeysSketch.deserialize(sk.serialize())
         assert rt.get_estimate(7) == 5 and rt.stream_len == 8
 
+    def test_many_partial_merges_offset_bounded(self):
+        # regression: purging with raw (offset-laden) values grew the offset
+        # exponentially across hundreds of partial merges → int overflow
+        rng = np.random.default_rng(9)
+        merged = FrequentKeysSketch(256)
+        total = 0
+        for _ in range(400):
+            part = FrequentKeysSketch(256)
+            keys = rng.integers(0, 100_000, size=2000)
+            part.update_many(keys)
+            total += 2000
+            merged.merge(part)
+        assert merged.stream_len == total
+        assert merged.maximum_error <= total  # offset stays linear
+        merged.serialize()  # must not overflow int64
+
 
 class TestSampling:
     def test_reservoir_size_and_count(self):
