@@ -149,6 +149,9 @@ def run_scaling() -> dict:
     levels = tuple(
         int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "6,24").split(",")
     )
+    import shutil as _shutil
+
+    have_taskset = _shutil.which("taskset") is not None
     for cpus in levels:
         best = None
         for _ in range(repeats):  # best-of-N: the sandbox VM is noisy
@@ -156,8 +159,16 @@ def run_scaling() -> dict:
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["BENCH_FLAGSHIP_ONLY"] = "1"
             env["BENCH_REPLICAS"] = str(SCALING_REPLICAS)
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if have_taskset:
+                # pin the whole process tree to exactly `cpus` physical
+                # cores: ray.init(num_cpus=K) only caps task SLOTS while
+                # raylet/plasma/BLAS threads would otherwise spill onto idle
+                # cores and flatter the small-N side — taskset makes "K
+                # CPUs" a faithful single-box stand-in for a K-core cluster
+                cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                cmd,
                 env=env,
                 capture_output=True,
                 text=True,
