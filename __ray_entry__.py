@@ -105,6 +105,24 @@ def _q_exact_dup_groups(sf_dir: str):
     return counted.map_batches(keep, batch_format="pyarrow")
 
 
+def _q_dedup_survivors(sf_dir: str):
+    """Materialized exact-dedup output: the surviving representative (min
+    id) of every distinct content — what a training-data pipeline keeps."""
+    from raydedup.pipeline import grouped_blocks, signatures
+
+    sigs = signatures(_corpus_ds(sf_dir), _cfg())
+
+    def survivors(block: pa.Table) -> pa.Table:
+        sha = block.column("sha256").to_numpy(zero_copy_only=False)
+        ids = block.column("id").to_numpy()
+        order = np.lexsort((ids, sha))
+        sha, ids = sha[order], ids[order]
+        first = np.concatenate([[True], sha[1:] != sha[:-1]]) if len(sha) else np.zeros(0, bool)
+        return pa.table({"id": pa.array(ids[first])})
+
+    return grouped_blocks(sigs.select_columns(["sha256", "id"]), "sha256", survivors)
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     from raydedup.njaccard import ngram_jaccard_pairs
 
@@ -515,6 +533,7 @@ def _q_media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "containment_pairs": _q_containment_pairs,
@@ -574,6 +593,10 @@ SELECT id, min(id) OVER (PARTITION BY content) AS cluster_id FROM corpus
 WITH {corpus}
 SELECT sha256(content) AS sha256, count(*) AS n_dups
 FROM corpus GROUP BY content HAVING count(*) > 1
+""",
+        "dedup_survivors": f"""
+WITH {corpus}
+SELECT min(id) AS id FROM corpus GROUP BY content
 """,
         "ngram_jaccard_pairs": f"""
 WITH {corpus}, {_SHINGLES_CTE},

@@ -74,6 +74,7 @@ class SignatureStage:
         content = batch.column("content")
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
+        content = pc.fill_null(content, "")  # null content ≡ empty file
         if self.normalizer is not None:
             content = self.normalizer(content)
         elif cfg.lowercase:
