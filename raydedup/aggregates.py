@@ -127,6 +127,66 @@ def kll_quantile(
     )
 
 
+def reservoir_sample(col: str, k: int = 64, seed: int = 0, name: str | None = None) -> AggregateFn:
+    """Uniform k-sample of a column (ReservoirItemsSketch partial+final)."""
+    import pickle
+
+    from .sketches.sampling import ReservoirSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = pickle.loads(state) if state else ReservoirSketch(k, seed)
+        sk.update_many(block.column(col).to_pylist())
+        return pickle.dumps(sk)
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps(ReservoirSketch(k, seed))
+        if not b:
+            return a
+        return pickle.dumps(pickle.loads(a).merge(pickle.loads(b)))
+
+    def fin(state: bytes | None):
+        sk = pickle.loads(state) if state else ReservoirSketch(k, seed)
+        return sk.samples
+
+    return AggregateFn(
+        init=lambda key: None, merge=merge, accumulate_block=acc,
+        finalize=fin, name=name or f"reservoir({col})",
+    )
+
+
+def weighted_sample(
+    key_col: str, weight_col: str, k: int = 64, seed: int = 0, name: str | None = None
+) -> AggregateFn:
+    """Weighted (priority) sample with subset-sum estimation — the VarOpt
+    surface (sampling/VarOptItemsSketch.java:59-71) as a Ray aggregate.
+    Finalizes to the serialized PrioritySample (pickle) for driver-side
+    estimate_subset_sum calls."""
+    import pickle
+
+    from .sketches.sampling import PrioritySample
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = pickle.loads(state) if state else PrioritySample(k, seed)
+        sk.update_many(
+            block.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            block.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+        return pickle.dumps(sk)
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps(PrioritySample(k, seed))
+        if not b:
+            return a
+        return pickle.dumps(pickle.loads(a).merge(pickle.loads(b)))
+
+    return AggregateFn(
+        init=lambda key: None, merge=merge, accumulate_block=acc,
+        finalize=lambda s: s, name=name or f"weighted_sample({key_col})",
+    )
+
+
 def tuple_distinct_sum(
     key_col: str,
     value_col: str,

@@ -191,6 +191,34 @@ def test_theta_aggregate_groupby(ray_session):
         assert row["d"] == want[row["g"]]  # exact mode
 
 
+def test_sampling_aggregates(ray_session):
+    import pickle
+
+    import ray.data
+
+    from raydedup.aggregates import reservoir_sample, weighted_sample
+
+    rng = np.random.default_rng(6)
+    n = 30_000
+    keys = np.arange(n, dtype=np.int64)
+    weights = rng.exponential(1.0, n)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "w": pa.array(weights)})
+    )
+    res = ds.aggregate(reservoir_sample("k", k=50, name="r"))
+    samples = res["r"]
+    assert len(samples) == 50
+    assert all(0 <= s < n for s in samples)
+
+    res2 = ds.aggregate(weighted_sample("k", "w", k=512, name="ws"))
+    sk = pickle.loads(res2["ws"])
+    assert sk.total_count == n
+    true_even = weights[keys % 2 == 0].sum()
+    est = sk.estimate_subset_sum(lambda kk: kk % 2 == 0)
+    assert abs(est.estimate - true_even) / true_even < 0.25
+    assert est.total_sketch_weight == pytest.approx(weights.sum())
+
+
 def test_hll_and_kll_aggregates(ray_session):
     import ray.data
 
