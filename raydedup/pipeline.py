@@ -35,7 +35,6 @@ from .stages import (
     BandEmitStage,
     SignatureStage,
     delegate_reducer,
-    make_pair_emitter,
 )
 from .unionfind import cluster_edges
 

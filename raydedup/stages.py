@@ -327,87 +327,6 @@ def delegate_reducer(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def make_pair_emitter(
-    cfg: SigConfig, verify: bool = True, hot: dict[int, int] | None = None
-):
-    """map_groups fn over a band bucket → pairs (KMV-verified in place when
-    ``verify`` and the bucket rows carry sketches; raw candidates otherwise).
-    ``hot`` must be the same hot-key dict given to BandEmitStage so the
-    owner-band rule accounts for salt sub-bucket splits (pre-sorted into
-    arrays once per worker, vectorized lookups per bucket).
-
-    Bucket policy (skew ladder):
-      size ≤ max_bucket_size : all pairs (vectorized triu).
-      ≤ bucket_ceiling       : representative star — every member vs the
-                               min-id member only (linear).
-      > bucket_ceiling       : star against min-id, truncated at the
-                               ceiling (logged via the 'capped' column).
-
-    Verification happens once per UNIQUE pair downstream
-    (pipeline.verify_pairs), so multi-band duplicates cost nothing here but
-    a dedup groupby on 16-byte rows.
-    """
-
-    if hot:
-        _ha = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
-        _hs = np.fromiter(hot.values(), dtype=np.int64, count=len(hot))
-        _order = np.argsort(_ha)
-        hot_arr, hot_salts = _ha[_order], _hs[_order]
-    else:
-        hot_arr = hot_salts = None
-
-    def emit(group: pa.Table) -> pa.Table:
-        raw_ids = group.column("id").to_numpy()
-        ids, first_idx = np.unique(raw_ids, return_index=True)
-        n = len(ids)
-        if n < 2:
-            return _empty_pair_table(verify)
-        if n <= cfg.max_bucket_size:
-            iu = np.triu_indices(n, k=1)
-            ia, ib = iu[0], iu[1]
-            capped = False
-        else:
-            limit = min(n, cfg.bucket_ceiling)
-            ia = np.zeros(limit - 1, dtype=np.int64)
-            ib = np.arange(1, limit)
-            capped = True
-        # owner-band rule: a pair belongs to the FIRST band where the two
-        # docs are actually co-bucketed (band hashes agree AND, for hot
-        # salted keys, both land in the same salt sub-bucket); only that
-        # bucket emits it, so pairs are globally unique with no dedup
-        # shuffle.
-        my_band = int(group.column("band_idx")[0].as_py())
-        if my_band == 255 or "bandhashes" not in group.column_names:
-            # delegate bucket (tiny) or broadcast mode (driver dedups):
-            # emit everything
-            src, dst = ids[ia], ids[ib]
-            return _finish_pairs(
-                cfg, verify, group, first_idx, ia, ib, src, dst, capped
-            )
-        bh_blobs = group.column("bandhashes").to_pylist()
-        bh = np.frombuffer(
-            b"".join(bh_blobs[i] for i in first_idx), dtype=np.uint64
-        ).reshape(n, -1)
-        co = bh[ia] == bh[ib]  # (npairs, bands)
-        if hot_arr is not None:
-            # where hashes agree the two docs share the band key, so hot
-            # status is symmetric; a hot band only co-buckets equal salts
-            hotm, salts = _salt_slots(cfg, hot_arr, hot_salts, bh, ids)
-            co &= (~hotm[ia]) | (salts[ia] == salts[ib])
-        owner = np.argmax(co, axis=1)  # first co-bucketed band
-        # rows where co has no True can't occur for this bucket's band, but
-        # argmax would return 0 — guard with the actual co value
-        own_mask = (owner == my_band) & co[np.arange(len(ia)), owner]
-        ia, ib = ia[own_mask], ib[own_mask]
-        if len(ia) == 0:
-            return _empty_pair_table(verify)
-        capped = capped and bool(len(ia))
-        src, dst = ids[ia], ids[ib]
-        return _finish_pairs(cfg, verify, group, first_idx, ia, ib, src, dst, capped)
-
-    return emit
-
-
 def _binary_col_flat_u64(arr: pa.Array, word_bytes: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """(flat words, element offsets in words) view of a large_binary column
     whose cells are fixed-width word sequences — zero-copy from Arrow
@@ -431,7 +350,6 @@ def make_block_pair_emitter(
     data pre-extracted as flat numpy arrays (zero-copy from Arrow) —
     ``groupby().map_groups`` pays a python call + pyarrow slicing per group,
     which measured ~300 CPU-seconds across millions of small buckets.
-    Semantics identical to make_pair_emitter.
     """
     if hot:
         _ha = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
