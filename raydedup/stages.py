@@ -460,34 +460,6 @@ def make_block_pair_emitter(
     return emit_block
 
 
-def _finish_pairs(cfg, verify, group, first_idx, ia, ib, src, dst, capped):
-    if not verify:
-        return pa.table(
-            {
-                "src": pa.array(src, type=pa.int64()),
-                "dst": pa.array(dst, type=pa.int64()),
-                "capped": pa.array(np.full(len(src), capped)),
-            }
-        )
-    thetas = group.column("kmv_theta").to_numpy()[first_idx]
-    blobs = group.column("kmv").to_pylist()
-    sketches = [np.frombuffer(blobs[i], dtype="<u8") for i in first_idx]
-    jac = np.empty(len(src), dtype=np.float64)
-    for p in range(len(src)):
-        jac[p] = _kmv_jaccard_fast(
-            thetas[ia[p]], sketches[ia[p]], thetas[ib[p]], sketches[ib[p]], cfg.kmv_k
-        )
-    keep = jac >= cfg.jaccard_threshold
-    return pa.table(
-        {
-            "src": pa.array(src[keep], type=pa.int64()),
-            "dst": pa.array(dst[keep], type=pa.int64()),
-            "jaccard": pa.array(jac[keep]),
-            "capped": pa.array(np.full(int(keep.sum()), capped)),
-        }
-    )
-
-
 def _salt_slots(
     cfg: SigConfig,
     hot_arr: np.ndarray,
