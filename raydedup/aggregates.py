@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from ray.data.aggregate import AggregateFn
 
-from .hashing import murmur3_128_bytes, theta_hash_u64s
+from .hashing import murmur3_128_bytes, splitmix64, theta_hash_u64s
 from .kmv import KmvSketch, build_sketch, empty_sketch, union_many
 from .sketches.freq import FrequentKeysSketch
 from .sketches.hll import HllSketch
@@ -78,7 +78,9 @@ def hll_distinct(col: str, lg_k: int = 12, seed: int = 9001, name: str | None = 
     def acc(state: bytes | None, block: pa.Table) -> bytes:
         sk = HllSketch.deserialize(state) if state else HllSketch(lg_k)
         h = _column_theta_hashes(block, col, seed)
-        sk.update_hashes(h << np.uint64(1))  # use full-width hash bits
+        # remix 63-bit theta hashes to fill all 64 bits uniformly: HllSketch
+        # reads disjoint low(index)/high(rho) bit fields
+        sk.update_hashes(splitmix64(h))
         return sk.serialize()
 
     def merge(a: bytes | None, b: bytes | None) -> bytes:

@@ -28,6 +28,7 @@ import ray
 import ray.data
 
 from .config import SigConfig
+from .hashing import splitmix64
 from .sketches.hll import HllSketch
 from .sketches.kll import KllSketch
 from .stages import SignatureStage
@@ -86,8 +87,12 @@ def _shard_of_path(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def _shard_metrics(tbl: pa.Table) -> dict:
-    """Lineage metrics for one shard's signature output."""
+def _shard_metrics(tbl: pa.Table, kmv_hash_bytes: int = 8) -> dict:
+    """Lineage metrics for one shard's signature output.
+
+    ``kmv_hash_bytes`` must come from the stage config: the cell width
+    cannot be inferred from buffer length (any even count of 4-byte cells
+    is also 8-aligned)."""
     n_tokens = tbl.column("n_tokens").to_numpy().astype(np.float64)
     kll = KllSketch(k=200)
     kll.update_many(n_tokens)
@@ -98,13 +103,13 @@ def _shard_metrics(tbl: pa.Table) -> dict:
     blobs = tbl.column("kmv").to_pylist()
     if blobs:
         raw = b"".join(blobs)
-        # kmv cells may be 4- or 8-byte hashes depending on kmv_hash_bytes;
-        # infer from alignment (cells are homogeneous within a run)
-        if len(raw) % 8 == 0:
+        if kmv_hash_bytes == 8:
             allh = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
         else:
             allh = np.frombuffer(raw, dtype="<u4").astype(np.uint64) << np.uint64(32)
-        hll.update_hashes(allh << np.uint64(1))
+        # remix to fill all 64 bits uniformly: theta hashes are 63-bit and
+        # HllSketch reads disjoint low(index)/high(rho) bit fields
+        hll.update_hashes(splitmix64(allh))
     return {
         "rows": tbl.num_rows,
         "bytes": tbl.nbytes,
@@ -143,7 +148,7 @@ def resumable_signatures(
             tmp = os.path.join(out_dir, f".tmp-{os.getpid()}.parquet")
             pq.write_table(out, tmp)
             os.replace(tmp, os.path.join(out_dir, "part-0.parquet"))
-            return shard, _shard_metrics(out)
+            return shard, _shard_metrics(out, cfg.kmv_hash_bytes)
 
         # one task per shard: shard = unit of retry/replay; Ray schedules
         # them like any map stage (a shard is sized like a block)

@@ -37,35 +37,33 @@ class HllSketch:
         self.regs = np.zeros(self.m, dtype=np.uint8)
 
     def update_hashes(self, hashes: np.ndarray) -> None:
-        """Vectorized update from uniform uint64 hash values."""
+        """Vectorized update from uniform uint64 hash values.
+
+        Index and rho come from disjoint, lgK-INDEPENDENT bit fields
+        (index = low lg_k bits, rho = leading zeros of the top 32 bits + 1),
+        mirroring the reference's coupon layout (hll/HllUtil.java: slotNo
+        from low bits of one word, value from clz of another). This makes
+        cross-lgK register folding exact: the same element always produces
+        the same rho regardless of lg_k.
+        """
         h = np.asarray(hashes, dtype=np.uint64)
         if len(h) == 0:
             return
-        idx = (h >> np.uint64(64 - self.lg_k)).astype(np.int64)
-        rest = h << np.uint64(self.lg_k)
-        # rho = leading zeros of remaining (64-lg_k)-bit stream + 1
-        nz = rest != 0
-        lz = np.full(len(h), 64 - self.lg_k, dtype=np.int64)
-        if nz.any():
-            # count leading zeros via float64 exponent trick is lossy;
-            # use bit-length: lz = 63 - floor(log2(rest))
-            r = rest[nz]
-            hi = (r >> np.uint64(32)).astype(np.uint64)
-            lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-            bl_hi = np.zeros(len(r), dtype=np.int64)
-            m_hi = hi != 0
-            bl_hi[m_hi] = np.frexp(hi[m_hi].astype(np.float64))[1]
-            bl_lo = np.frexp(lo.astype(np.float64))[1]
-            bl = np.where(m_hi, bl_hi + 32, bl_lo)
-            lz[nz] = 64 - bl
-        rho = np.minimum(lz + 1, 64 - self.lg_k + 1).astype(np.uint8)
+        idx = (h & np.uint64(self.m - 1)).astype(np.int64)
+        hi = (h >> np.uint64(32)).astype(np.uint64)  # top 32 bits
+        # bit_length of a 32-bit value via float64 exponent (exact <= 2^53)
+        bl = np.frexp(hi.astype(np.float64))[1]  # 0 when hi == 0
+        rho = (33 - bl).astype(np.uint8)  # clz32(hi) + 1, in [1, 33]
         np.maximum.at(self.regs, idx, rho)
 
     def merge(self, other: "HllSketch") -> "HllSketch":
         if other.lg_k != self.lg_k:
-            # downsample the larger-K sketch (hll/Union.java lgMaxK rule)
+            # downsample the larger-K sketch (hll/Union.java lgMaxK rule).
+            # Index = low lg_k bits, so slot i of the larger table folds to
+            # slot i & (m_a - 1); rho is lgK-independent, so max-fold is the
+            # exact downsample (same registers as building at lg_a directly).
             a, b = (self, other) if self.lg_k <= other.lg_k else (other, self)
-            fold = b.regs.reshape(a.m, -1).max(axis=1)
+            fold = b.regs.reshape(-1, a.m).max(axis=0)
             if a is self:
                 np.maximum(self.regs, fold, out=self.regs)
             else:

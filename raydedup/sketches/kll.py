@@ -66,6 +66,14 @@ class KllSketch:
             for i, lvl in enumerate(self.levels):
                 if len(lvl) >= _level_capacity(self.k, len(self.levels), i) and len(lvl) >= 2:
                     srt = np.sort(lvl)
+                    # odd length: leave one item behind so each promoted item
+                    # stands for exactly 2 removed ones — retained weight
+                    # stays equal to n (reference leaves the odd item too)
+                    if len(srt) % 2 == 1:
+                        leftover = srt[:1]
+                        srt = srt[1:]
+                    else:
+                        leftover = np.zeros(0, dtype=np.float64)
                     offset = int(self._rng.integers(2))
                     promoted = srt[offset::2]
                     if i + 1 == len(self.levels):
@@ -73,7 +81,7 @@ class KllSketch:
                     self.levels[i + 1] = np.concatenate(
                         [self.levels[i + 1], promoted]
                     )
-                    self.levels[i] = np.zeros(0, dtype=np.float64)
+                    self.levels[i] = leftover
                     break
             else:
                 break

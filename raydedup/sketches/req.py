@@ -54,6 +54,9 @@ class _Compactor:
         region = min(region, len(srt) // 2 if len(srt) >= 2 else 0)
         if region < 2:
             region = min(2, len(srt))
+        # even region: each promoted item stands for exactly 2 removed ones,
+        # so retained weight stays equal to n (same invariant as KLL)
+        region &= ~1
         if self.hra:
             # protect the HIGH end: compact the lowest `region` items
             comp, keep = srt[:region], srt[region:]
@@ -162,7 +165,8 @@ class ReqSketch:
         return sum(len(c.items) for c in self.compactors)
 
     def rse(self, rank: float) -> float:
-        """Approximate relative std error at a rank (ReqSketch.getRSE
-        shape): ~ 0.084/k relative to the distance from the accurate end."""
+        """Approximate relative standard error at a rank, dimensionless in
+        [0, 1] (BaseReqSketch.getRSE contract): ~0.084/k scaled by the
+        distance from the accurate end (HRA: accurate near rank 1)."""
         d = (1.0 - rank) if self.hra else rank
-        return 0.084 / self.k * max(d, 1e-12) * self.n
+        return 0.084 / self.k * max(d, 1e-12)

@@ -134,6 +134,14 @@ class PrioritySample:
         self.keys = self.keys[idx]
         self.weights = self.weights[idx]
         self.priorities = self.priorities[idx]
+        # items with priority <= merged tau are no longer a valid priority
+        # sample at the merged threshold: they would be counted as included
+        # w.p. 1 while actually sub-threshold, biasing subset sums upward
+        if self.tau > 0.0:
+            keep = self.priorities > self.tau
+            self.keys = self.keys[keep]
+            self.weights = self.weights[keep]
+            self.priorities = self.priorities[keep]
         self._trim()
         return self
 
