@@ -582,6 +582,46 @@ shing AS (
 """
 
 
+def _lang_id_sql() -> str:
+    """DuckDB mirror of raydedup.textstats.lang_id (same profiles, same
+    first-max-wins order, same IEEE-double ratio + floor quantization)."""
+    from raydedup.textstats import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"], x))) AS h_{lang}"
+        for lang in langs
+    )
+    # first max in profile order wins (argmax-first semantics)
+    case_parts = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{other}" for other in langs[i + 1 :])
+        case_parts.append(f"WHEN {conds} THEN '{lang}'")
+    best_case = "CASE " + " ".join(case_parts) + f" ELSE '{langs[-1]}' END"
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    return rf"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN lt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(lt, '\s+') END AS toks
+  FROM t),
+h AS (SELECT doc_id, len(toks) AS n,
+    {hit_cols}
+  FROM tk),
+b AS (SELECT doc_id, n, {greatest} AS best_hits, {best_case} AS best_lang FROM h)
+SELECT doc_id,
+  CASE WHEN n > 0 AND best_hits > 0
+            AND CAST(best_hits AS DOUBLE) / n >= 0.02
+       THEN best_lang ELSE 'und' END AS lang_pred,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE floor(CAST(best_hits AS DOUBLE) / n * 1e6) / 1e6 END AS lang_score
+FROM b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     corpus = _corpus_cte()
     return {
@@ -700,6 +740,52 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
        count(*) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
 FROM events GROUP BY 1, 2
+""",
+        "lang_id": _lang_id_sql(),
+        "quality_scores": r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_cnt,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CAST(n_tokens AS DOUBLE) AS nt,
+         CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1) AS punct,
+         CAST(digit_cnt AS DOUBLE) / greatest(n_chars, 1) AS digit
+  FROM s)
+SELECT doc_id,
+  floor((0.6 * (least(greatest(nt / 50.0, 0.0), 1.0)
+                * least(greatest(2.0 - nt / 5000.0, 0.0), 1.0))
+       + 0.4 * least(greatest(1.0 - 3.0 * (punct + digit), 0.0), 1.0)) * 1e6)
+    / 1e6 AS quality
+FROM r
+""",
+        "top_dup_repos": f"""
+WITH {corpus}, {_SHINGLES_CTE},
+e AS (SELECT id, unnest(sh) g FROM shing),
+cand AS (SELECT DISTINCT a.id src, b.id dst FROM e a JOIN e b ON a.g = b.g AND a.id < b.id),
+pj AS (
+  SELECT src, dst,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) jaccard
+  FROM cand JOIN shing sa ON sa.id = cand.src JOIN shing sb ON sb.id = cand.dst),
+pairs AS (SELECT src, dst FROM pj WHERE jaccard >= 0.7),
+rp AS (
+  SELECT ca.repo AS repo, cb.repo AS partner
+  FROM pairs JOIN corpus ca ON ca.id = pairs.src
+             JOIN corpus cb ON cb.id = pairs.dst
+  UNION ALL
+  SELECT cb.repo, ca.repo
+  FROM pairs JOIN corpus ca ON ca.id = pairs.src
+             JOIN corpus cb ON cb.id = pairs.dst
+)
+SELECT repo, CAST(count(DISTINCT partner) AS BIGINT) AS distinct_partner_repos
+FROM rp GROUP BY repo
+ORDER BY distinct_partner_repos DESC, repo ASC LIMIT 10
 """,
         "text_stats": r"""
 SELECT doc_id,

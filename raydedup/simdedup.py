@@ -4,7 +4,20 @@ For 64-bit SimHash fingerprints and a Hamming radius d, split the
 fingerprint into d+1 equal chunks: any pair within distance d must agree on
 at least one chunk (pigeonhole). Group by (chunk_idx, chunk_value), verify
 Hamming distance inside buckets — the classic Manku/Jain/Sarma 2007
-near-duplicate scheme, here as one Ray groupby.
+near-duplicate scheme.
+
+Scale shape (mirrors the MinHash-LSH tier in stages.py):
+
+* one all-to-all on chunk keys, hash-partitioned into ~2×CPU partition
+  groups (`grouped_blocks`) — block-vectorized bucket processing, NOT a
+  python call per bucket group;
+* pair uniqueness via the OWNER-CHUNK rule: a qualifying pair is emitted
+  only by the smallest chunk index on which the two fingerprints agree, so
+  no downstream dedup shuffle is needed;
+* buckets larger than ``max_bucket`` degrade to a representative star
+  (min-id member vs up to ``bucket_ceiling`` others) instead of silently
+  returning zero pairs — recall on skewed buckets is reduced, never void,
+  and the rows are flagged ``capped``.
 """
 
 from __future__ import annotations
@@ -23,7 +36,8 @@ U64 = np.uint64
 
 
 class SimhashChunkEmit:
-    """(id, simhash) → (chunk_key, id, simhash) rows, n_chunks per row."""
+    """(id, simhash) → (chunk_key, chunk_idx, id, simhash) rows, n_chunks
+    per input row."""
 
     def __init__(self, n_chunks: int):
         if 64 % n_chunks:
@@ -44,19 +58,123 @@ class SimhashChunkEmit:
         n = len(ids)
         mask = U64((1 << self.width) - 1)
         keys = np.empty(n * self.n_chunks, dtype=np.uint64)
+        cidx = np.empty(n * self.n_chunks, dtype=np.int64)
         for c in range(self.n_chunks):
             chunk = (sim >> U64(c * self.width)) & mask
             # mix chunk idx into the key so chunks never cross-collide
             keys[c * n : (c + 1) * n] = splitmix64(
                 chunk ^ (U64(0xC00C) + U64(c) * U64(0x9E3779B97F4A7C15))
             )
+            cidx[c * n : (c + 1) * n] = c
         return pa.table(
             {
                 "chunk_key": pa.array(keys, type=pa.uint64()),
+                "chunk_idx": pa.array(cidx, type=pa.int64()),
                 "id": pa.array(np.tile(ids, self.n_chunks), type=pa.int64()),
                 "simhash": pa.array(np.tile(sim, self.n_chunks), type=pa.uint64()),
             }
         )
+
+
+def make_simhash_block_verifier(
+    d: int,
+    n_chunks: int,
+    max_bucket: int = 4096,
+    bucket_ceiling: int = 4096,
+):
+    """Block processor for hash-partitioned chunk rows: verifies every
+    bucket in the partition in one python call (vectorized inside).
+
+    Emits (src, dst, hamming, capped) with src < dst; each qualifying pair
+    appears exactly once globally (owner-chunk rule)."""
+    width = 64 // n_chunks
+    mask = U64((1 << width) - 1)
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.bool_()),
+            }
+        )
+
+    def verify_block(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return _empty()
+        keys = block.column("chunk_key").to_numpy()
+        ids_all = block.column("id").to_numpy()
+        sim_all = block.column("simhash").to_numpy().astype(np.uint64)
+        cidx_all = block.column("chunk_idx").to_numpy()
+        order = np.lexsort((ids_all, keys))
+        keys = keys[order]
+        ids_all = ids_all[order]
+        sim_all = sim_all[order]
+        cidx_all = cidx_all[order]
+
+        boundaries = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ends = np.concatenate([boundaries[1:], [n]])
+        multi = (ends - boundaries) >= 2
+        if not multi.any():
+            return _empty()
+
+        out_src: list[np.ndarray] = []
+        out_dst: list[np.ndarray] = []
+        out_ham: list[np.ndarray] = []
+        out_cap: list[np.ndarray] = []
+
+        for s, e in zip(boundaries[multi], ends[multi]):
+            u = ids_all[s:e]
+            x = sim_all[s:e]
+            # one row per id per chunk upstream, but stay safe under replays
+            keep = np.concatenate([[True], u[1:] != u[:-1]])
+            u, x = u[keep], x[keep]
+            m = len(u)
+            if m < 2:
+                continue
+            if m <= max_bucket:
+                ia, ib = np.triu_indices(m, k=1)
+                capped = False
+            else:
+                # representative star: min-id member vs up to ceiling others
+                limit = min(m, bucket_ceiling)
+                ia = np.zeros(limit - 1, dtype=np.int64)
+                ib = np.arange(1, limit)
+                capped = True
+            diff = x[ia] ^ x[ib]
+            ham = popcount64(diff)
+            hm = ham <= d
+            if not hm.any():
+                continue
+            ia, ib, diff, ham = ia[hm], ib[hm], diff[hm], ham[hm]
+            # owner-chunk rule: emit only from the smallest agreeing chunk
+            my_chunk = int(cidx_all[s])
+            owner = np.full(len(diff), n_chunks, dtype=np.int64)
+            for c in range(n_chunks - 1, -1, -1):
+                agree = (diff >> U64(c * width)) & mask == 0
+                owner[agree] = c
+            om = owner == my_chunk
+            if not om.any():
+                continue
+            out_src.append(u[ia[om]])
+            out_dst.append(u[ib[om]])
+            out_ham.append(ham[om].astype(np.int64))
+            out_cap.append(np.full(int(om.sum()), capped, dtype=bool))
+
+        if not out_src:
+            return _empty()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(out_src), type=pa.int64()),
+                "dst": pa.array(np.concatenate(out_dst), type=pa.int64()),
+                "hamming": pa.array(np.concatenate(out_ham), type=pa.int64()),
+                "capped": pa.array(np.concatenate(out_cap), type=pa.bool_()),
+            }
+        )
+
+    return verify_block
 
 
 def simhash_dup_pairs(
@@ -64,12 +182,17 @@ def simhash_dup_pairs(
     cfg: SigConfig = DEFAULT_CONFIG,
     max_hamming: int | None = None,
     max_bucket: int = 4096,
+    bucket_ceiling: int = 4096,
 ) -> "ray.data.Dataset":
     """→ (src, dst, hamming) pairs with Hamming(simhash) <= max_hamming.
 
-    Guaranteed-complete for max_hamming <= n_chunks - 1 (pigeonhole). Uses
+    Guaranteed-complete for max_hamming <= n_chunks - 1 (pigeonhole) when
+    no bucket exceeds ``max_bucket``; over-size buckets degrade to a
+    representative star instead of dropping out. Uses
     n_chunks = max_hamming + 1 rounded to a divisor of 64.
     """
+    from .pipeline import grouped_blocks
+
     d = cfg.simhash_max_hamming if max_hamming is None else max_hamming
     n_chunks = next(c for c in (1, 2, 4, 8, 16) if c >= d + 1)
 
@@ -77,38 +200,6 @@ def simhash_dup_pairs(
     chunked = sigs.select_columns(["id", "simhash", "n_shingles"]).map_batches(
         SimhashChunkEmit(n_chunks), batch_format="pyarrow"
     )
-
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("id").to_numpy()
-        sim = group.column("simhash").to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sim = ids[order], sim[order]
-        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
-        ids, sim = ids[keep], sim[keep]
-        n = len(ids)
-        empty = pa.table(
-            {
-                "src": pa.array([], pa.int64()),
-                "dst": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int64()),
-            }
-        )
-        if n < 2 or n > max_bucket:
-            return empty
-        iu = np.triu_indices(n, k=1)
-        ham = popcount64(sim[iu[0]] ^ sim[iu[1]])
-        m = ham <= d
-        return pa.table(
-            {
-                "src": pa.array(ids[iu[0][m]]),
-                "dst": pa.array(ids[iu[1][m]]),
-                "hamming": pa.array(ham[m]),
-            }
-        )
-
-    pairs = chunked.groupby("chunk_key").map_groups(verify, batch_format="pyarrow")
-
-    def dedup(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return pairs.groupby(["src", "dst"]).map_groups(dedup, batch_format="pyarrow")
+    verify_block = make_simhash_block_verifier(d, n_chunks, max_bucket, bucket_ceiling)
+    pairs = grouped_blocks(chunked, "chunk_key", verify_block)
+    return pairs.select_columns(["src", "dst", "hamming"])

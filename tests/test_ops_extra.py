@@ -106,3 +106,48 @@ def test_audit_recall(ray_session):
     assert audit.truth_pairs_in_sample > 0
     assert audit.recall_lb <= audit.recall_estimate <= audit.recall_ub
     assert audit.recall_estimate >= 0.8
+
+
+def test_simhash_block_verifier_oversize_bucket_star_fallback():
+    """A bucket larger than max_bucket must NOT silently return zero pairs:
+    it degrades to a representative star (min id vs others)."""
+    from raydedup.simdedup import make_simhash_block_verifier
+
+    n = 5000  # > max_bucket
+    ids = np.arange(n, dtype=np.int64)
+    sims = np.full(n, 0xDEADBEEF_12345678, dtype=np.uint64)  # all identical
+    block = pa.table(
+        {
+            "chunk_key": pa.array(np.full(n, 7, dtype=np.uint64), pa.uint64()),
+            "chunk_idx": pa.array(np.zeros(n, dtype=np.int64)),
+            "id": pa.array(ids),
+            "simhash": pa.array(sims, pa.uint64()),
+        }
+    )
+    verify = make_simhash_block_verifier(d=3, n_chunks=4, max_bucket=4096)
+    out = verify(block)
+    assert len(out) == 4095  # ceiling-1 star edges, not zero
+    assert (out.column("src").to_numpy() == 0).all()
+    assert out.column("capped").to_numpy().all()
+    assert (out.column("hamming").to_numpy() == 0).all()
+
+
+def test_simhash_owner_chunk_uniqueness(ray_session):
+    """Identical fingerprints agree on every chunk; the owner rule must emit
+    each pair exactly once globally (no dedup groupby downstream)."""
+    import ray.data
+
+    from raydedup.simdedup import simhash_dup_pairs
+
+    # 6 identical docs -> all 15 pairs, each exactly once
+    content = " ".join(f"tok{i}" for i in range(100))
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(6, dtype=np.int64)),
+            "content": pa.array([content] * 6),
+        }
+    )
+    out = simhash_dup_pairs(ray.data.from_arrow(tbl), CFG, max_hamming=3).to_pandas()
+    pairs = list(zip(out["src"], out["dst"]))
+    assert len(pairs) == len(set(pairs)) == 15
+    assert (out["hamming"] == 0).all()
