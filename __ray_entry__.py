@@ -259,8 +259,9 @@ def _q_embedding_dup_pairs(sf_dir: str):
     from raydedup.embed import embedding_dup_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    # n_bits=0 → single bucket → exact all-pairs verification (oracle mode)
-    return embedding_dup_pairs(emb, threshold=0.45, n_bits=0)
+    # n_bits=0 → single bucket → exact all-pairs verification (oracle mode);
+    # max_bucket raised so the single bucket is never star-degraded
+    return embedding_dup_pairs(emb, threshold=0.45, n_bits=0, max_bucket=1 << 20)
 
 
 def _q_embedding_dup_pairs_lsh(sf_dir: str):
@@ -269,7 +270,9 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
     from raydedup.embed import embedding_dup_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dup_pairs(emb, threshold=0.45, n_bits=4)
+    # 16 hyperplane tables: recall >= 0.95 vs the exact tier at this
+    # threshold (measured 1.0 at sf0.01; tests/test_textstats_embed.py)
+    return embedding_dup_pairs(emb, threshold=0.45, n_bits=4, n_tables=16)
 
 
 def _q_text_stats(sf_dir: str):

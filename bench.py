@@ -112,12 +112,12 @@ def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
         emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
         first = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
         q = np.stack(first["embedding"].to_numpy())
-        ann_topk(
+        assert ann_topk(
             ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
             q,
             first["vec_id"].to_numpy(),
             k=10,
-        ).count()
+        ).num_rows > 0
         queries["ann_topk"] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)

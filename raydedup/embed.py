@@ -1,14 +1,23 @@
 """Embedding similarity: brute-force cosine top-k + LSH-bucketed near-dup.
 
 * ``ann_topk`` — baseline exact ANN: the (small) query matrix is broadcast
-  once via ``ray.put`` and every map_batches task scores its batch against
-  it with one float64 matmul (zero re-shipping per batch).
+  once via ``ray.put``; every map_batches task scores its batch with one
+  float64 matmul and PRE-CUTS to the per-query top-k inside the batch, so
+  only ``n_blocks * nq * k`` candidate rows ever leave the map stage. The
+  final cut is a tiny AggregateFn whose partials merge in the combiner
+  tree — no Sort all-to-all over the n×nq scored rows.
 * ``random_hyperplane_buckets`` / ``embedding_dup_pairs`` — SimHash-for-
   vectors (Charikar random hyperplanes): bucket by sign pattern, verify
   cosine within buckets — the scale path for embedding near-dup detection.
+  ``n_tables`` independent hyperplane tables raise recall at lower
+  thresholds (pair uniqueness via the owner-table rule, no dedup shuffle);
+  buckets over ``max_bucket`` degrade to a representative star instead of
+  going quadratic.
 """
 
 from __future__ import annotations
+
+import pickle
 
 import numpy as np
 import pyarrow as pa
@@ -51,7 +60,9 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
 
 
 class AnnScorer:
-    """Actor-pool stage: scores batches against a broadcast query matrix."""
+    """Actor-pool stage: scores batches against a broadcast query matrix and
+    pre-cuts each batch to the per-query top-k (cosine desc, vec_id asc) —
+    output is ≤ nq*k rows per batch regardless of batch size."""
 
     def __init__(self, queries_ref, query_ids, k: int):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
@@ -64,13 +75,35 @@ class AnnScorer:
         cos = quantized_cosine(m, self.q)  # (batch, nq)
         vec_ids = batch.column("vec_id").to_numpy()
         nq = cos.shape[1]
+        kk = min(self.k, len(vec_ids))
+        out_q, out_v, out_c = [], [], []
+        for qi in range(nq):
+            # ties at the k boundary must cut exactly like the final merge
+            order = np.lexsort((vec_ids, -cos[:, qi]))[:kk]
+            out_q.append(np.full(kk, self.query_ids[qi], dtype=np.int64))
+            out_v.append(vec_ids[order])
+            out_c.append(cos[order, qi])
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(self.query_ids, len(vec_ids))),
-                "vec_id": pa.array(np.tile(vec_ids, nq)),
-                "cosine": pa.array(cos.T.reshape(-1)),
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c)),
             }
         )
+
+
+def _topk_merge_into(state: dict, qids, vids, coss, k: int) -> dict:
+    """Merge candidate rows into a per-query (cosines, vec_ids) top-k state."""
+    for q in np.unique(qids):
+        m = qids == q
+        if q in state:
+            c = np.concatenate([state[q][0], coss[m]])
+            v = np.concatenate([state[q][1], vids[m]])
+        else:
+            c, v = coss[m], vids[m]
+        order = np.lexsort((v, -c))[:k]
+        state[q] = (c[order], v[order])
+    return state
 
 
 def ann_topk(
@@ -78,10 +111,14 @@ def ann_topk(
     queries: np.ndarray,
     query_ids: np.ndarray,
     k: int = 10,
-) -> "ray.data.Dataset":
-    """Exact top-k by cosine per query. Scoring is distributed; the final
-    top-k cut is a per-query groupby (small: nq * n rows pre-cut is avoided
-    by per-batch pre-cut to k)."""
+) -> pa.Table:
+    """Exact top-k by cosine per query (ties: vec_id asc).
+
+    Scoring is distributed with a per-batch pre-cut; the final cut is an
+    AggregateFn over the ≤ n_blocks*nq*k candidate rows, merged in Ray's
+    combiner tree — the scored dataset is never sorted or shuffled."""
+    from ray.data.aggregate import AggregateFn
+
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
 
     scored = embeddings.map_batches(
@@ -92,38 +129,189 @@ def ann_topk(
         batch_size=4096,
     )
 
-    def topk_per_query(group: pa.Table) -> pa.Table:
-        cos = group.column("cosine").to_numpy()
-        vid = group.column("vec_id").to_numpy()
-        # deterministic: cosine desc, vec_id asc tiebreak
-        order = np.lexsort((vid, -cos))[:k]
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        st = pickle.loads(state) if state else {}
+        st = _topk_merge_into(
+            st,
+            block.column("query_id").to_numpy(),
+            block.column("vec_id").to_numpy(),
+            block.column("cosine").to_numpy(),
+            k,
+        )
+        return pickle.dumps(st)
+
+    def mrg(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps({})
+        if not b:
+            return a
+        st = pickle.loads(a)
+        for q, (c, v) in pickle.loads(b).items():
+            st = _topk_merge_into(st, np.full(len(v), q), v, c, k)
+        return pickle.dumps(st)
+
+    res = scored.aggregate(
+        AggregateFn(
+            init=lambda key: None,
+            accumulate_block=acc,
+            merge=mrg,
+            finalize=lambda s: s,
+            name="topk",
+        )
+    )
+    state: dict = pickle.loads(res["topk"]) if res["topk"] else {}
+    out_q, out_v, out_c = [], [], []
+    for q in sorted(state):
+        c, v = state[q]
+        out_q.append(np.full(len(v), q, dtype=np.int64))
+        out_v.append(v)
+        out_c.append(c)
+    if not out_q:
         return pa.table(
             {
-                "query_id": group.column("query_id").take(pa.array(order)),
-                "vec_id": pa.array(vid[order]),
-                "cosine": pa.array(cos[order]),
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
             }
         )
-
-    return scored.groupby("query_id").map_groups(topk_per_query, batch_format="pyarrow")
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cosine": pa.array(np.concatenate(out_c)),
+        }
+    )
 
 
 class HyperplaneBucketStage:
-    """vector → LSH bucket via random-hyperplane sign bits (seeded)."""
+    """vector → one row per LSH table: (bucket, table_idx, all_keys, ...).
 
-    def __init__(self, dim: int, n_bits: int = 16, seed: int = 9001):
+    ``all_keys`` carries the row's bucket keys for EVERY table (n_tables
+    little-endian uint64s) so in-bucket verification can apply the
+    owner-table rule (emit a pair only from the first table where the two
+    vectors co-bucket) without a downstream dedup shuffle."""
+
+    def __init__(self, dim: int, n_bits: int = 16, seed: int = 9001, n_tables: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_bits))
+        self.n_tables = n_tables
+        self.planes = [rng.standard_normal((dim, n_bits)) for _ in range(n_tables)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, "embedding")
-        bits = (m @ self.planes) > 0
-        key = np.zeros(len(m), dtype=np.uint64)
-        for b in range(bits.shape[1]):
-            key |= bits[:, b].astype(np.uint64) << np.uint64(b)
-        out = {name: batch.column(name) for name in batch.column_names}
-        out["bucket"] = pa.array(key, type=pa.uint64())
-        return pa.table(out)
+        n = len(m)
+        keys = np.zeros((n, self.n_tables), dtype=np.uint64)
+        for t, planes in enumerate(self.planes):
+            bits = (m @ planes) > 0
+            key = np.zeros(n, dtype=np.uint64)
+            for b in range(bits.shape[1]):
+                key |= bits[:, b].astype(np.uint64) << np.uint64(b)
+            # mix table idx in so tables never cross-collide
+            keys[:, t] = key ^ (np.uint64(t) * np.uint64(0x9E3779B97F4A7C15))
+        blob = keys.astype("<u8").tobytes()
+        width = 8 * self.n_tables
+        all_keys = pa.Array.from_buffers(
+            pa.binary(width), n, [None, pa.py_buffer(blob)]
+        )
+        parts = []
+        for t in range(self.n_tables):
+            cols = {name: batch.column(name) for name in batch.column_names}
+            cols["bucket"] = pa.array(keys[:, t], type=pa.uint64())
+            cols["table_idx"] = pa.array(np.full(n, t, dtype=np.int64))
+            cols["all_keys"] = all_keys
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+
+def make_embedding_block_verifier(
+    threshold: float, n_tables: int, max_bucket: int = 4096
+):
+    """Block processor for hash-partitioned bucket rows: verifies every
+    bucket in the partition in one python call. Pairs are globally unique
+    (owner-table rule); over-size buckets degrade to a representative star."""
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+
+    def verify_block(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return _empty()
+        buckets = block.column("bucket").to_numpy()
+        ids_all = block.column("vec_id").to_numpy()
+        order = np.lexsort((ids_all, buckets))
+        buckets, ids_all = buckets[order], ids_all[order]
+        tidx_all = block.column("table_idx").to_numpy()[order]
+        emb_all = _batch_matrix(block, "embedding")[order]
+        ak = block.column("all_keys")
+        if isinstance(ak, pa.ChunkedArray):
+            ak = ak.combine_chunks()
+        keys_all = np.frombuffer(
+            ak.buffers()[1], dtype="<u8", count=n * n_tables, offset=ak.offset * 8 * n_tables
+        ).reshape(n, n_tables)[order]
+
+        bnd = np.flatnonzero(np.concatenate([[True], buckets[1:] != buckets[:-1]]))
+        ends = np.concatenate([bnd[1:], [n]])
+        multi = (ends - bnd) >= 2
+        if not multi.any():
+            return _empty()
+
+        out_src, out_dst, out_cos = [], [], []
+        for s, e in zip(bnd[multi], ends[multi]):
+            u = ids_all[s:e]
+            keep = np.concatenate([[True], u[1:] != u[:-1]])
+            rows = np.flatnonzero(keep) + s
+            u = u[keep]
+            m = len(u)
+            if m < 2:
+                continue
+            if m <= max_bucket:
+                ia, ib = np.triu_indices(m, k=1)
+            else:
+                limit = min(m, max_bucket)
+                ia = np.zeros(limit - 1, dtype=np.int64)
+                ib = np.arange(1, limit)
+            ra, rb = rows[ia], rows[ib]
+            # rowwise cosine (same IEEE op sequence as quantized_cosine)
+            qa, qb = quantize(emb_all[ra]), quantize(emb_all[rb])
+            dots = (qa * qb).sum(axis=1)
+            na = np.sqrt((qa * qa).sum(axis=1))
+            nb = np.sqrt((qb * qb).sum(axis=1))
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            c = dots / (na * nb)
+            km = c >= threshold
+            if not km.any():
+                continue
+            ia, ib, ra, rb, c = ia[km], ib[km], ra[km], rb[km], c[km]
+            if n_tables > 1:
+                my_t = int(tidx_all[s])
+                eq = keys_all[ra] == keys_all[rb]  # (pairs, n_tables)
+                owner = np.argmax(eq, axis=1)  # first co-bucketing table
+                om = owner == my_t
+                if not om.any():
+                    continue
+                ia, ib, c = ia[om], ib[om], c[om]
+            out_src.append(u[ia])
+            out_dst.append(u[ib])
+            out_cos.append(c)
+
+        if not out_src:
+            return _empty()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(out_src), type=pa.int64()),
+                "dst": pa.array(np.concatenate(out_dst), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_cos)),
+            }
+        )
+
+    return verify_block
 
 
 def embedding_dup_pairs(
@@ -132,38 +320,30 @@ def embedding_dup_pairs(
     n_bits: int = 12,
     seed: int = 9001,
     dim: int | None = None,
+    n_tables: int = 1,
+    max_bucket: int = 4096,
 ) -> "ray.data.Dataset":
     """Near-duplicate vector pairs (cosine >= threshold) via hyperplane-LSH
-    bucketing + in-bucket exact verification. High thresholds keep the
-    hyperplane miss probability negligible (theta = arccos(t))."""
+    bucketing + in-bucket exact verification.
+
+    High thresholds keep the single-table hyperplane miss probability
+    negligible (theta = arccos(t)); for lower thresholds raise ``n_tables``
+    — a pair within angle theta co-buckets in at least one of T tables with
+    probability 1 - (1 - (1 - theta/pi)^n_bits)^T. Output pairs are unique
+    without any dedup shuffle (owner-table rule)."""
+    from .pipeline import grouped_blocks
+
     if dim is None:
         first = embeddings.take_batch(1, batch_format="pyarrow")
         dim = len(first.column("embedding")[0])
 
     bucketed = embeddings.map_batches(
         HyperplaneBucketStage,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed},
+        fn_constructor_kwargs={
+            "dim": dim, "n_bits": n_bits, "seed": seed, "n_tables": n_tables
+        },
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-
-    def verify(group: pa.Table) -> pa.Table:
-        m = _batch_matrix(group, "embedding")
-        ids = group.column("vec_id").to_numpy()
-        if len(ids) < 2:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        cos = quantized_cosine(m, m)
-        iu = np.triu_indices(len(ids), k=1)
-        c = cos[iu]
-        keep = c >= threshold
-        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table(
-            {"src": pa.array(lo), "dst": pa.array(hi),
-             "cosine": pa.array(c[keep])}
-        )
-
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    verify_block = make_embedding_block_verifier(threshold, n_tables, max_bucket)
+    return grouped_blocks(bucketed, "bucket", verify_block)

@@ -75,3 +75,81 @@ def test_quantized_cosine_deterministic_and_close():
     assert np.allclose(np.diag(c1), 1.0, atol=1e-5)
     true = a.astype(np.float64) @ a.astype(np.float64).T
     assert np.abs(c1 - true).max() < 1e-4
+
+
+def test_embedding_lsh_recall_vs_exact(ray_session):
+    """LSH mode (n_bits=4, n_tables=16) must reach >=0.95 recall vs the
+    exact all-pairs tier at threshold 0.45, with globally unique pairs
+    (owner-table rule) and no false positives (cosine is verified)."""
+    import ray.data
+
+    from raydedup.embed import embedding_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_dup_pairs(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet"),
+        threshold=0.45, n_bits=0, max_bucket=1 << 20,
+    ).to_pandas()
+    ex = set(zip(exact["src"], exact["dst"]))
+    got = embedding_dup_pairs(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet"),
+        threshold=0.45, n_bits=4, n_tables=16,
+    ).to_pandas()
+    g = list(zip(got["src"], got["dst"]))
+    assert len(g) == len(set(g)), "duplicate pairs emitted"
+    assert len(set(g) - ex) == 0, "false positives"
+    assert len(set(g) & ex) / max(len(ex), 1) >= 0.95
+
+
+def test_embedding_oversize_bucket_star_fallback():
+    """Buckets over max_bucket degrade to a representative star, not zero."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.embed import make_embedding_block_verifier
+
+    n = 300
+    emb = np.tile(np.linspace(0.1, 0.9, 64), (n, 1))
+    keys = np.full(n, 5, dtype=np.uint64)
+    block = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+            "bucket": pa.array(keys, pa.uint64()),
+            "table_idx": pa.array(np.zeros(n, dtype=np.int64)),
+            "all_keys": pa.array(
+                [keys[:1].astype("<u8").tobytes()] * n, pa.binary(8)
+            ),
+        }
+    )
+    verify = make_embedding_block_verifier(threshold=0.9, n_tables=1, max_bucket=100)
+    out = verify(block)
+    assert len(out) == 99  # star edges from vec 0, not zero and not n*(n-1)/2
+    assert (out.column("src").to_numpy() == 0).all()
+
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from raydedup.embed import ann_topk, quantized_cosine
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    mat = np.stack([np.asarray(v) for v in tbl["embedding"].to_pylist()])
+    vids = np.asarray(tbl["vec_id"].to_pylist())
+    q = mat[:3]
+    qids = vids[:3]
+    # small batch size forces many per-batch pre-cuts + combiner merges
+    out = ann_topk(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet").repartition(8),
+        q, qids, k=5,
+    ).to_pandas()
+    cos = quantized_cosine(mat, q)
+    for i, qid in enumerate(qids):
+        order = np.lexsort((vids, -cos[:, i]))[:5]
+        want = list(vids[order])
+        got = list(out[out["query_id"] == qid].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True])["vec_id"])
+        assert got == want, (qid, got, want)
