@@ -123,49 +123,70 @@ def exact_edges(sigs: "ray.data.Dataset") -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-class BandKeyHHPartial:
-    """Per-block Misra-Gries partial sketch of band-key frequencies; blocks
-    merge on the driver (frequencies-sketch partial+final split)."""
-
-    def __init__(self, cfg: SigConfig, map_size: int = 4096):
-        self.cfg = cfg
-        self.map_size = map_size
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        n = len(batch)
-        if n == 0:
-            return pa.table({"sketch": pa.array([], pa.large_binary())})
-        mh = np.frombuffer(
-            b"".join(batch.column("minhash").to_pylist()), dtype=np.uint64
-        ).reshape(n, cfg.num_perm)
-        nsh = batch.column("n_shingles").to_numpy()
-        bh = band_hashes(mh, cfg.bands, cfg.rows_per_band, cfg.seed)
-        sk = FrequentKeysSketch(self.map_size)
-        valid = nsh > 0
-        for b in range(cfg.bands):
-            keys = make_band_key(np.full(n, b, dtype=np.uint64), bh[:, b])[valid]
-            sk.update_many(keys.view(np.int64))
-        return pa.table({"sketch": pa.array([sk.serialize()], pa.large_binary())})
-
-
 def detect_hot_band_keys(sigs: "ray.data.Dataset", cfg: SigConfig) -> dict[int, int]:
     """Merged heavy-hitter pass → {band_key: n_salt_subbuckets}.
+
+    The Misra-Gries partials accumulate per BLOCK and merge in Ray's
+    AggregateFn combiner tree — the driver receives exactly ONE merged
+    sketch, never the per-block partials (at 10^12 rows the old
+    take_all()-of-partials pattern would ship ~1e8 sketches driver-side).
 
     Hot selection uses the LOWER-bound count (NO_FALSE_POSITIVES): a missed
     borderline-hot key only means an unsalted large bucket (handled by the
     bucket-ceiling ladder), while false positives would salt thousands of
     ordinary buckets and inflate the delegate round (observed with the
     upper-bound mode: MG offsets accumulated across block partials)."""
-    from .sketches.freq import NO_FALSE_POSITIVES
+    from ray.data.aggregate import AggregateFn
 
-    parts = sigs.map_batches(
-        BandKeyHHPartial(cfg, map_size=1 << 15), batch_format="pyarrow",
-        batch_size=8192,
-    ).take_all()
-    merged = FrequentKeysSketch(1 << 15)
-    for row in parts:
-        merged.merge(FrequentKeysSketch.deserialize(row["sketch"]))
+    from .sketches.freq import NO_FALSE_POSITIVES
+    from .stages import _binary_col_flat_u64
+
+    map_size = 1 << 15
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = (
+            FrequentKeysSketch.deserialize(state)
+            if state
+            else FrequentKeysSketch(map_size)
+        )
+        n = len(block)
+        if n == 0:
+            return sk.serialize()
+        mh_flat, _ = _binary_col_flat_u64(block.column("minhash"))
+        mh = mh_flat.reshape(n, cfg.num_perm)
+        nsh = block.column("n_shingles").to_numpy()
+        bh = band_hashes(mh, cfg.bands, cfg.rows_per_band, cfg.seed)
+        valid = nsh > 0
+        for b in range(cfg.bands):
+            keys = make_band_key(np.full(n, b, dtype=np.uint64), bh[:, b])[valid]
+            sk.update_many(keys.view(np.int64))
+        return sk.serialize()
+
+    def mrg(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or FrequentKeysSketch(map_size).serialize()
+        if not b:
+            return a
+        return (
+            FrequentKeysSketch.deserialize(a)
+            .merge(FrequentKeysSketch.deserialize(b))
+            .serialize()
+        )
+
+    res = sigs.select_columns(["minhash", "n_shingles"]).aggregate(
+        AggregateFn(
+            init=lambda key: None,
+            accumulate_block=acc,
+            merge=mrg,
+            finalize=lambda s: s,
+            name="hh",
+        )
+    )
+    merged = (
+        FrequentKeysSketch.deserialize(res["hh"])
+        if res.get("hh")
+        else FrequentKeysSketch(map_size)
+    )
     hot: dict[int, int] = {}
     for key, est in merged.get_frequent_items(
         cfg.max_bucket_size, NO_FALSE_POSITIVES
@@ -308,26 +329,22 @@ class _BroadcastVerify:
         self.ids, self.thetas, self.off, self.flat = table
         self.cfg = cfg
 
-    def _sk(self, i: int) -> np.ndarray:
-        return self.flat[self.off[i] : self.off[i + 1]]
-
     def _theta(self, t):
         return (t >> np.uint64(32)).astype(self.flat.dtype) if self.flat.dtype == np.uint32 else t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .stages import _kmv_jaccard_fast
+        from .stages import kmv_jaccard_many
 
         src = batch.column("src").to_numpy()
         dst = batch.column("dst").to_numpy()
         ia = np.searchsorted(self.ids, src)
         ib = np.searchsorted(self.ids, dst)
         thetas = self._theta(self.thetas)
-        jac = np.empty(len(src), dtype=np.float64)
-        for p in range(len(src)):
-            jac[p] = _kmv_jaccard_fast(
-                thetas[ia[p]], self._sk(ia[p]),
-                thetas[ib[p]], self._sk(ib[p]), self.cfg.kmv_k,
-            )
+        jac = kmv_jaccard_many(
+            self.flat, self.off[ia], self.off[ia + 1], thetas[ia],
+            self.flat, self.off[ib], self.off[ib + 1], thetas[ib],
+            self.cfg.kmv_k,
+        )
         keep = jac >= self.cfg.jaccard_threshold
         return pa.table(
             {

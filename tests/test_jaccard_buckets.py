@@ -92,3 +92,48 @@ def test_bucket_separation(ray_session, planted):
     true_js = [j for _, _, j in fp]
     assert max(true_js) < 0.72
     assert together(0.6) == 0.0
+
+
+def test_kmv_jaccard_many_matches_scalar():
+    """Vectorized block kernel must equal the scalar reference pairwise,
+    across exact/estimation mode, disjoint/overlapping and empty sketches."""
+    import numpy as np
+
+    from raydedup.kmv import MAX_THETA
+    from raydedup.stages import _kmv_jaccard_fast, kmv_jaccard_many
+
+    rng = np.random.default_rng(42)
+    k = 32
+    sketches = []
+    for i in range(40):
+        n = int(rng.integers(0, 70))
+        h = np.unique(rng.integers(0, 2**62, size=n, dtype=np.uint64))
+        h.sort()
+        if len(h) > k:
+            theta = h[k]
+            h = h[:k]
+        else:
+            theta = np.uint64(MAX_THETA)
+        # overlapping families: reuse half of a previous sketch sometimes
+        if i % 3 == 0 and sketches:
+            prev = sketches[-1][1]
+            h = np.unique(np.concatenate([h[: len(h) // 2], prev[: len(prev) // 2]]))
+            h = h[h < theta][:k]
+        sketches.append((theta, h))
+
+    flat = np.concatenate([h for _, h in sketches]) if sketches else np.zeros(0, np.uint64)
+    lens = np.array([len(h) for _, h in sketches], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    thetas = np.array([t for t, _ in sketches], dtype=np.uint64)
+
+    ia, ib = np.triu_indices(len(sketches), k=1)
+    got = kmv_jaccard_many(
+        flat, off[ia], off[ia + 1], thetas[ia],
+        flat, off[ib], off[ib + 1], thetas[ib], k,
+    )
+    for p in range(len(ia)):
+        want = _kmv_jaccard_fast(
+            thetas[ia[p]], sketches[ia[p]][1],
+            thetas[ib[p]], sketches[ib[p]][1], k,
+        )
+        assert got[p] == want, (p, got[p], want)
