@@ -197,6 +197,35 @@ def _q_theta_distinct_users_by_type(sf_dir: str):
     )
 
 
+def _q_cpc_distinct_customers(sf_dir: str):
+    """CPC distinct counter (cpc/CpcSketch.java role): distinct customers
+    per nation. Group cardinalities at correctness scale are far below
+    sqrt(2k), where the ICON estimate rounds to the exact count."""
+    import ray.data
+
+    from raydedup.aggregates import cpc_distinct
+
+    cu = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_custkey"]
+    )
+    out = cu.groupby("c_nationkey").aggregate(
+        cpc_distinct("c_custkey", lg_k=16, name="distinct_customers")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey"),
+                "distinct_customers": pa.array(
+                    np.round(
+                        b.column("distinct_customers").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_frequent_suppliers(sf_dir: str):
     """Heavy hitters: suppliers with > threshold lineitems (exact regime)."""
     import ray.data
@@ -544,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": _q_minhash_signatures,
         "theta_distinct_orders": _q_theta_distinct_orders,
         "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
+        "cpc_distinct_customers": _q_cpc_distinct_customers,
         "frequent_suppliers": _q_frequent_suppliers,
         "kll_quantiles_price": _q_kll_quantiles_price,
         "ann_topk": _q_ann_topk,
@@ -667,6 +697,10 @@ FROM lineitem GROUP BY l_returnflag
         "theta_distinct_users_by_type": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
 FROM events GROUP BY event_type
+""",
+        "cpc_distinct_customers": """
+SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_customers
+FROM customer GROUP BY c_nationkey
 """,
         "frequent_suppliers": """
 WITH n AS (SELECT count(*) c FROM lineitem)

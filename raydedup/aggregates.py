@@ -99,6 +99,34 @@ def hll_distinct(col: str, lg_k: int = 12, seed: int = 9001, name: str | None = 
     )
 
 
+def cpc_distinct(col: str, lg_k: int = 11, seed: int = 9001, name: str | None = None) -> AggregateFn:
+    """CPC-sketch distinct count of a column (cpc/CpcSketch.java role:
+    smallest-space mergeable counter). Partials OR-merge in the combiner
+    tree; finalize returns the ICON estimate."""
+    from .sketches.cpc import CpcSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = CpcSketch.deserialize(state) if state else CpcSketch(lg_k)
+        h = _column_theta_hashes(block, col, seed)
+        sk.update_hashes(h)
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or CpcSketch(lg_k).serialize()
+        if not b:
+            return a
+        return CpcSketch.deserialize(a).merge(CpcSketch.deserialize(b)).serialize()
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: CpcSketch.deserialize(s).estimate() if s else 0.0,
+        name=name or f"cpc_distinct({col})",
+    )
+
+
 def kll_quantile(
     col: str, ranks: list[float], k: int = 200, name: str | None = None
 ) -> AggregateFn:
