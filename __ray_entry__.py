@@ -247,6 +247,28 @@ def _q_frequent_suppliers(sf_dir: str):
     )
 
 
+def _q_frequent_part_types(sf_dir: str):
+    """Generic-item heavy hitters (frequencies/ItemsSketch role): part
+    types above a 5% frequency threshold, payloads preserved (exact regime:
+    distinct types << map size)."""
+    import ray.data
+
+    from raydedup.aggregates import frequent_items_generic
+    from raydedup.sketches.freq import FrequentItemsSketch
+
+    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
+    res = pt.aggregate(frequent_items_generic("p_type", max_map_size=1024, name="fi"))
+    sk = FrequentItemsSketch.deserialize(res["fi"])
+    thr = max(1, sk.stream_len // 20)
+    items = sorted(sk.get_frequent_items(thr), key=lambda t: (-t[1], t[0]))
+    return pa.table(
+        {
+            "p_type": pa.array([k for k, _ in items], pa.string()),
+            "est_count": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
 def _q_kll_quantiles_price(sf_dir: str):
     """KLL quantiles of l_extendedprice (exact regime at correctness sf)."""
     import ray.data
@@ -261,6 +283,24 @@ def _q_kll_quantiles_price(sf_dir: str):
         {
             "rank_q": pa.array(ranks, pa.float64()),
             "quantile_value": pa.array(qs, pa.float64()),
+        }
+    )
+
+
+def _q_kll_quantiles_part_names(sf_dir: str):
+    """Generic-item KLL (quantiles/ItemsSketch.java:150 role): quantiles of
+    the part-name string column by lexicographic order (exact regime)."""
+    import ray.data
+
+    from raydedup.aggregates import kll_quantile_items
+
+    ranks = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    res = pt.aggregate(kll_quantile_items("p_name", ranks, k=1 << 15, name="q"))
+    return pa.table(
+        {
+            "rank_q": pa.array(ranks, pa.float64()),
+            "quantile_value": pa.array(res["q"], pa.string()),
         }
     )
 
@@ -575,7 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
         "cpc_distinct_customers": _q_cpc_distinct_customers,
         "frequent_suppliers": _q_frequent_suppliers,
+        "frequent_part_types": _q_frequent_part_types,
         "kll_quantiles_price": _q_kll_quantiles_price,
+        "kll_quantiles_part_names": _q_kll_quantiles_part_names,
         "ann_topk": _q_ann_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
@@ -698,6 +740,12 @@ FROM lineitem GROUP BY l_returnflag
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
 FROM events GROUP BY event_type
 """,
+        "frequent_part_types": """
+WITH n AS (SELECT count(*) c FROM part)
+SELECT p_type, CAST(count(*) AS BIGINT) AS est_count
+FROM part GROUP BY p_type
+HAVING count(*) > greatest(1, (SELECT c FROM n) // 20)
+""",
         "cpc_distinct_customers": """
 SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_customers
 FROM customer GROUP BY c_nationkey
@@ -742,6 +790,14 @@ FROM qz a JOIN qz b ON a.vec_id < b.vec_id
 WHERE list_inner_product(a.qe, b.qe)
         / (sqrt(list_inner_product(a.qe, a.qe))
            * sqrt(list_inner_product(b.qe, b.qe))) >= 0.45
+""",
+        "kll_quantiles_part_names": """
+WITH qs AS (
+  SELECT quantile_disc(p_name, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) ql
+  FROM part)
+SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS rank_q,
+       unnest(ql) AS quantile_value
+FROM qs
 """,
         "kll_quantiles_price": """
 WITH qs AS (

@@ -157,6 +157,42 @@ def kll_quantile(
     )
 
 
+def kll_quantile_items(
+    col: str, ranks: list[float], k: int = 200, name: str | None = None
+) -> AggregateFn:
+    """KLL quantiles of a GENERIC comparable column (strings, ...) at the
+    given ranks (quantiles/ItemsSketch.java:150 role)."""
+    from .sketches.kll_items import KllItemsSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = KllItemsSketch.deserialize(state) if state else KllItemsSketch(k)
+        sk.update_many(block.column(col).to_pylist())
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or KllItemsSketch(k).serialize()
+        if not b:
+            return a
+        return (
+            KllItemsSketch.deserialize(a)
+            .merge(KllItemsSketch.deserialize(b))
+            .serialize()
+        )
+
+    def fin(state: bytes | None):
+        sk = KllItemsSketch.deserialize(state) if state else KllItemsSketch(k)
+        return sk.quantiles(ranks)
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=fin,
+        name=name or f"kll_quantile_items({col})",
+    )
+
+
 def reservoir_sample(col: str, k: int = 64, seed: int = 0, name: str | None = None) -> AggregateFn:
     """Uniform k-sample of a column (ReservoirItemsSketch partial+final)."""
     import pickle
@@ -256,6 +292,50 @@ def tuple_distinct_sum(
         accumulate_block=acc,
         finalize=fin,
         name=name or f"tuple_distinct_sum({key_col},{value_col})",
+    )
+
+
+def frequent_items_generic(
+    col: str, max_map_size: int = 4096, name: str | None = None
+) -> AggregateFn:
+    """Misra-Gries heavy hitters of a GENERIC (string, ...) column —
+    frequencies/ItemsSketch.java:150 role. Per-block counts come from one
+    vectorized pyarrow value_counts pass; the python loop is bounded by the
+    distinct count per block."""
+    import pyarrow.compute as pc
+
+    from .sketches.freq import FrequentItemsSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = (
+            FrequentItemsSketch.deserialize(state)
+            if state
+            else FrequentItemsSketch(max_map_size)
+        )
+        vc = pc.value_counts(block.column(col))
+        sk.update_many(
+            vc.field("values").to_pylist(),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+        )
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or FrequentItemsSketch(max_map_size).serialize()
+        if not b:
+            return a
+        return (
+            FrequentItemsSketch.deserialize(a)
+            .merge(FrequentItemsSketch.deserialize(b))
+            .serialize()
+        )
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: s,
+        name=name or f"frequent_items_generic({col})",
     )
 
 

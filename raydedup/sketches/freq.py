@@ -119,3 +119,41 @@ class FrequentKeysSketch:
         vals = np.frombuffer(buf[32 + 8 * n : 32 + 16 * n], dtype=np.int64)
         sk.counts = dict(zip(items.tolist(), vals.tolist()))
         return sk
+
+
+class FrequentItemsSketch(FrequentKeysSketch):
+    """Misra-Gries frequent items over GENERIC hashable items (strings, …)
+    — engine analog of frequencies/ItemsSketch.java:150. Same algorithm,
+    bounds and merge semantics as the int64 sketch; items stay items (no
+    pre-hashing, so the result still carries the original payloads).
+
+    Batch updates should pass pre-aggregated (keys, counts) — e.g. from
+    ``pyarrow.compute.value_counts`` — so the python dict loop is bounded
+    by the number of DISTINCT items in the batch."""
+
+    def update_many(self, keys, counts=None) -> None:  # type: ignore[override]
+        if counts is None:
+            ks, cs = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        else:
+            ks, cs = list(keys), np.asarray(counts)
+        self.stream_len += int(np.sum(cs))
+        d = self.counts
+        for key, cnt in zip(list(ks), np.asarray(cs).tolist()):
+            d[key] = d.get(key, self.offset) + int(cnt)
+        self._maybe_purge()
+
+    def serialize(self) -> bytes:  # type: ignore[override]
+        import pickle
+
+        return pickle.dumps(
+            (self.max_map_size, self.offset, self.stream_len, self.counts)
+        )
+
+    @staticmethod
+    def deserialize(buf: bytes) -> "FrequentItemsSketch":  # type: ignore[override]
+        import pickle
+
+        mms, off, sl, counts = pickle.loads(buf)
+        sk = FrequentItemsSketch(mms)
+        sk.offset, sk.stream_len, sk.counts = off, sl, counts
+        return sk

@@ -236,3 +236,94 @@ class TestTuple:
         f = a.filter(lambda v: v[:, 0] > 100)
         assert f.theta == a.theta
         assert (f.values[:, 0] > 100).all()
+
+
+class TestKllItems:
+    def test_exact_under_capacity(self):
+        from raydedup.sketches.kll_items import KllItemsSketch
+
+        words = [f"w{i:05d}" for i in range(500)]
+        rng = np.random.default_rng(0)
+        shuf = list(words)
+        rng.shuffle(shuf)
+        sk = KllItemsSketch(k=600)
+        sk.update_many(shuf)
+        assert sk.quantile(0.5) == words[249]  # inclusive rank
+        assert sk.min_value == words[0] and sk.max_value == words[-1]
+
+    def test_sketched_rank_error(self):
+        from raydedup.sketches.kll import KllSketch
+        from raydedup.sketches.kll_items import KllItemsSketch
+
+        n = 30_000
+        words = [f"w{i:06d}" for i in range(n)]
+        rng = np.random.default_rng(1)
+        shuf = list(words)
+        rng.shuffle(shuf)
+        sk = KllItemsSketch(k=200)
+        for i in range(0, n, 4096):
+            sk.update_many(shuf[i : i + 4096])
+        eps = KllSketch.normalized_rank_error(200)
+        for r in (0.1, 0.5, 0.9):
+            got = sk.quantile(r)
+            true_rank = (int(got[1:]) + 1) / n
+            assert abs(true_rank - r) < 3 * eps, (r, got)
+
+    def test_merge_and_serde(self):
+        from raydedup.sketches.kll_items import KllItemsSketch
+
+        a, b = KllItemsSketch(k=100, seed=1), KllItemsSketch(k=100, seed=2)
+        a.update_many([f"a{i:04d}" for i in range(5000)])
+        b.update_many([f"b{i:04d}" for i in range(5000)])
+        a.merge(b)
+        assert a.n == 10_000
+        rt = KllItemsSketch.deserialize(a.serialize())
+        assert rt.quantiles([0.25, 0.75]) == a.quantiles([0.25, 0.75])
+        # weight preservation
+        got = sum(len(l) * (1 << i) for i, l in enumerate(rt.levels))
+        assert got == rt.n
+
+    def test_none_skipped(self):
+        from raydedup.sketches.kll_items import KllItemsSketch
+
+        sk = KllItemsSketch(k=50)
+        sk.update_many(["x", None, "y", None])
+        assert sk.n == 2
+
+
+class TestFrequentItemsGeneric:
+    def test_exact_small(self):
+        from raydedup.sketches.freq import FrequentItemsSketch
+
+        sk = FrequentItemsSketch(64)
+        sk.update_many(["a"] * 50 + ["b"] * 30 + ["c"] * 5)
+        assert sk.get_estimate("a") == 50
+        assert sk.get_estimate("missing") == 0
+        top = sk.get_frequent_items(10)
+        assert top[0] == ("a", 50) and top[1] == ("b", 30)
+
+    def test_mg_bound_and_merge(self):
+        from raydedup.sketches.freq import FrequentItemsSketch
+
+        rng = np.random.default_rng(2)
+        zipf = rng.zipf(1.5, 30_000)
+        items = [f"item{z}" for z in zipf]
+        a, b = FrequentItemsSketch(256), FrequentItemsSketch(256)
+        a.update_many(items[:15_000])
+        b.update_many(items[15_000:])
+        a.merge(b)
+        from collections import Counter
+
+        truth = Counter(items)
+        for key, true_cnt in truth.most_common(10):
+            est = a.get_estimate(key)
+            assert true_cnt - a.maximum_error <= est
+            assert est <= true_cnt + a.maximum_error
+
+    def test_serde(self):
+        from raydedup.sketches.freq import FrequentItemsSketch
+
+        sk = FrequentItemsSketch(32)
+        sk.update_many(["x"] * 9 + ["y"] * 4)
+        rt = FrequentItemsSketch.deserialize(sk.serialize())
+        assert rt.get_estimate("x") == 9 and rt.stream_len == 13
