@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from ray.data.aggregate import AggregateFn
 
-from .hashing import murmur3_128_bytes, splitmix64, theta_hash_u64s
+from .hashing import murmur3_128_flat, splitmix64, theta_hash_u64s
 from .kmv import KmvSketch, build_sketch, empty_sketch, union_many
 from .sketches.freq import FrequentKeysSketch
 from .sketches.hll import HllSketch
@@ -31,12 +31,15 @@ def _column_theta_hashes(block: pa.Table, col: str, seed: int) -> np.ndarray:
     if pa.types.is_integer(arr.type):
         vals = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         return theta_hash_u64s(vals, seed)
-    # strings: murmur3 over utf8 bytes per datum (update(String) semantics)
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, s in enumerate(arr.to_pylist()):
-        h1, _ = murmur3_128_bytes(str(s).encode(), seed)
-        out[i] = np.uint64(h1) >> np.uint64(1)
-    return out
+    # strings: murmur3 over utf8 bytes per datum (update(String) semantics),
+    # vectorized over the column's zero-copy (flat, offsets) buffers
+    from .tokenize import _string_array_np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat, off = _string_array_np(arr)
+    h1, _ = murmur3_128_flat(flat, off, seed)
+    return h1 >> np.uint64(1)
 
 
 def theta_distinct(col: str, k: int = 4096, seed: int = 9001, name: str | None = None) -> AggregateFn:

@@ -353,6 +353,80 @@ def murmur3_128_bytes(data: bytes, seed: int = 0) -> tuple[int, int]:
     return h1, h2
 
 
+def murmur3_128_flat(
+    flat: np.ndarray, offsets: np.ndarray, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized byte-accurate MurmurHash3 x64 128 over an Arrow-style
+    (flat bytes, offsets) layout — the batch form of
+    :func:`murmur3_128_bytes` (tests assert parity). Masked vector steps
+    over a padded (n, Lmax) buffer, O(n * Lmax/16) vector ops."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)
+    lens = np.diff(offsets)
+    lmax = int(lens.max()) if n else 0
+    pad = ((lmax + 15) // 16 + 1) * 16
+    buf = np.zeros((n, pad), dtype=np.uint8)
+    offs = offsets - offsets[0]
+    row = np.repeat(np.arange(n), lens)
+    col = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(offs[:-1], lens)
+    buf[row, col] = flat[offsets[0] : offsets[-1]]
+
+    seed64 = U64(seed & 0xFFFFFFFFFFFFFFFF)
+    h1 = np.full(n, seed64, dtype=np.uint64)
+    h2 = np.full(n, seed64, dtype=np.uint64)
+    pos = np.zeros(n, dtype=np.int64)
+    remaining = lens.copy()
+    # body: full 16-byte blocks
+    while True:
+        m = remaining >= 16
+        if not m.any():
+            break
+        k1 = _gather_u64(buf, pos)
+        k2 = _gather_u64(buf, pos + 8)
+        k1 = _rotl(k1 * _C1, 31) * _C2
+        nh1 = (_rotl(h1 ^ k1, 27) + h2) * U64(5) + U64(0x52DCE729)
+        k2 = _rotl(k2 * _C2, 33) * _C1
+        nh2 = (_rotl(h2 ^ k2, 31) + nh1) * U64(5) + U64(0x38495AB5)
+        h1 = np.where(m, nh1, h1)
+        h2 = np.where(m, nh2, h2)
+        pos = np.where(m, pos + 16, pos)
+        remaining = np.where(m, remaining - 16, remaining)
+
+    # tail: 1..15 remaining bytes, zero-padded gathers are exact because the
+    # padded buffer is zero beyond each row's length
+    t = remaining  # in [0, 16)
+    k1 = _gather_u64(buf, pos)
+    k2 = _gather_u64(buf, pos + 8)
+    # mask to the actual tail lengths
+    nbits1 = np.minimum(t, 8) * 8
+    nbits2 = np.maximum(t - 8, 0) * 8
+    full = U64(0xFFFFFFFFFFFFFFFF)
+    sh1 = np.minimum(nbits1, 63).astype(np.uint64)  # clamp: <<64 is undefined
+    sh2 = np.minimum(nbits2, 63).astype(np.uint64)
+    mask1 = np.where(nbits1 >= 64, full, (U64(1) << sh1) - U64(1))
+    mask2 = np.where(nbits2 >= 64, full, (U64(1) << sh2) - U64(1))
+    k1 &= mask1
+    k2 &= mask2
+    has2 = t > 8
+    k2m = _rotl(k2 * _C2, 33) * _C1
+    h2 = np.where(has2, h2 ^ k2m, h2)
+    has1 = t > 0
+    k1m = _rotl(k1 * _C1, 31) * _C2
+    h1 = np.where(has1, h1 ^ k1m, h1)
+
+    h1 = h1 ^ lens.astype(np.uint64)
+    h2 = h2 ^ lens.astype(np.uint64)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    return h1, h2
+
+
 DEFAULT_UPDATE_SEED = 9001  # thetacommon/ThetaUtil.java:78
 
 
