@@ -98,3 +98,25 @@ def test_splitmix64_deterministic():
     b = splitmix64(np.arange(10, dtype=np.uint64))
     assert np.array_equal(a, b)
     assert len(np.unique(a)) == 10
+
+
+def test_murmur3_flat_matches_scalar():
+    import numpy as np
+
+    from raydedup.hashing import murmur3_128_bytes, murmur3_128_flat
+
+    rng = np.random.default_rng(3)
+    strs = [
+        rng.integers(0, 256, size=int(l), dtype=np.uint8).tobytes()
+        for l in rng.integers(0, 90, size=200)
+    ]
+    strs += [b"", b"a", b"x" * 7, b"y" * 8, b"z" * 15, b"w" * 16, b"q" * 17, b"n" * 32]
+    flat = np.frombuffer(b"".join(strs), dtype=np.uint8)
+    off = np.concatenate([[0], np.cumsum([len(s) for s in strs])]).astype(np.int64)
+    h1, h2 = murmur3_128_flat(flat, off, seed=9001)
+    for i, s in enumerate(strs):
+        e1, e2 = murmur3_128_bytes(s, 9001)
+        assert (int(h1[i]), int(h2[i])) == (e1, e2), (i, len(s))
+    # sliced offsets (arrow array slices share buffers)
+    h1s, _ = murmur3_128_flat(flat, off[5:], seed=9001)
+    assert int(h1s[0]) == murmur3_128_bytes(strs[5], 9001)[0]

@@ -327,3 +327,67 @@ class TestFrequentItemsGeneric:
         sk.update_many(["x"] * 9 + ["y"] * 4)
         rt = FrequentItemsSketch.deserialize(sk.serialize())
         assert rt.get_estimate("x") == 9 and rt.stream_len == 13
+
+
+class TestTupleCompleteness:
+    def test_increment_mode(self):
+        from raydedup.hashing import theta_hash_u64s
+        from raydedup.sketches.tuple import TupleSketch
+
+        keys = np.array([1, 2, 1, 1, 2, 3], dtype=np.uint64)
+        h = theta_hash_u64s(keys)
+        sk = TupleSketch.empty(64, 1, "increment")
+        sk = sk.update_many(h, np.ones((6, 1)))
+        # key 1 observed 3x -> value 3; key 2 -> 2; key 3 -> 1
+        vals = {int(k): float(v[0]) for k, v in zip(sk.hashes, sk.values)}
+        hs = {int(x) for x in theta_hash_u64s(np.array([1, 2, 3], dtype=np.uint64))}
+        assert set(vals) == hs
+        assert sorted(vals.values()) == [1.0, 2.0, 3.0]
+
+    def test_tuple_jaccard_exact_and_bounds(self):
+        from raydedup.hashing import theta_hash_u64s
+        from raydedup.sketches.tuple import TupleSketch, tuple_exactly_equal, tuple_jaccard
+
+        ka = np.arange(0, 1000, dtype=np.uint64)
+        kb = np.arange(500, 1500, dtype=np.uint64)
+        a = TupleSketch.empty(1 << 14).update_many(theta_hash_u64s(ka), np.ones((1000, 1)))
+        b = TupleSketch.empty(1 << 14).update_many(theta_hash_u64s(kb), np.ones((1000, 1)))
+        lb, est, ub = tuple_jaccard(a, b)
+        assert lb <= est <= ub
+        assert abs(est - 500 / 1500) < 1e-12  # exact mode
+        same = TupleSketch.empty(1 << 14).update_many(theta_hash_u64s(ka), np.ones((1000, 1)))
+        assert tuple_jaccard(a, same) == (1.0, 1.0, 1.0)
+        assert tuple_exactly_equal(a, same)
+        assert not tuple_exactly_equal(a, b)
+
+    def test_array_of_strings_sketch(self):
+        from raydedup.hashing import theta_hash_u64s
+        from raydedup.sketches.tuple import ArrayOfStringsSketch
+
+        keys = np.array([10, 20, 10, 30], dtype=np.uint64)
+        h = theta_hash_u64s(keys)
+        sk = ArrayOfStringsSketch(k=64)
+        sk.update_many(h, ["a", "b", "c", "d"])
+        by_hash = dict(zip(sk.hashes.tolist(), sk.summaries))
+        h10 = int(theta_hash_u64s(np.array([10], dtype=np.uint64))[0])
+        assert by_hash[h10] == {"a", "c"}
+        # union merges summaries by set union
+        sk2 = ArrayOfStringsSketch(k=64)
+        sk2.update_many(theta_hash_u64s(np.array([10], dtype=np.uint64)), ["z"])
+        u = sk.union(sk2)
+        by_hash = dict(zip(u.hashes.tolist(), u.summaries))
+        assert by_hash[h10] == {"a", "c", "z"}
+        assert u.estimate() == 3.0
+        rt = ArrayOfStringsSketch.deserialize(u.serialize())
+        assert rt.summaries == u.summaries
+
+    def test_array_of_strings_trim(self):
+        from raydedup.hashing import theta_hash_u64s
+        from raydedup.sketches.tuple import ArrayOfStringsSketch
+
+        keys = np.arange(1, 5001, dtype=np.uint64)
+        sk = ArrayOfStringsSketch(k=256)
+        sk.update_many(theta_hash_u64s(keys), [f"s{i}" for i in range(5000)])
+        assert len(sk.hashes) == 256
+        est = sk.estimate()
+        assert abs(est - 5000) / 5000 < 0.2
