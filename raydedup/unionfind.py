@@ -86,29 +86,69 @@ def cluster_edges(
     return _cluster_distributed(edges, max_rounds)
 
 
-def _propagate_round(group: pa.Table) -> pa.Table:
-    """hash-to-min round: node u with neighborhood N → star edges from
-    m = min(N ∪ {u}) to every member."""
-    u = group.column("src")[0].as_py()
-    nbrs = group.column("dst").to_numpy()
-    m = min(int(nbrs.min()), u)
-    members = np.unique(np.concatenate([nbrs, [u]]))
-    members = members[members != m]
+def _propagate_block(block: pa.Table) -> pa.Table:
+    """One hash-to-min round for EVERY src group in a hash-partitioned
+    block, vectorized (grouped_blocks pattern — no python call per node).
+
+    For each src u with (deduped) neighborhood N: emit star edges from
+    m = min(N ∪ {u}) to every member of N ∪ {u} except m. Incoming
+    duplicate (src, dst) rows are deduped here via the sorted run mask, so
+    no standalone dedup shuffle is needed between rounds."""
+    n = len(block)
+    if n == 0:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    s = block.column("src").to_numpy()
+    d = block.column("dst").to_numpy()
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    new_run = np.concatenate([[True], s[1:] != s[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    u = s[starts]
+    m = np.minimum(d[starts], u)  # d sorted asc within run → d[start] is min
+    mv = m[run_id]
+    # unique dst within each run, excluding the run's min
+    uniq = np.concatenate([[True], (d[1:] != d[:-1])]) | new_run
+    keep = uniq & (d != mv)
+    src_out = [mv[keep]]
+    dst_out = [d[keep]]
+    # u itself is a member too. Emitted unconditionally when u != m: if u
+    # also appears in N this duplicates one edge for one round — the next
+    # round's run mask (or the final assignment block) dedupes it, which is
+    # cheaper than a per-run membership test.
+    add_u = u != m
+    src_out.append(m[add_u])
+    dst_out.append(u[add_u])
     return pa.table(
         {
-            "src": pa.array(np.full(len(members), m, dtype=np.int64)),
-            "dst": pa.array(members),
+            "src": pa.array(np.concatenate(src_out), type=pa.int64()),
+            "dst": pa.array(np.concatenate(dst_out), type=pa.int64()),
         }
     )
 
 
-def _dedup_edges(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _assign_block(block: pa.Table) -> pa.Table:
+    """Final per-id assignment: min cluster_id per id run (dedupes the
+    root rows emitted by multiple blocks)."""
+    if len(block) == 0:
+        return pa.table(
+            {"id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    ids = block.column("id").to_numpy()
+    cl = block.column("cluster_id").to_numpy()
+    order = np.lexsort((cl, ids))
+    ids, cl = ids[order], cl[order]
+    first = np.concatenate([[True], ids[1:] != ids[:-1]])
+    return pa.table({"id": pa.array(ids[first]), "cluster_id": pa.array(cl[first])})
 
 
 def _cluster_distributed(
     edges: "ray.data.Dataset", max_rounds: int
 ) -> "ray.data.Dataset":
+    from .pipeline import grouped_blocks
+
     e = edges.select_columns(["src", "dst"])
 
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -124,8 +164,7 @@ def _cluster_distributed(
     prev_checksum = None
     for _ in range(max_rounds):
         sym = e.map_batches(both_dirs, batch_format="pyarrow")
-        e = sym.groupby("src").map_groups(_propagate_round, batch_format="pyarrow")
-        e = e.groupby(["src", "dst"]).map_groups(_dedup_edges, batch_format="pyarrow")
+        e = grouped_blocks(sym, "src", _propagate_block)
         e = e.materialize()  # checkpointable round boundary (per-round manifest)
         checksum = e.count()
         stats = e.aggregate(
@@ -152,4 +191,4 @@ def _cluster_distributed(
 
     roots = members.map_batches(root_rows, batch_format="pyarrow")
     out = members.union(roots)
-    return out.groupby("id").map_groups(_dedup_edges, batch_format="pyarrow")
+    return grouped_blocks(out, "id", _assign_block)

@@ -235,3 +235,45 @@ def test_hll_and_kll_aggregates(ray_session):
     med = res2["q"][0]
     true_rank = np.searchsorted(s, med, side="right") / len(s)
     assert abs(true_rank - 0.5) < 0.03
+
+
+def test_unionfind_distributed_large_graph(ray_session):
+    """Block-vectorized distributed rounds on a larger structured graph:
+    long chains (worst case for hash-to-min round count) + big stars +
+    random clutter must match exact driver union-find."""
+    import time
+
+    import ray.data
+
+    from raydedup.unionfind import cluster_edges, unionfind_numpy
+
+    rng = np.random.default_rng(12)
+    parts = []
+    base = 0
+    # 300 chains of length 40 (diameter stress)
+    for c in range(300):
+        ids = base + np.arange(40, dtype=np.int64)
+        parts.append(np.stack([ids[:-1], ids[1:]], axis=1))
+        base += 40
+    # 20 stars of 500 members
+    for c in range(20):
+        hub = base
+        members = base + 1 + np.arange(499, dtype=np.int64)
+        parts.append(np.stack([np.full(499, hub, dtype=np.int64), members], axis=1))
+        base += 500
+    # random edges within a 5k-node block
+    r = rng.integers(base, base + 5000, size=(20_000, 2)).astype(np.int64)
+    parts.append(r)
+    e = np.concatenate(parts)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    )
+    t0 = time.time()
+    got = cluster_edges(edges, method="distributed").to_pandas()
+    elapsed = time.time() - t0
+    nodes, roots = unionfind_numpy(e[:, 0], e[:, 1])
+    want = dict(zip(nodes, roots))
+    gotmap = dict(zip(got["id"], got["cluster_id"]))
+    assert gotmap == want
+    assert len(got) == len(got["id"].unique())
+    assert elapsed < 120, elapsed
