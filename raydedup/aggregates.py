@@ -256,6 +256,38 @@ def weighted_sample(
     )
 
 
+def varopt_sample(
+    key_col: str, weight_col: str, k: int = 64, seed: int = 0, name: str | None = None
+) -> AggregateFn:
+    """Variance-optimal weighted sample (sampling/VarOptItemsSketch.java:
+    59-71) as a Ray aggregate: per-block sketches merge in the combiner
+    tree; finalizes to the serialized sketch (pickle) for driver-side
+    estimate_subset_sum calls."""
+    import pickle
+
+    from .sketches.sampling import VarOptItemsSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = pickle.loads(state) if state else VarOptItemsSketch(k, seed)
+        sk.update_many(
+            block.column(key_col).to_pylist(),
+            block.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+        return pickle.dumps(sk)
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps(VarOptItemsSketch(k, seed))
+        if not b:
+            return a
+        return pickle.dumps(pickle.loads(a).merge(pickle.loads(b)))
+
+    return AggregateFn(
+        init=lambda key: None, merge=merge, accumulate_block=acc,
+        finalize=lambda s: s, name=name or f"varopt_sample({key_col})",
+    )
+
+
 def tuple_distinct_sum(
     key_col: str,
     value_col: str,

@@ -4,12 +4,15 @@
   59-379 (algorithm R) with the union's lightweight merge semantics
   (ReservoirItemsUnion.java:148-239: treat the smaller input's sample as a
   weighted pseudo-stream).
-* ``PrioritySample`` — weighted sample with unbiased subset-sum estimates,
-  standing in for sampling/VarOptItemsSketch.java:59-71 (VarOpt is
-  variance-optimal; priority sampling — Duffield, Lund, Thorup 2007, public
-  — is within a constant of optimal and exactly mergeable when priorities
-  derive deterministically from item hashes). ``estimate_subset_sum``
-  mirrors VarOptItemsSketch.estimateSubsetSum(:636-675) incl. the
+* ``VarOptItemsSketch`` — faithful variance-optimal weighted sampling
+  (sampling/VarOptItemsSketch.java:59-71): exact heavy region + shared-tau
+  reservoir, per-item updates.
+* ``PrioritySample`` — vectorized weighted sample with unbiased subset-sum
+  estimates (priority sampling — Duffield, Lund, Thorup 2007 — is within a
+  constant of variance-optimal and exactly mergeable when priorities derive
+  deterministically from item hashes); the batch-throughput path.
+  ``estimate_subset_sum`` on both mirrors
+  VarOptItemsSketch.estimateSubsetSum(:636-675) incl. the
   SampleSubsetSummary-style (lb, estimate, ub, total_weight) result.
 """
 
@@ -74,6 +77,209 @@ class SampleSubsetSummary:
     estimate: float
     upper_bound: float
     total_sketch_weight: float
+
+
+class VarOptItemsSketch:
+    """Variance-optimal weighted sample of k items (Cohen, Duffield, Kaplan,
+    Lund, Thorup — "Stream sampling for variance-optimal estimation of
+    subset sums", 2011). Engine analog of sampling/VarOptItemsSketch.java:
+    59-71 with the same H (exact heavy) / R (shared-tau reservoir) regions,
+    warmup transition, candidate-set growth and systematic delete-slot
+    selection (VarOptItemsSketch.java:822-1243 structure, written from the
+    paper's algorithm).
+
+    Subset-sum estimates are unbiased and variance-optimal: heavy items
+    keep exact weights, light items carry adjusted weight
+    tau = total_wt_r / r. Union folds another sketch in as a pseudo-stream
+    of (item, adjusted weight) updates — adjusted weights are themselves
+    unbiased per-item weight estimates, so subset sums stay unbiased (the
+    lightweight merge, mirroring ReservoirItemsUnion's approach).
+    """
+
+    def __init__(self, k: int, seed: int = 0):
+        self.k = k
+        self.n = 0
+        self.total_weight = 0.0
+        self._heap: list[tuple[float, int, Any]] = []  # H: (weight, tie, key)
+        self.r_items: list[Any] = []
+        self.total_wt_r = 0.0
+        self._rng = np.random.default_rng(seed ^ 0xA0C7)
+        self._tie = 0
+
+    # -- region views -------------------------------------------------------
+
+    @property
+    def h(self) -> int:
+        return len(self._heap)
+
+    @property
+    def r(self) -> int:
+        return len(self.r_items)
+
+    @property
+    def num_samples(self) -> int:
+        return self.h + self.r
+
+    def tau(self) -> float:
+        return self.total_wt_r / self.r if self.r else 0.0
+
+    def samples(self) -> list[tuple[Any, float]]:
+        """(item, adjusted weight) pairs: H exact, R at tau."""
+        t = self.tau()
+        return [(key, w) for w, _, key in self._heap] + [
+            (key, t) for key in self.r_items
+        ]
+
+    # -- update -------------------------------------------------------------
+
+    def _u_excl0(self) -> float:
+        u = float(self._rng.random())
+        return u if u > 0.0 else 5e-324
+
+    def update(self, key: Any, weight: float) -> None:
+        import heapq
+
+        if weight <= 0.0:
+            raise ValueError(f"weights must be strictly positive: {weight}")
+        self.n += 1
+        self.total_weight += weight
+        self._tie += 1
+        if self.r == 0:
+            # warmup / exact mode
+            heapq.heappush(self._heap, (weight, self._tie, key))
+            if self.h == self.k + 1:
+                # transition: the two lightest items form the first valid
+                # candidate set (any two items downsample to one)
+                w1, _, k1 = heapq.heappop(self._heap)  # lightest → R
+                self.r_items = [k1]
+                self.total_wt_r = w1
+                w2, _, k2 = heapq.heappop(self._heap)  # next → M
+                self._grow_candidates([(w2, k2)], w2 + self.total_wt_r, 2)
+            return
+        # estimation mode
+        hyp_tau = (weight + self.total_wt_r) / self.r  # (r+1)-1 slots
+        cond1 = self.h == 0 or weight <= self._heap[0][0]
+        cond2 = weight < hyp_tau
+        if cond1 and cond2:
+            # light: new item is the single M candidate
+            self._grow_candidates(
+                [(weight, key)], self.total_wt_r + weight, self.r + 1
+            )
+        elif self.r == 1:
+            heapq.heappush(self._heap, (weight, self._tie, key))
+            w2, _, k2 = heapq.heappop(self._heap)
+            self._grow_candidates([(w2, k2)], w2 + self.total_wt_r, 2)
+        else:
+            heapq.heappush(self._heap, (weight, self._tie, key))
+            self._grow_candidates([], self.total_wt_r, self.r)
+
+    def _grow_candidates(
+        self, m_items: list[tuple[float, Any]], wt_cands: float, num_cands: int
+    ) -> None:
+        import heapq
+
+        # pull strictly-light heap minima into the candidate (M) set
+        while self._heap:
+            next_wt = self._heap[0][0]
+            if next_wt * num_cands < wt_cands + next_wt:
+                wt_cands += next_wt
+                num_cands += 1
+                w, _, kk = heapq.heappop(self._heap)
+                m_items.append((w, kk))
+            else:
+                break
+        self._downsample(m_items, wt_cands, num_cands)
+
+    def _downsample(
+        self, m_items: list[tuple[float, Any]], wt_cands: float, num_cands: int
+    ) -> None:
+        """Drop exactly one of the num_cands candidates (M ∪ R); survivors
+        become the new R with shared total weight wt_cands."""
+        num_to_keep = num_cands - 1
+        m = len(m_items)
+        if m == 0:
+            i = int(self._rng.integers(self.r))
+            self.r_items[i] = self.r_items[-1]
+            self.r_items.pop()
+        elif m == 1:
+            wt_m = m_items[0][0]
+            if wt_cands * self._u_excl0() < num_to_keep * wt_m:
+                # keep the M item, delete a random R slot
+                i = int(self._rng.integers(self.r))
+                self.r_items[i] = m_items[0][1]
+            else:
+                pass  # delete the M item: R unchanged
+        else:
+            # systematic selection, scanning M heaviest-first (slot order of
+            # the reference's M region)
+            left = 0.0
+            right = -wt_cands * self._u_excl0()
+            delete_idx: int | None = None
+            ordered = sorted(m_items, key=lambda t: -t[0])
+            for i, (w, _) in enumerate(ordered):
+                left += num_to_keep * w
+                right += wt_cands
+                if left < right:
+                    delete_idx = i
+                    break
+            if delete_idx is None:
+                # delete out of R, keep all M items
+                j = int(self._rng.integers(self.r))
+                self.r_items[j] = self.r_items[-1]
+                self.r_items.pop()
+                self.r_items.extend(kk for _, kk in ordered)
+            else:
+                self.r_items.extend(
+                    kk for i, (_, kk) in enumerate(ordered) if i != delete_idx
+                )
+        self.total_wt_r = wt_cands
+
+    def update_many(self, keys, weights) -> None:
+        for kk, ww in zip(list(keys), np.asarray(weights, dtype=np.float64)):
+            self.update(kk, float(ww))
+
+    # -- merge --------------------------------------------------------------
+
+    def merge(self, other: "VarOptItemsSketch") -> "VarOptItemsSketch":
+        """Pseudo-stream union: re-insert other's samples at their adjusted
+        weights (unbiased); n and total_weight accumulate exactly."""
+        n_before, tw_before = self.n, self.total_weight
+        for key, w in other.samples():
+            if w > 0.0:
+                self.update(key, w)
+        self.n = n_before + other.n
+        self.total_weight = tw_before + other.total_weight
+        return self
+
+    # -- estimation ---------------------------------------------------------
+
+    def estimate_subset_sum(self, predicate) -> "SampleSubsetSummary":
+        """Unbiased subset-sum estimate with bounds
+        (VarOptItemsSketch.estimateSubsetSum:636-675 semantics)."""
+        if self.n == 0:
+            return SampleSubsetSummary(0.0, 0.0, 0.0, 0.0)
+        t = self.tau()
+        h_sum = 0.0
+        r_hits = 0
+        for w, _, key in self._heap:
+            if predicate(key):
+                h_sum += w
+        for key in self.r_items:
+            if predicate(key):
+                r_hits += 1
+        est = h_sum + r_hits * t
+        if self.r == 0 or r_hits == 0:
+            return SampleSubsetSummary(h_sum, est, est, self.total_weight)
+        # binomial-style spread on the sampled region (reference returns
+        # pseudo-exact intervals from the marked-subset weight fractions)
+        frac = r_hits / self.r
+        sd = t * math.sqrt(self.r * frac * (1.0 - frac))
+        return SampleSubsetSummary(
+            max(h_sum, est - 2 * sd),
+            est,
+            min(self.total_weight, est + 2 * sd),
+            self.total_weight,
+        )
 
 
 class PrioritySample:

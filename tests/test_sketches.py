@@ -391,3 +391,116 @@ class TestTupleCompleteness:
         assert len(sk.hashes) == 256
         est = sk.estimate()
         assert abs(est - 5000) / 5000 < 0.2
+
+
+class TestVarOpt:
+    def test_exact_under_k(self):
+        from raydedup.sketches.sampling import VarOptItemsSketch
+
+        sk = VarOptItemsSketch(k=32, seed=1)
+        for i in range(20):
+            sk.update(i, float(i + 1))
+        assert sk.num_samples == 20 and sk.r == 0
+        s = sk.estimate_subset_sum(lambda key: key % 2 == 0)
+        truth = sum(i + 1 for i in range(20) if i % 2 == 0)
+        assert s.estimate == truth == s.lower_bound == s.upper_bound
+
+    def test_invariants_and_heavy_region(self):
+        from raydedup.sketches.sampling import VarOptItemsSketch
+
+        rng = np.random.default_rng(2)
+        sk = VarOptItemsSketch(k=64, seed=3)
+        for i in range(5000):
+            sk.update(i, float(rng.random() + 0.01))
+        # plant giant items: must be retained exactly in H
+        for g in range(5):
+            sk.update(10_000 + g, 1e6 + g)
+        assert sk.num_samples == 64
+        tau = sk.tau()
+        heavy = {key: w for w, _, key in sk._heap}
+        for g in range(5):
+            assert 10_000 + g in heavy
+            assert heavy[10_000 + g] == 1e6 + g
+        for w in heavy.values():
+            assert w >= tau - 1e-9
+
+    def test_subset_sum_unbiased(self):
+        from raydedup.sketches.sampling import VarOptItemsSketch
+
+        rng = np.random.default_rng(4)
+        n = 3000
+        weights = rng.random(n) + 0.05
+        truth = float(weights[np.arange(n) % 3 == 0].sum())
+        rels = []
+        for seed in range(40):
+            sk = VarOptItemsSketch(k=128, seed=seed)
+            for i in range(n):
+                sk.update(i, float(weights[i]))
+            est = sk.estimate_subset_sum(lambda key: key % 3 == 0).estimate
+            rels.append((est - truth) / truth)
+        assert abs(float(np.mean(rels))) < 0.05, np.mean(rels)
+
+    def test_total_weight_preserved(self):
+        from raydedup.sketches.sampling import VarOptItemsSketch
+
+        rng = np.random.default_rng(5)
+        sk = VarOptItemsSketch(k=32, seed=6)
+        tw = 0.0
+        for i in range(2000):
+            w = float(rng.random() + 0.01)
+            tw += w
+            sk.update(i, w)
+        # retained adjusted weights sum to ~the true total (exactly, for
+        # varopt: H exact + r * tau == total ... within float tolerance)
+        kept = sum(w for _, w in sk.samples())
+        assert abs(kept - tw) / tw < 1e-9
+        assert sk.total_weight == tw
+
+    def test_merge_unbiased(self):
+        from raydedup.sketches.sampling import VarOptItemsSketch
+
+        rng = np.random.default_rng(7)
+        n = 2000
+        weights = rng.random(n) + 0.05
+        truth = float(weights[np.arange(n) % 2 == 0].sum())
+        rels = []
+        for seed in range(30):
+            a = VarOptItemsSketch(k=96, seed=seed)
+            b = VarOptItemsSketch(k=96, seed=seed + 1000)
+            for i in range(n // 2):
+                a.update(i, float(weights[i]))
+            for i in range(n // 2, n):
+                b.update(i, float(weights[i]))
+            a.merge(b)
+            assert a.n == n
+            est = a.estimate_subset_sum(lambda key: key % 2 == 0).estimate
+            rels.append((est - truth) / truth)
+        assert abs(float(np.mean(rels))) < 0.08, np.mean(rels)
+
+
+def test_varopt_aggregate(ray_session):
+    import pickle
+
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.aggregates import varopt_sample
+
+    rng = np.random.default_rng(8)
+    n = 10_000
+    w = rng.random(n) + 0.05
+    tbl = pa.table(
+        {
+            "key": pa.array(np.arange(n, dtype=np.int64)),
+            "w": pa.array(w),
+        }
+    )
+    res = ray.data.from_arrow(tbl).repartition(6).aggregate(
+        varopt_sample("key", "w", k=256, name="vo")
+    )
+    sk = pickle.loads(res["vo"])
+    assert sk.n == n
+    assert abs(sk.total_weight - float(w.sum())) < 1e-6
+    truth = float(w[np.arange(n) % 5 == 0].sum())
+    s = sk.estimate_subset_sum(lambda key: key % 5 == 0)
+    assert s.lower_bound <= truth * 1.35 and truth * 0.65 <= s.upper_bound
