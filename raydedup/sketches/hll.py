@@ -1,11 +1,23 @@
-"""HyperLogLog distinct-count sketch (dense registers), mergeable.
+"""HyperLogLog distinct-count sketch with a sparse coupon tier, mergeable.
 
-Engine analog of hll/HllSketch.java:39-97 (HLL_8 dense mode; we skip the
-LIST/SET coupon promotion tiers — CurMode.java — since Arrow-batch updates
-amortize register updates anyway; accuracy contract is the same RSE family).
+Engine analog of hll/HllSketch.java:39-97. Two modes, mirroring the
+reference's CurMode promotion ladder (hll/CurMode.java LIST/SET → HLL):
+
+* SPARSE — while few distinct values have been seen, the sketch keeps the
+  raw 64-bit hash values in a set: exact counts and O(distinct) memory for
+  the small-range regime (the role of the reference's LIST/SET coupon
+  tiers; we keep full hashes instead of packed 32-bit coupons, trading a
+  few bytes per entry for exactness — documented deviation).
+* DENSE — past ``m/8`` entries the sparse set replays into 2^lgK registers
+  (HLL_8 layout; the HLL_4/6 bit-packings are storage optimizations the
+  engine skips).
+
+Index and rho come from lgK-INDEPENDENT bit fields (index = low lg_k bits,
+rho = clz of the top 32 bits + 1, like the reference's coupon layout in
+hll/HllUtil.java), so cross-lgK register folding is an exact downsample.
 lgK range 4..21 mirrors hll/HllUtil.java:48-49. Merge = register-wise max
-(hll/Union.java:49-302). Estimator: standard Flajolet et al. HLL with
-linear-counting small-range correction (public algorithm).
+(hll/Union.java:49-302); sparse inputs replay. Estimator: standard
+Flajolet et al. HLL with linear-counting small-range correction.
 """
 
 from __future__ import annotations
@@ -34,21 +46,25 @@ class HllSketch:
             raise ValueError(f"lg_k must be in [{MIN_LG_K},{MAX_LG_K}]")
         self.lg_k = lg_k
         self.m = 1 << lg_k
+        self.sparse: set[int] | None = set()  # None once dense
+        self.regs: np.ndarray | None = None
+
+    @property
+    def is_sparse(self) -> bool:
+        return self.sparse is not None
+
+    def _sparse_limit(self) -> int:
+        # densify when the sparse set would outgrow the register array
+        return max(16, self.m // 8)
+
+    def _densify(self) -> None:
+        assert self.sparse is not None
         self.regs = np.zeros(self.m, dtype=np.uint8)
+        if self.sparse:
+            self._dense_update(np.fromiter(self.sparse, dtype=np.uint64))
+        self.sparse = None
 
-    def update_hashes(self, hashes: np.ndarray) -> None:
-        """Vectorized update from uniform uint64 hash values.
-
-        Index and rho come from disjoint, lgK-INDEPENDENT bit fields
-        (index = low lg_k bits, rho = leading zeros of the top 32 bits + 1),
-        mirroring the reference's coupon layout (hll/HllUtil.java: slotNo
-        from low bits of one word, value from clz of another). This makes
-        cross-lgK register folding exact: the same element always produces
-        the same rho regardless of lg_k.
-        """
-        h = np.asarray(hashes, dtype=np.uint64)
-        if len(h) == 0:
-            return
+    def _dense_update(self, h: np.ndarray) -> None:
         idx = (h & np.uint64(self.m - 1)).astype(np.int64)
         hi = (h >> np.uint64(32)).astype(np.uint64)  # top 32 bits
         # bit_length of a 32-bit value via float64 exponent (exact <= 2^53)
@@ -56,7 +72,33 @@ class HllSketch:
         rho = (33 - bl).astype(np.uint8)  # clz32(hi) + 1, in [1, 33]
         np.maximum.at(self.regs, idx, rho)
 
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        """Vectorized update from uniform uint64 hash values."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return
+        if self.sparse is not None:
+            self.sparse.update(h.tolist())
+            if len(self.sparse) > self._sparse_limit():
+                self._densify()
+            return
+        self._dense_update(h)
+
     def merge(self, other: "HllSketch") -> "HllSketch":
+        if other.sparse is not None:
+            # replay other's raw hashes (works across any lg_k)
+            if other.sparse:
+                self.update_hashes(np.fromiter(other.sparse, dtype=np.uint64))
+            return self
+        if self.sparse is not None:
+            # self sparse, other dense: adopt the smaller lg_k dense layout
+            mine = self.sparse
+            self.sparse = None
+            if other.lg_k < self.lg_k:
+                self.lg_k, self.m = other.lg_k, other.m
+            self.regs = np.zeros(self.m, dtype=np.uint8)
+            if mine:
+                self._dense_update(np.fromiter(mine, dtype=np.uint64))
         if other.lg_k != self.lg_k:
             # downsample the larger-K sketch (hll/Union.java lgMaxK rule).
             # Index = low lg_k bits, so slot i of the larger table folds to
@@ -74,6 +116,8 @@ class HllSketch:
         return self
 
     def estimate(self) -> float:
+        if self.sparse is not None:
+            return float(len(self.sparse))  # exact in the small-range regime
         m = self.m
         inv = np.power(2.0, -self.regs.astype(np.float64))
         raw = _alpha(m) * m * m / inv.sum()
@@ -84,13 +128,24 @@ class HllSketch:
 
     @property
     def rse(self) -> float:
+        if self.sparse is not None:
+            return 0.0  # exact
         return 1.04 / math.sqrt(self.m)
 
     def serialize(self) -> bytes:
-        return bytes([self.lg_k]) + self.regs.tobytes()
+        if self.sparse is not None:
+            arr = np.fromiter(self.sparse, dtype=np.uint64, count=len(self.sparse))
+            arr.sort()
+            return bytes([self.lg_k, 1]) + arr.astype("<u8").tobytes()
+        return bytes([self.lg_k, 0]) + self.regs.tobytes()
 
     @staticmethod
     def deserialize(buf: bytes) -> "HllSketch":
         sk = HllSketch(buf[0])
-        sk.regs = np.frombuffer(buf[1:], dtype=np.uint8).copy()
+        if buf[1] == 1:
+            sk.sparse = set(np.frombuffer(buf[2:], dtype="<u8").tolist())
+            sk.regs = None
+        else:
+            sk.sparse = None
+            sk.regs = np.frombuffer(buf[2:], dtype=np.uint8).copy()
         return sk

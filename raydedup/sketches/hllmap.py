@@ -69,17 +69,12 @@ class UniqueCountMap:
             if key in self.hlls:
                 self.hlls[key].merge(sk)
             else:
+                clone = HllSketch.deserialize(sk.serialize())  # mode-safe copy
                 if key in self.coupons:
-                    sk2 = HllSketch(sk.lg_k)
-                    sk2.regs = sk.regs.copy()
-                    sk2.update_hashes(
+                    clone.update_hashes(
                         np.fromiter(self.coupons.pop(key), dtype=np.uint64)
                     )
-                    self.hlls[key] = sk2
-                else:
-                    clone = HllSketch(sk.lg_k)
-                    clone.regs = sk.regs.copy()
-                    self.hlls[key] = clone
+                self.hlls[key] = clone
         return self
 
     @property
