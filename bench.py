@@ -152,33 +152,40 @@ def run_scaling() -> dict:
     import shutil as _shutil
 
     have_taskset = _shutil.which("taskset") is not None
+
+    def one_run(cpus: int) -> dict:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["BENCH_FLAGSHIP_ONLY"] = "1"
+        env["BENCH_REPLICAS"] = str(SCALING_REPLICAS)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if have_taskset:
+            # pin the whole process tree to exactly `cpus` physical
+            # cores: ray.init(num_cpus=K) only caps task SLOTS while
+            # raylet/plasma/BLAS threads would otherwise spill onto idle
+            # cores and flatter the small-N side — taskset makes "K
+            # CPUs" a faithful single-box stand-in for a K-core cluster
+            cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
+        proc = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=3600
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    # INTERLEAVED best-of-N: this VM's background load drifts on the scale
+    # of minutes; alternating levels exposes both sides to the same drift
+    # instead of charging one level with a slow phase
+    samples: dict[int, list[dict]] = {c: [] for c in levels}
+    for _ in range(repeats):
+        for cpus in levels:
+            samples[cpus].append(one_run(cpus))
     for cpus in levels:
-        best = None
-        for _ in range(repeats):  # best-of-N: the sandbox VM is noisy
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            env["BENCH_FLAGSHIP_ONLY"] = "1"
-            env["BENCH_REPLICAS"] = str(SCALING_REPLICAS)
-            cmd = [sys.executable, os.path.abspath(__file__)]
-            if have_taskset:
-                # pin the whole process tree to exactly `cpus` physical
-                # cores: ray.init(num_cpus=K) only caps task SLOTS while
-                # raylet/plasma/BLAS threads would otherwise spill onto idle
-                # cores and flatter the small-N side — taskset makes "K
-                # CPUs" a faithful single-box stand-in for a K-core cluster
-                cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
-            proc = subprocess.run(
-                cmd,
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if best is None or r["queries"]["dedup_clusters"] < best["queries"]["dedup_clusters"]:
-                best = r
-        results[cpus] = best
+        results[cpus] = min(
+            samples[cpus], key=lambda r: r["queries"]["dedup_clusters"]
+        )
+    all_times = {
+        c: [r["queries"]["dedup_clusters"] for r in samples[c]] for c in levels
+    }
     lo, hi = levels
     t_lo = results[lo]["queries"]["dedup_clusters"]
     t_hi = results[hi]["queries"]["dedup_clusters"]
@@ -196,6 +203,7 @@ def run_scaling() -> dict:
         },
         f"throughput_{lo}cpu_files_per_sec": thr_lo,
         f"throughput_{hi}cpu_files_per_sec": thr_hi,
+        "all_samples_sec": all_times,
         "sf": _sf_tag(SF_DIR),
         "num_cpus": hi,
     }

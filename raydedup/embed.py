@@ -35,6 +35,12 @@ import ray.data
 QUANT_SCALE = 1048576.0  # 2^20
 
 
+def _pool() -> tuple[int, int]:
+    from .pipeline import actor_pool
+
+    return actor_pool()
+
+
 def quantize(m: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(m, dtype=np.float64) * QUANT_SCALE)
 
@@ -125,7 +131,7 @@ def ann_topk(
         AnnScorer,
         fn_constructor_kwargs={"queries_ref": q_ref, "query_ids": query_ids, "k": k},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_pool(),
         batch_size=4096,
     )
 
@@ -343,7 +349,7 @@ def embedding_dup_pairs(
             "dim": dim, "n_bits": n_bits, "seed": seed, "n_tables": n_tables
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=_pool(),
     )
     verify_block = make_embedding_block_verifier(threshold, n_tables, max_bucket)
     return grouped_blocks(bucketed, "bucket", verify_block)

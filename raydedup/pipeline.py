@@ -211,6 +211,17 @@ def join_partitions(wanted: int = 32) -> int:
     return max(1, min(wanted, cpus))
 
 
+def actor_pool(lo: int = 1) -> tuple[int, int]:
+    """Actor-pool concurrency bounds sized to the cluster: a fixed cap
+    (e.g. (1, 8)) starves wide clusters — the pool must be allowed to scale
+    to every available CPU slot."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 1) or 1)
+    except Exception:  # noqa: BLE001 — outside a Ray session
+        cpus = 8
+    return (lo, max(8, cpus))
+
+
 def _banded(
     sigs: "ray.data.Dataset",
     cfg: SigConfig,
@@ -400,7 +411,7 @@ def _near_edges_broadcast(
     cand_sigs = (
         sigs.select_columns(["id", "kmv_theta", "kmv"])
         .map_batches(FilterSketches, fn_constructor_args=(ids_ref,),
-                     batch_format="pyarrow", concurrency=(1, 8))
+                     batch_format="pyarrow", concurrency=actor_pool())
         .to_arrow_refs()
     )
     tables = [ray.get(r) for r in cand_sigs]
@@ -425,7 +436,7 @@ def _near_edges_broadcast(
         _BroadcastVerify,
         fn_constructor_args=(sketches_ref, cfg),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=actor_pool(),
         batch_size=8192,
     )
 
@@ -605,27 +616,11 @@ def assign_clusters(
             a_roots = np.zeros(0, dtype=np.int64)
         lookup_ref = ray.put((a_ids, a_roots))
 
-        class Assign:
-            def __init__(self, ref):
-                self.ids, self.roots = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-                )
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column("id").to_numpy()
-                out = ids.copy()
-                if len(self.ids):
-                    pos = np.searchsorted(self.ids, ids)
-                    pos = np.clip(pos, 0, len(self.ids) - 1)
-                    hit = self.ids[pos] == ids
-                    out[hit] = self.roots[pos[hit]]
-                return pa.table(
-                    {"id": pa.array(ids), "cluster_id": pa.array(out)}
-                )
-
+        # task-based map (no actor pool): the broadcast lookup is read
+        # zero-copy from the local object store by every task — actor
+        # startup would cost more than this short stage saves
         return sigs.select_columns(["id"]).map_batches(
-            Assign, fn_constructor_args=(lookup_ref,),
-            batch_format="pyarrow", concurrency=(1, 8),
+            _assign_batch, fn_args=(lookup_ref,), batch_format="pyarrow",
         )
 
     defaults = sigs.select_columns(["id"]).map_batches(
@@ -643,6 +638,19 @@ def assign_clusters(
             batch_format="pyarrow",
         )
     )
+
+
+def _assign_batch(batch: pa.Table, ref) -> pa.Table:
+    """Per-task assignment against the broadcast (ids, roots) lookup."""
+    a_ids, a_roots = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    ids = batch.column("id").to_numpy()
+    out = ids.copy()
+    if len(a_ids):
+        pos = np.searchsorted(a_ids, ids)
+        pos = np.clip(pos, 0, len(a_ids) - 1)
+        hit = a_ids[pos] == ids
+        out[hit] = a_roots[pos[hit]]
+    return pa.table({"id": pa.array(ids), "cluster_id": pa.array(out)})
 
 
 def signatures(

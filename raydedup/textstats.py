@@ -15,13 +15,38 @@ import pyarrow.compute as pc
 from .hashing import xxh64_flat
 from .tokenize import _string_array_np, tokenize_hashes
 
-# tiny per-language stopword profiles (public common-word lists)
+# per-language stopword profiles (public common-word lists). Declaration
+# order is the tie-break order (first max wins); the DuckDB oracle is
+# generated from this dict, so the two sides can never drift.
 _LANG_PROFILES: dict[str, set[str]] = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
-    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"},
-    "fr": {"le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"},
-    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "por"},
-    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"},
+    "en": {
+        "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+        "was", "with", "as", "his", "on", "be", "at", "by", "not", "this",
+    },
+    "de": {
+        "der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht",
+        "ein", "eine", "auf", "für", "im", "dem", "sich", "des", "auch", "es",
+    },
+    "fr": {
+        "le", "la", "les", "de", "et", "est", "un", "une", "que", "pour",
+        "dans", "qui", "au", "pas", "sur", "plus", "par", "il", "ne", "se",
+    },
+    "es": {
+        "el", "la", "los", "de", "y", "es", "un", "una", "que", "por",
+        "en", "no", "se", "del", "las", "con", "para", "su", "al", "lo",
+    },
+    "it": {
+        "il", "la", "di", "e", "che", "un", "una", "per", "non", "sono",
+        "in", "del", "si", "con", "le", "della", "dei", "più", "al", "anche",
+    },
+    "pt": {
+        "o", "a", "de", "e", "que", "do", "da", "em", "um", "uma",
+        "para", "com", "não", "os", "as", "dos", "se", "mais", "por", "como",
+    },
+    "nl": {
+        "de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
+        "zijn", "met", "voor", "niet", "aan", "er", "maar", "om", "ook", "als",
+    },
 }
 
 
