@@ -602,6 +602,43 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_dup_pairs(sf_dir: str):
+    """End-to-end multimodal dedup composition: media payloads →
+    actor-pool feature extraction (DecodeStage) → hyperplane-LSH
+    near-duplicate pairs over the feature vectors. Deterministic fake
+    codec; planted duplicates share payload bytes so features collide."""
+    import ray.data
+
+    from raydedup.embed import embedding_dup_pairs
+    from raydedup.multimodal import DecodeStage, synth_media_table
+
+    base = synth_media_table(64)
+    # plant exact payload duplicates under new ids (feature cosine == 1)
+    dup = base.slice(0, 16).set_column(
+        0, "media_id", pa.array(np.arange(1000, 1016, dtype=np.int64))
+    )
+    media = ray.data.from_arrow(pa.concat_tables([base, dup]))
+    feats = media.map_batches(
+        DecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "vec_id": b.column("media_id"),
+                "embedding": pc_cast_list(b.column("feature")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return embedding_dup_pairs(feats, threshold=0.999, n_bits=4, n_tables=8, dim=40)
+
+
+def pc_cast_list(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """fixed_size_list<float32> → list<float64> (embedding_dup_pairs input)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.list_(pa.float64()))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -626,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "top_dup_repos": _q_top_dup_repos,
         "media_features": _q_media_features,
+        "media_dup_pairs": _q_media_dup_pairs,
         "theta_setops_orders": _q_theta_setops_orders,
         "tuple_parts_qty": _q_tuple_parts_qty,
         "fdt_supplier_parts": _q_fdt_supplier_parts,

@@ -22,9 +22,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "29"))
-# scaling runs use a larger corpus so the parallel fraction dominates the
-# fixed per-stage scheduling constants (Amdahl; see BASELINE.md)
-SCALING_REPLICAS = int(os.environ.get("BENCH_SCALING_REPLICAS", "119"))
+# scaling runs use a larger corpus (1.25M files) so the parallel fraction
+# dominates the fixed per-stage scheduling constants (Amdahl; see
+# BASELINE.md) — the regime a 100 TB run lives in; still below this box's
+# ~2.5M-row object-store knee
+SCALING_REPLICAS = int(os.environ.get("BENCH_SCALING_REPLICAS", "249"))
 
 
 def _sf_tag(sf_dir: str) -> float:

@@ -62,12 +62,18 @@ class DecodeStage:
             [
                 b.mean() / 255.0,
                 b.std() / 255.0,
-                float(len(b)),
+                float(len(b)) / 4096.0,  # bounded: must not dominate cosine
                 float(xxh64_bytes(payload) % 1000) / 1000.0,
             ]
         )
-        pad = np.zeros(self.FEATURE_DIM - 36)
-        return np.concatenate([hist, moments, pad])
+        # content-hash projection: deterministic pseudo-random ±components
+        # seeded by the payload digest — identical payloads collide exactly,
+        # different payloads are near-orthogonal in these dims (stands in
+        # for the discriminative part of a real learned feature)
+        seed = xxh64_bytes(payload)
+        rng = np.random.default_rng(seed)
+        proj = rng.standard_normal(self.FEATURE_DIM - 36) * 0.2
+        return np.concatenate([hist, moments, proj])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()

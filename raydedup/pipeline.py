@@ -123,8 +123,17 @@ def exact_edges(sigs: "ray.data.Dataset") -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-def detect_hot_band_keys(sigs: "ray.data.Dataset", cfg: SigConfig) -> dict[int, int]:
+def detect_hot_band_keys(
+    sigs: "ray.data.Dataset", cfg: SigConfig, sample: float = 0.25
+) -> dict[int, int]:
     """Merged heavy-hitter pass → {band_key: n_salt_subbuckets}.
+
+    Runs on a ``sample`` row fraction: a key hot enough to need salting
+    (> max_bucket_size occurrences) is seen Ω(sample·max_bucket_size) times
+    in the sample, far above detection noise, while the pass cost drops by
+    1/sample. Counts and thresholds are rescaled by 1/sample; a missed
+    borderline key only means an unsalted largish bucket, handled by the
+    bucket-ceiling ladder.
 
     The Misra-Gries partials accumulate per BLOCK and merge in Ray's
     AggregateFn combiner tree — the driver receives exactly ONE merged
@@ -138,10 +147,23 @@ def detect_hot_band_keys(sigs: "ray.data.Dataset", cfg: SigConfig) -> dict[int, 
     upper-bound mode: MG offsets accumulated across block partials)."""
     from ray.data.aggregate import AggregateFn
 
+    from .hashing import splitmix64 as _smix
     from .sketches.freq import NO_FALSE_POSITIVES
     from .stages import _binary_col_flat_u64
 
     map_size = 1 << 15
+    if sample < 1.0:
+        # deterministic id-hash sampling (reproducible across runs/retries,
+        # unlike random_sample)
+        thresh = np.uint64(int(sample * 2**64))
+
+        def keep_sample(batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").to_numpy().astype(np.int64).view(np.uint64)
+            return batch.filter(pa.array(_smix(ids ^ np.uint64(0x5A17)) < thresh))
+
+        sigs = sigs.select_columns(["id", "minhash", "n_shingles"]).map_batches(
+            keep_sample, batch_format="pyarrow"
+        )
 
     def acc(state: bytes | None, block: pa.Table) -> bytes:
         sk = (
@@ -188,10 +210,14 @@ def detect_hot_band_keys(sigs: "ray.data.Dataset", cfg: SigConfig) -> dict[int, 
         else FrequentKeysSketch(map_size)
     )
     hot: dict[int, int] = {}
+    # thresholds/counts live in the sampled domain; rescale by 1/sample
     for key, est in merged.get_frequent_items(
-        cfg.max_bucket_size, NO_FALSE_POSITIVES
+        max(1, int(cfg.max_bucket_size * sample)), NO_FALSE_POSITIVES
     ):
-        n_salt = min(cfg.salt_factor, max(2, math.ceil(est / cfg.max_bucket_size)))
+        full_est = est / sample
+        n_salt = min(
+            cfg.salt_factor, max(2, math.ceil(full_est / cfg.max_bucket_size))
+        )
         hot[int(np.int64(key).view(np.uint64))] = n_salt
     return hot
 

@@ -277,3 +277,34 @@ def test_unionfind_distributed_large_graph(ray_session):
     assert gotmap == want
     assert len(got) == len(got["id"].unique())
     assert elapsed < 120, elapsed
+
+
+def test_sampled_hot_key_detection(ray_session):
+    """A planted hot band key (>> max_bucket_size occurrences) must be
+    detected by the SAMPLED heavy-hitter pass with a sane salt count."""
+    import ray.data
+
+    from raydedup.pipeline import detect_hot_band_keys, signatures
+
+    shared = "the quick brown fox jumps over the lazy dog " * 6  # 54 tokens
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(3000):
+        if i < 600:
+            # identical docs: all 16 band keys hot with exact count 600
+            rows.append(shared)
+        else:
+            rows.append(" ".join(f"tok{rng.integers(0, 50000)}" for _ in range(40)))
+    tbl = pa.table(
+        {"id": pa.array(np.arange(3000, dtype=np.int64)), "content": pa.array(rows)}
+    )
+    sigs = signatures(ray.data.from_arrow(tbl), CFG).materialize()
+    hot_full = detect_hot_band_keys(sigs, CFG, sample=1.0)
+    hot_sampled = detect_hot_band_keys(sigs, CFG, sample=0.25)
+    assert hot_full, "full pass found no hot keys - fixture broken"
+    # sampled pass finds the same dominant keys (allow borderline misses)
+    dominant = {k for k, v in hot_full.items() if v >= 3}
+    found = set(hot_sampled)
+    assert dominant and dominant <= found, (len(dominant), len(found))
+    for k in dominant:
+        assert hot_sampled[k] >= 2

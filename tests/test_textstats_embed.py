@@ -153,3 +153,14 @@ def test_ann_topk_matches_bruteforce(ray_session):
         got = list(out[out["query_id"] == qid].sort_values(
             ["cosine", "vec_id"], ascending=[False, True])["vec_id"])
         assert got == want, (qid, got, want)
+
+
+def test_media_dup_pairs_exact_planted(ray_session):
+    """Multimodal composition query: DecodeStage features → hyperplane-LSH
+    dedup finds exactly the 16 planted payload duplicates."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["media_dup_pairs"]("/root/testdata/sf0.001").to_pandas()
+    pairs = set(zip(out["src"], out["dst"]))
+    want = {(i, 1000 + i) for i in range(16)}
+    assert pairs == want
