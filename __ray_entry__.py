@@ -247,6 +247,56 @@ def _q_frequent_suppliers(sf_dir: str):
     )
 
 
+def _q_hll_distinct_orders_by_priority(sf_dir: str):
+    """HLL distinct counter: distinct orders per priority. Group
+    cardinalities at correctness scale stay inside the sketch's SPARSE
+    coupon tier (exact counts); the dense estimation regime is
+    pytest-asserted separately."""
+    import ray.data
+
+    from raydedup.aggregates import hll_distinct
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderkey"]
+    )
+    out = o.groupby("o_orderpriority").aggregate(
+        hll_distinct("o_orderkey", lg_k=17, name="distinct_orders")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "distinct_orders": pa.array(
+                    np.round(
+                        b.column("distinct_orders").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_req_quantiles_qty(sf_dir: str):
+    """REQ high-rank-accuracy quantiles of l_quantity: the extreme ranks
+    (p99/p999) are near-exact by construction; at correctness scale the
+    small retained set makes all requested ranks exact."""
+    import ray.data
+
+    from raydedup.aggregates import req_quantile
+
+    ranks = [0.5, 0.9, 0.99, 0.999]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    # k sized so level 0 never compacts at correctness scale -> exact
+    res = li.aggregate(req_quantile("l_quantity", ranks, k=1 << 14, name="q"))
+    return pa.table(
+        {
+            "rank_q": pa.array(ranks, pa.float64()),
+            "quantile_value": pa.array(res["q"], pa.float64()),
+        }
+    )
+
+
 def _q_frequent_part_types(sf_dir: str):
     """Generic-item heavy hitters (frequencies/ItemsSketch role): part
     types above a 5% frequency threshold, payloads preserved (exact regime:
@@ -653,6 +703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cpc_distinct_customers": _q_cpc_distinct_customers,
         "frequent_suppliers": _q_frequent_suppliers,
         "frequent_part_types": _q_frequent_part_types,
+        "hll_distinct_orders_by_priority": _q_hll_distinct_orders_by_priority,
+        "req_quantiles_qty": _q_req_quantiles_qty,
         "kll_quantiles_price": _q_kll_quantiles_price,
         "kll_quantiles_part_names": _q_kll_quantiles_part_names,
         "ann_topk": _q_ann_topk,
@@ -777,6 +829,17 @@ FROM lineitem GROUP BY l_returnflag
         "theta_distinct_users_by_type": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
 FROM events GROUP BY event_type
+""",
+        "hll_distinct_orders_by_priority": """
+SELECT o_orderpriority, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_orders
+FROM orders GROUP BY o_orderpriority
+""",
+        "req_quantiles_qty": """
+WITH qs AS (
+  SELECT quantile_disc(l_quantity, [0.5, 0.9, 0.99, 0.999]) ql FROM lineitem)
+SELECT unnest([0.5, 0.9, 0.99, 0.999]) AS rank_q,
+       unnest(ql) AS quantile_value
+FROM qs
 """,
         "frequent_part_types": """
 WITH n AS (SELECT count(*) c FROM part)

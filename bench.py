@@ -75,8 +75,9 @@ def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
     read_corpus().limit(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     # flagship: full near-dup clustering
+    near_mode = os.environ.get("BENCH_NEAR_MODE", "bucket")
     t0 = time.time()
-    out = dedup_clusters(read_corpus(), cfg, with_substring=False)
+    out = dedup_clusters(read_corpus(), cfg, with_substring=False, near_mode=near_mode)
     n_rows = out.count()
     t_flag = time.time() - t0
     queries["dedup_clusters"] = round(t_flag, 3)

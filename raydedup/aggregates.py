@@ -160,6 +160,46 @@ def kll_quantile(
     )
 
 
+def req_quantile(
+    col: str,
+    ranks: list[float],
+    k: int = 12,
+    hra: bool = True,
+    name: str | None = None,
+) -> AggregateFn:
+    """REQ relative-error quantiles of a numeric column (req/ReqSketch.java
+    role: near-exact extreme quantiles, HRA by default)."""
+    import pickle
+
+    from .sketches.req import ReqSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = pickle.loads(state) if state else ReqSketch(k, hra)
+        sk.update_many(
+            block.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pickle.dumps(sk)
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps(ReqSketch(k, hra))
+        if not b:
+            return a
+        return pickle.dumps(pickle.loads(a).merge(pickle.loads(b)))
+
+    def fin(state: bytes | None):
+        sk = pickle.loads(state) if state else ReqSketch(k, hra)
+        return [sk.quantile(r) for r in ranks]
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=fin,
+        name=name or f"req_quantile({col})",
+    )
+
+
 def kll_quantile_items(
     col: str, ranks: list[float], k: int = 200, name: str | None = None
 ) -> AggregateFn:

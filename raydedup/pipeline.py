@@ -467,6 +467,37 @@ def _near_edges_broadcast(
     )
 
 
+def _sketch_broadcast_ref(sigs: "ray.data.Dataset", cfg: SigConfig):
+    """ray.put a flat (ids, thetas, offsets, cells) view of EVERY row's KMV
+    sketch — read zero-copy from the local object store by verify tasks."""
+    tables = [
+        ray.get(r)
+        for r in sigs.select_columns(["id", "kmv_theta", "kmv"]).to_arrow_refs()
+    ]
+    cat = pa.concat_tables([t for t in tables if t.num_rows])
+    order = np.argsort(cat.column("id").to_numpy())
+    sk_ids = cat.column("id").to_numpy()[order]
+    sk_thetas = cat.column("kmv_theta").to_numpy()[order]
+    from .stages import _binary_col_flat_u64
+
+    wb = cfg.kmv_hash_bytes
+    flat_all, off_all = _binary_col_flat_u64(cat.column("kmv"), wb)
+    lens = (off_all[1:] - off_all[:-1])[order]
+    starts = off_all[:-1][order]
+    idx = np.repeat(starts, lens) + _intra_counts(lens)
+    flat = flat_all[idx]
+    off = np.concatenate([[0], np.cumsum(lens)])
+    return ray.put((sk_ids, sk_thetas, off, flat))
+
+
+def _intra_counts(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
+
+
 def near_edges(
     sigs: "ray.data.Dataset",
     cfg: SigConfig,
@@ -477,7 +508,14 @@ def near_edges(
     """Verified near-dup edges. Modes (all same verification semantics):
       'bucket' (default): one shuffle carrying sketches, block-vectorized
         in-bucket verify + owner-band uniqueness — fully distributed, no
-        driver involvement; fastest measured.
+        driver involvement.
+      'hybrid': bands shuffle WITHOUT the sketch payload (~150 B/row vs
+        ~670 B) with the same distributed owner-band pair uniqueness; the
+        unique pairs verify against a ray.put broadcast of the whole sketch
+        table (one object-store copy, zero-copy reads). Cuts the all-to-all
+        bytes ~4.5×; right while the sketch table fits a node's plasma
+        (k·hash_bytes ≈ 0.5 KB/doc → ~0.5 TB per 10^9 docs — beyond that
+        use 'join').
       'broadcast': ids-only band shuffle + driver pair dedup + broadcast-
         sketch distributed verify — minimal object-store bytes; right when
         candidates << corpus but pays driver-side latency.
@@ -488,6 +526,18 @@ def near_edges(
     if mode == "bucket":
         edges = _banded(sigs, cfg, hot, carry_kmv=True, verify=True)
         return edges.select_columns(["src", "dst", "jaccard"])
+    if mode == "hybrid":
+        pairs = _banded(
+            sigs, cfg, hot, carry_kmv=False, verify=False, carry_bandhashes=True
+        ).select_columns(["src", "dst"])
+        sketches_ref = _sketch_broadcast_ref(sigs, cfg)
+        return pairs.map_batches(
+            _BroadcastVerify,
+            fn_constructor_args=(sketches_ref, cfg),
+            batch_format="pyarrow",
+            concurrency=actor_pool(),
+            batch_size=16384,
+        )
     pairs = candidate_pairs_lsh(sigs, cfg, hot)
     return verify_pairs(pairs, sigs, cfg, num_partitions)
 
@@ -592,6 +642,7 @@ def dedup_clusters(
     with_substring: bool = True,
     with_salting: bool = True,
     cluster_method: str = "auto",
+    near_mode: str = "bucket",
 ) -> "ray.data.Dataset":
     """corpus → (id, cluster_id) assignment for every input row."""
     sigs = corpus.map_batches(
@@ -601,7 +652,7 @@ def dedup_clusters(
     hot = detect_hot_band_keys(sigs, cfg) if with_salting else None
 
     e_exact = exact_edges(sigs)
-    e_near = near_edges(sigs, cfg, hot)
+    e_near = near_edges(sigs, cfg, hot, mode=near_mode)
     edges = e_exact.union(e_near.select_columns(["src", "dst"]))
     if with_substring:
         edges = edges.union(substring_edges(sigs, cfg))

@@ -29,31 +29,29 @@ DRIVER_EDGE_LIMIT = 5_000_000
 
 
 def unionfind_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Exact union-find; returns (unique_nodes, root_per_node) with root =
-    min node id of the component."""
+    """Exact connected components; returns (unique_nodes, root_per_node)
+    with root = min node id of the component.
+
+    Vectorized min-label propagation with pointer doubling: each round is
+    O(E+V) C-speed numpy (no per-edge python), converging in
+    O(log diameter) rounds — labels only decrease and the fixpoint is the
+    component minimum (nodes[] sorted → min index = min id)."""
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    parent = np.arange(len(nodes), dtype=np.int64)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    a = inv[: len(src)]
-    b = inv[len(src) :]
-    for i in range(len(a)):
-        ra, rb = find(a[i]), find(b[i])
-        if ra != rb:
-            # union by min-id keeps roots = smallest node (nodes[] is sorted)
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
-    return nodes, nodes[roots]
+    n = len(nodes)
+    if n == 0:
+        return nodes, nodes
+    a = inv[: len(src)].astype(np.int64)
+    b = inv[len(src) :].astype(np.int64)
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        l2 = label.copy()
+        np.minimum.at(l2, a, label[b])
+        np.minimum.at(l2, b, label[a])
+        l2 = np.minimum(l2, l2[l2])  # pointer doubling
+        if np.array_equal(l2, label):
+            break
+        label = l2
+    return nodes, nodes[label]
 
 
 def cluster_edges(

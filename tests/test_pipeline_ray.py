@@ -308,3 +308,21 @@ def test_sampled_hot_key_detection(ray_session):
     assert dominant and dominant <= found, (len(dominant), len(found))
     for k in dominant:
         assert hot_sampled[k] >= 2
+
+
+def test_near_modes_agree(ray_session):
+    """bucket / hybrid / broadcast / join near-tier modes produce the same
+    verified edge set (same verification semantics, different layouts)."""
+    import ray.data
+
+    from raydedup.corpus import corpus_parquet_path
+    from raydedup.pipeline import near_edges, signatures
+
+    ds = ray.data.read_parquet(corpus_parquet_path("/root/testdata/sf0.001"))
+    sigs = signatures(ds, CFG).materialize()
+    sets = {}
+    for mode in ("bucket", "hybrid", "broadcast", "join"):
+        out = near_edges(sigs, CFG, mode=mode).to_pandas()
+        sets[mode] = set(zip(out["src"], out["dst"]))
+    assert sets["bucket"] == sets["hybrid"] == sets["broadcast"] == sets["join"]
+    assert len(sets["bucket"]) > 50
