@@ -62,9 +62,8 @@ class SimhashChunkEmit:
         for c in range(self.n_chunks):
             chunk = (sim >> U64(c * self.width)) & mask
             # mix chunk idx into the key so chunks never cross-collide
-            keys[c * n : (c + 1) * n] = splitmix64(
-                chunk ^ (U64(0xC00C) + U64(c) * U64(0x9E3779B97F4A7C15))
-            )
+            mix = U64((0xC00C + c * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            keys[c * n : (c + 1) * n] = splitmix64(chunk ^ mix)
             cidx[c * n : (c + 1) * n] = c
         return pa.table(
             {
