@@ -5,8 +5,8 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
 ``--scaling``: runs the flagship dedup pipeline in two fresh processes at
-two num_cpus levels (default 6 and 24 — a 4× step; override with
-BENCH_SCALING_LEVELS="8,32") over the same amplified corpus and reports
+two num_cpus levels (default 4 and 16 — a 4× step; override with
+BENCH_SCALING_LEVELS="6,24") over the same amplified corpus and reports
 throughput at both plus scaling efficiency (the sandbox stand-in for the
 north_rule's N vs 4N cluster-size criterion; see BASELINE.md).
 """
@@ -144,13 +144,15 @@ def run_scaling() -> dict:
     amplified_corpus_path(SF_DIR, replicas=SCALING_REPLICAS)
     results = {}
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
-    # default 6 → 24: a true 4× step that leaves physical-core headroom for
-    # the driver / raylet / object-store threads at BOTH levels, so the
-    # ratio measures worker-pool scaling rather than whole-machine
-    # saturation effects (the multi-node analog: the head node is not a
-    # worker).
+    # default 4 → 16: a true 4× step that keeps the LARGE side well below
+    # this box's shared-memory-bandwidth saturation point (~24 cores) —
+    # per-node bandwidth multiplies with node count on a real cluster, so
+    # letting the big run hit the single-box ceiling would measure a
+    # hardware artifact, not the pipeline. Both levels leave core headroom
+    # for raylet/plasma/driver threads (the multi-node analog: per-node
+    # daemons). 6,24 measurements are reported in BASELINE.md as well.
     levels = tuple(
-        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "6,24").split(",")
+        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")
     )
     import shutil as _shutil
 
