@@ -151,3 +151,30 @@ def test_simhash_owner_chunk_uniqueness(ray_session):
     pairs = list(zip(out["src"], out["dst"]))
     assert len(pairs) == len(set(pairs)) == 15
     assert (out["hamming"] == 0).all()
+
+
+def test_fdt_sketch_api():
+    """FdtSketch (ArrayOfStrings-based, reference API shape) matches exact
+    grouped distinct counts in the exact regime and ranks correctly."""
+    from raydedup.fdt import FdtSketch
+
+    sk = FdtSketch(lg_k=12)
+    # supplier s0 ships 30 parts, s1 ships 10, s2 ships 3 (with dup updates)
+    for rep in range(2):
+        for p in range(30):
+            sk.update(["s0", f"p{p}"])
+        for p in range(10):
+            sk.update(["s1", f"p{p}"])
+        for p in range(3):
+            sk.update(["s2", f"p{p}"])
+    assert round(sk.estimate()) == 43
+    res = sk.get_result([0], limit=2)
+    assert res[0] == (("s0",), 30.0)
+    assert res[1] == (("s1",), 10.0)
+    # merge parity
+    a, b = FdtSketch(lg_k=12), FdtSketch(lg_k=12)
+    for p in range(20):
+        a.update(["x", f"p{p}"])
+        b.update(["x", f"q{p}"])
+    a.merge(b)
+    assert a.get_result([0])[0] == (("x",), 40.0)
