@@ -372,6 +372,31 @@ def _q_ann_topk(sf_dir: str):
     return out
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF ANN run in exact mode (nprobe == n_lists): every list is probed,
+    so the result is bit-identical to brute force and shares ann_topk's
+    DuckDB oracle — this oracle-checks the whole IVF machinery (k-means
+    training, list assignment, probe masking, per-batch pre-cut, combiner
+    merge). The approximate path (nprobe < n_lists) is recall-tested in
+    tests/test_textstats_embed.py."""
+    import ray.data
+
+    from raydedup.embed import ann_topk_ivf
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.stack(first["embedding"].to_numpy())
+    out = ann_topk_ivf(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        queries,
+        first["vec_id"].to_numpy(),
+        k=10,
+        n_lists=16,
+        nprobe=16,
+    )
+    return out
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     import ray.data
 
@@ -708,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_price": _q_kll_quantiles_price,
         "kll_quantiles_part_names": _q_kll_quantiles_part_names,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "text_stats": _q_text_stats,
@@ -789,6 +815,14 @@ FROM b
 
 def oracle_sql() -> dict[str, str]:
     corpus = _corpus_cte()
+    sql = _oracle_sql_entries(corpus)
+    # exact-mode IVF (nprobe == n_lists) is bit-identical to brute force,
+    # so it shares ann_topk's oracle — see _q_ann_topk_ivf.
+    sql["ann_topk_ivf"] = sql["ann_topk"]
+    return sql
+
+
+def _oracle_sql_entries(corpus: str) -> dict[str, str]:
     return {
         "exact_dup_clusters": f"""
 WITH {corpus}

@@ -6,6 +6,11 @@
   only ``n_blocks * nq * k`` candidate rows ever leave the map stage. The
   final cut is a tiny AggregateFn whose partials merge in the combiner
   tree — no Sort all-to-all over the n×nq scored rows.
+* ``ann_topk_ivf`` — the IVF scale path: spherical-k-means centroids from a
+  bounded driver sample, broadcast once; each task assigns rows to lists
+  with one matvec and scores each query only against its ``nprobe`` probed
+  lists (~``nprobe/n_lists`` of brute-force compute), same per-batch
+  pre-cut + combiner-tree final merge. ``nprobe == n_lists`` is bit-exact.
 * ``random_hyperplane_buckets`` / ``embedding_dup_pairs`` — SimHash-for-
   vectors (Charikar random hyperplanes): bucket by sign pattern, verify
   cosine within buckets — the scale path for embedding near-dup detection.
@@ -112,28 +117,11 @@ def _topk_merge_into(state: dict, qids, vids, coss, k: int) -> dict:
     return state
 
 
-def ann_topk(
-    embeddings: "ray.data.Dataset",
-    queries: np.ndarray,
-    query_ids: np.ndarray,
-    k: int = 10,
-) -> pa.Table:
-    """Exact top-k by cosine per query (ties: vec_id asc).
-
-    Scoring is distributed with a per-batch pre-cut; the final cut is an
-    AggregateFn over the ≤ n_blocks*nq*k candidate rows, merged in Ray's
-    combiner tree — the scored dataset is never sorted or shuffled."""
+def _final_topk(scored: "ray.data.Dataset", k: int) -> pa.Table:
+    """Final per-query top-k cut over pre-cut candidate rows: a tiny
+    AggregateFn whose partials merge in Ray's combiner tree — the scored
+    dataset is never sorted or shuffled."""
     from ray.data.aggregate import AggregateFn
-
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-
-    scored = embeddings.map_batches(
-        AnnScorer,
-        fn_constructor_kwargs={"queries_ref": q_ref, "query_ids": query_ids, "k": k},
-        batch_format="pyarrow",
-        concurrency=_pool(),
-        batch_size=4096,
-    )
 
     def acc(state: bytes | None, block: pa.Table) -> bytes:
         st = pickle.loads(state) if state else {}
@@ -187,6 +175,181 @@ def ann_topk(
             "cosine": pa.array(np.concatenate(out_c)),
         }
     )
+
+
+def ann_topk(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+) -> pa.Table:
+    """Exact top-k by cosine per query (ties: vec_id asc).
+
+    Scoring is distributed with a per-batch pre-cut, so only
+    ``n_blocks * nq * k`` candidate rows ever leave the map stage."""
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    scored = embeddings.map_batches(
+        AnnScorer,
+        fn_constructor_kwargs={"queries_ref": q_ref, "query_ids": query_ids, "k": k},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _final_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — the scale path for similarity search
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_lists: int, n_iter: int = 10, seed: int = 9001
+) -> np.ndarray:
+    """Spherical k-means over a driver-side sample (bounded, a few thousand
+    rows — never the full dataset). Returns L2-normalized centroids
+    ``(n_lists, dim)``. Empty clusters keep their previous centroid."""
+    m = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(m))
+    cent = m[rng.choice(len(m), size=n_lists, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+class AnnIvfScorer:
+    """Actor-pool stage for IVF ANN: assigns each vector to its nearest
+    centroid list (one matvec per batch against the broadcast centroids),
+    then scores each query ONLY against rows in its ``nprobe`` probed lists
+    — per-batch compute drops to ~``nprobe / n_lists`` of brute force. Each
+    batch pre-cuts to the per-query top-k exactly like ``AnnScorer``.
+
+    Quantized integer cosines keep dot/norm sums exactly representable in
+    float64, so with ``nprobe == n_lists`` the result is bit-identical to
+    the brute-force tier (and the DuckDB oracle) regardless of centroid
+    placement or summation order."""
+
+    def __init__(self, queries_ref, query_ids, k: int, centroids_ref, nprobe: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        cent = (
+            ray.get(centroids_ref)
+            if isinstance(centroids_ref, ray.ObjectRef)
+            else centroids_ref
+        )
+        self.q = np.asarray(q, dtype=np.float64)
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.cent = np.asarray(cent, dtype=np.float64)
+        n_lists = len(self.cent)
+        nprobe = min(nprobe, n_lists)
+        self.qq = quantize(self.q)
+        qn = np.sqrt((self.qq * self.qq).sum(axis=1))
+        qn[qn == 0] = 1.0
+        self.q_norm = qn
+        # probe mask: (n_lists, nq) — True where query qi probes list l
+        qnorm = np.linalg.norm(self.q, axis=1)
+        qnorm[qnorm == 0] = 1.0
+        aff = self.cent @ (self.q / qnorm[:, None]).T  # (n_lists, nq)
+        order = np.argsort(-aff, axis=0, kind="stable")[:nprobe]  # (nprobe, nq)
+        mask = np.zeros((n_lists, len(self.q)), dtype=bool)
+        mask[order, np.arange(len(self.q))[None, :]] = True
+        self.probe_mask = mask
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, "embedding")
+        vec_ids = batch.column("vec_id").to_numpy()
+        list_id = np.argmax(m @ self.cent.T, axis=1)
+        qm = quantize(m)
+        vnorm = np.sqrt((qm * qm).sum(axis=1))
+        vnorm[vnorm == 0] = 1.0
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(self.q)):
+            rows = np.flatnonzero(self.probe_mask[list_id, qi])
+            if not len(rows):
+                continue
+            cos = (qm[rows] @ self.qq[qi]) / (vnorm[rows] * self.q_norm[qi])
+            kk = min(self.k, len(rows))
+            order = np.lexsort((vec_ids[rows], -cos))[:kk]
+            out_q.append(np.full(kk, self.query_ids[qi], dtype=np.int64))
+            out_v.append(vec_ids[rows][order])
+            out_c.append(cos[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+
+def ann_topk_ivf(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 9001,
+) -> pa.Table:
+    """IVF approximate top-k by cosine per query — the scale path for
+    similarity search (reference role: the engine-side ANN the brute-force
+    ``ann_topk`` baselines).
+
+    Train: spherical k-means on a bounded driver-side sample (``take_batch``
+    of ``sample_size`` rows — never a full materialization). Search: the
+    centroid matrix is broadcast once via ``ray.put``; each map_batches task
+    assigns its rows to lists with one matvec and scores each query only
+    against its ``nprobe`` probed lists, pre-cutting to the per-query top-k.
+    Final cut is the same combiner-tree AggregateFn as ``ann_topk`` — no
+    Sort all-to-all anywhere.
+
+    At 100 TB you would additionally persist the list assignment and
+    partition the corpus by list id once, amortizing the index across query
+    batches; the per-batch assignment here costs one (batch × n_lists)
+    matvec, negligible next to scoring. ``nprobe == n_lists`` degrades to
+    exact brute force (bit-identical to ``ann_topk``)."""
+    sample = embeddings.take_batch(sample_size, batch_format="pyarrow")
+    cent = kmeans_centroids(
+        _batch_matrix(sample, "embedding"), n_lists, seed=seed
+    )
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    c_ref = ray.put(cent)
+
+    scored = embeddings.map_batches(
+        AnnIvfScorer,
+        fn_constructor_kwargs={
+            "queries_ref": q_ref,
+            "query_ids": query_ids,
+            "k": k,
+            "centroids_ref": c_ref,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _final_topk(scored, k)
 
 
 class HyperplaneBucketStage:

@@ -164,3 +164,52 @@ def test_media_dup_pairs_exact_planted(ray_session):
     pairs = set(zip(out["src"], out["dst"]))
     want = {(i, 1000 + i) for i in range(16)}
     assert pairs == want
+
+
+def test_ann_topk_ivf_exact_mode_matches_bruteforce(ray_session):
+    """nprobe == n_lists degrades IVF to exact brute force: results must be
+    bit-identical to ann_topk (same quantized-cosine IEEE op sequence)."""
+    import ray.data
+
+    from raydedup.embed import ann_topk, ann_topk_ivf
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    mat = np.stack([np.asarray(v) for v in tbl["embedding"].to_pylist()])
+    vids = np.asarray(tbl["vec_id"].to_pylist())
+    q, qids = mat[:3], vids[:3]
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet").repartition(8)
+    exact = ann_topk(ds, q, qids, k=5).to_pandas()
+    ivf = ann_topk_ivf(ds, q, qids, k=5, n_lists=8, nprobe=8).to_pandas()
+    key = ["query_id", "vec_id"]
+    exact = exact.sort_values(key).reset_index(drop=True)
+    ivf = ivf.sort_values(key).reset_index(drop=True)
+    assert exact.equals(ivf)
+
+
+def test_ann_topk_ivf_recall(ray_session):
+    """Approximate mode (nprobe < n_lists) keeps high recall vs exact."""
+    import ray.data
+
+    from raydedup.embed import ann_topk, ann_topk_ivf
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    mat = np.stack([np.asarray(v) for v in tbl["embedding"].to_pylist()])
+    vids = np.asarray(tbl["vec_id"].to_pylist())
+    q, qids = mat[:5], vids[:5]
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    exact = ann_topk(ds, q, qids, k=10).to_pandas()
+    ivf = ann_topk_ivf(ds, q, qids, k=10, n_lists=16, nprobe=8).to_pandas()
+    hits = tot = 0
+    for qid in qids:
+        want = set(exact[exact["query_id"] == qid]["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        hits += len(want & got)
+        tot += len(want)
+    # offline sweep at sf0.001: nprobe 8/16 → recall 0.9 (half the compute)
+    assert hits / tot >= 0.85, hits / tot
