@@ -337,6 +337,25 @@ def _q_kll_quantiles_price(sf_dir: str):
     )
 
 
+def _q_doubles_quantiles_discount(sf_dir: str):
+    """Classic-quantiles DoublesSketch (quantiles/DoublesSketch.java role)
+    over l_discount; k=2^15 (the reference's MAX_K) keeps the sketch in the
+    exact regime at correctness sf (60k rows < 2k=65536)."""
+    import ray.data
+
+    from raydedup.aggregates import doubles_quantile
+
+    ranks = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_discount"])
+    res = li.aggregate(doubles_quantile("l_discount", ranks, k=1 << 15, name="q"))
+    return pa.table(
+        {
+            "rank_q": pa.array(ranks, pa.float64()),
+            "quantile_value": pa.array(res["q"], pa.float64()),
+        }
+    )
+
+
 def _q_kll_quantiles_part_names(sf_dir: str):
     """Generic-item KLL (quantiles/ItemsSketch.java:150 role): quantiles of
     the part-name string column by lexicographic order (exact regime)."""
@@ -731,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_orders_by_priority": _q_hll_distinct_orders_by_priority,
         "req_quantiles_qty": _q_req_quantiles_qty,
         "kll_quantiles_price": _q_kll_quantiles_price,
+        "doubles_quantiles_discount": _q_doubles_quantiles_discount,
         "kll_quantiles_part_names": _q_kll_quantiles_part_names,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -937,6 +957,15 @@ FROM qs
         "kll_quantiles_price": """
 WITH qs AS (
   SELECT quantile_disc(l_extendedprice,
+                       [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) ql
+  FROM lineitem)
+SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS rank_q,
+       unnest(ql) AS quantile_value
+FROM qs
+""",
+        "doubles_quantiles_discount": """
+WITH qs AS (
+  SELECT quantile_disc(l_discount,
                        [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) ql
   FROM lineitem)
 SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS rank_q,

@@ -23,6 +23,7 @@ from .hashing import murmur3_128_flat, splitmix64, theta_hash_u64s
 from .kmv import KmvSketch, build_sketch, empty_sketch, union_many
 from .sketches.freq import FrequentKeysSketch
 from .sketches.hll import HllSketch
+from .sketches.doubles import DoublesSketch
 from .sketches.kll import KllSketch
 
 
@@ -127,6 +128,42 @@ def cpc_distinct(col: str, lg_k: int = 11, seed: int = 9001, name: str | None = 
         accumulate_block=acc,
         finalize=lambda s: CpcSketch.deserialize(s).estimate() if s else 0.0,
         name=name or f"cpc_distinct({col})",
+    )
+
+
+def doubles_quantile(
+    col: str, ranks: list[float], k: int = 128, name: str | None = None
+) -> AggregateFn:
+    """Classic-quantiles (DoublesSketch) of a numeric column at the given
+    ranks; INCLUSIVE criterion (matches DuckDB quantile_disc in the exact
+    regime, i.e. while total n <= 2k and no compaction has happened)."""
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = DoublesSketch.deserialize(state) if state else DoublesSketch(k)
+        sk.update_many(block.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or DoublesSketch(k).serialize()
+        if not b:
+            return a
+        return (
+            DoublesSketch.deserialize(a)
+            .merge(DoublesSketch.deserialize(b))
+            .serialize()
+        )
+
+    def fin(state: bytes | None):
+        sk = DoublesSketch.deserialize(state) if state else DoublesSketch(k)
+        return sk.quantiles(ranks)
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=fin,
+        name=name or f"doubles_quantile({col})",
     )
 
 
