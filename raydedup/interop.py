@@ -1,0 +1,284 @@
+"""Cross-ecosystem wire formats: reference-compatible sketch images.
+
+The engine's own storage is Parquet-native (compact numpy buffers), but
+the reference ecosystem (Java/C++/Python datasketches) exchanges sketches
+as versioned byte images. This module reads and writes those images so
+sketches can cross the boundary in either direction.
+
+Theta CompactSketch (theta/PreambleUtil.java:54-110): our ``KmvSketch`` is
+exactly the compact-ordered form — ``(theta, sorted hashes < theta)`` —
+so the mapping is a header plus the hash longs:
+
+* empty            → 8 bytes,  preLongs=1, flags RO|EMPTY|COMPACT|ORDERED
+* single item      → 16 bytes, preLongs=1, flags RO|COMPACT|ORDERED|SINGLEITEM
+* exact, count > 1 → preLongs=2 (no theta long; theta == 2^63)
+* estimating       → preLongs=3 (theta long at bytes 16-23)
+
+Seed handshake: bytes 6-7 carry ``computeSeedHash(seed)``
+(thetacommon/ThetaUtil.java:110-120, murmur3 of the seed long with seed 0);
+our murmur3 reproduces the reference's hard-coded cross-language value
+37836 for the default seed 9001 (tuple/CompactSketch.java:46).
+
+Classic DoublesSketch images live in ``sketches/doubles.py``; KLL float
+images in ``kll_from_reference_bytes`` below.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .config import SketchesArgumentError
+from .hashing import murmur3_128_flat
+from .kmv import MAX_THETA, KmvSketch
+
+DEFAULT_UPDATE_SEED = 9001
+
+_SER_VER = 3
+_FAMILY_COMPACT = 3
+
+_BIG_ENDIAN_FLAG = 1
+_READ_ONLY_FLAG = 2
+_EMPTY_FLAG = 4
+_COMPACT_FLAG = 8
+_ORDERED_FLAG = 16
+_SINGLEITEM_FLAG = 32
+
+
+def compute_seed_hash(seed: int = DEFAULT_UPDATE_SEED) -> int:
+    """ThetaUtil.computeSeedHash: low 16 bits of murmur3_128(seed-as-long,
+    seed=0); zero is rejected (the wire uses it to mean 'no seed check')."""
+    flat = np.frombuffer(struct.pack("<q", seed), dtype=np.uint8)
+    off = np.array([0, 8], dtype=np.int64)
+    h = int(murmur3_128_flat(flat, off, 0)[0][0]) & 0xFFFF
+    if h == 0:
+        raise SketchesArgumentError(f"seed {seed} produces a zero seed hash")
+    return h
+
+
+def theta_to_bytes(sk: KmvSketch, seed: int = DEFAULT_UPDATE_SEED) -> bytes:
+    """Serialize to the reference's SerVer-3 compact-ordered theta image."""
+    seed_hash = compute_seed_hash(seed)
+    n = len(sk.hashes)
+    if n == 0 and sk.theta == MAX_THETA:
+        flags = _READ_ONLY_FLAG | _EMPTY_FLAG | _COMPACT_FLAG | _ORDERED_FLAG
+        return struct.pack("<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, 0, 0, flags, seed_hash)
+    if n == 1 and sk.theta == MAX_THETA:
+        flags = _READ_ONLY_FLAG | _COMPACT_FLAG | _ORDERED_FLAG | _SINGLEITEM_FLAG
+        return struct.pack(
+            "<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, 0, 0, flags, seed_hash
+        ) + np.ascontiguousarray(sk.hashes, dtype="<u8").tobytes()
+    flags = _READ_ONLY_FLAG | _COMPACT_FLAG | _ORDERED_FLAG
+    pre_longs = 2 if sk.theta == MAX_THETA else 3
+    out = [
+        struct.pack("<BBBBBBH", pre_longs, _SER_VER, _FAMILY_COMPACT, 0, 0, flags, seed_hash),
+        struct.pack("<iI", n, 0),  # retained count + p (unused for compact)
+    ]
+    if pre_longs == 3:
+        out.append(np.array([sk.theta], dtype="<u8").tobytes())
+    out.append(np.ascontiguousarray(np.sort(sk.hashes), dtype="<u8").tobytes())
+    return b"".join(out)
+
+
+def theta_from_bytes(
+    raw: bytes, k: int | None = None, seed: int = DEFAULT_UPDATE_SEED
+) -> KmvSketch:
+    """Heapify a reference SerVer-3 theta CompactSketch image into a
+    ``KmvSketch``. Compact images carry no nominal k, so ``k`` (for later
+    set-op trims) defaults to the retained count (lossless)."""
+    if len(raw) < 8:
+        raise SketchesArgumentError(f"source too small: {len(raw)} < 8")
+    pre_longs_byte, ser_ver, family, _, _, flags, seed_hash = struct.unpack_from(
+        "<BBBBBBH", raw, 0
+    )
+    pre_longs = pre_longs_byte & 0x3F
+    if ser_ver != 3:
+        raise SketchesArgumentError(f"unsupported theta SerVer: {ser_ver}")
+    if family != _FAMILY_COMPACT:
+        raise SketchesArgumentError(f"not a compact theta image (family {family})")
+    if flags & _BIG_ENDIAN_FLAG:
+        raise SketchesArgumentError("big-endian images not supported")
+    if seed_hash != 0 and seed_hash != compute_seed_hash(seed):
+        raise SketchesArgumentError(
+            f"seed hash mismatch: image {seed_hash} vs seed {seed}"
+        )
+    if flags & _EMPTY_FLAG:
+        return KmvSketch(theta=MAX_THETA, hashes=np.zeros(0, dtype=np.uint64), k=k or 1)
+    if (flags & _SINGLEITEM_FLAG) or (pre_longs == 1 and len(raw) == 16):
+        h = np.frombuffer(raw, dtype="<u8", count=1, offset=8).astype(np.uint64)
+        return KmvSketch(theta=MAX_THETA, hashes=h, k=k or 1)
+    (count,) = struct.unpack_from("<i", raw, 8)
+    if pre_longs == 2:
+        theta = MAX_THETA
+        data_off = 16
+    elif pre_longs == 3:
+        theta = np.frombuffer(raw, dtype="<u8", count=1, offset=16)[0]
+        data_off = 24
+    else:
+        raise SketchesArgumentError(f"bad preamble longs for compact: {pre_longs}")
+    hashes = np.frombuffer(raw, dtype="<u8", count=count, offset=data_off).astype(
+        np.uint64
+    )
+    if not flags & _ORDERED_FLAG:
+        hashes = np.sort(hashes)
+    return KmvSketch(theta=np.uint64(theta), hashes=hashes, k=k or max(count, 1))
+
+
+# ---------------------------------------------------------------------------
+# KLL images (kll/KllPreambleUtil.java:130-160, kll/KllMemoryValidate.java:118-168)
+# ---------------------------------------------------------------------------
+
+_FAMILY_KLL = 15
+_KLL_M = 8  # reference default/min level width (KllSketch.DEFAULT_M)
+
+_KLL_EMPTY_FLAG = 1
+_KLL_L0_SORTED_FLAG = 2
+_KLL_SINGLE_FLAG = 4
+_KLL_DOUBLES_FLAG = 8
+
+_POW3 = [3**d for d in range(31)]
+
+
+def _ref_level_capacity(k: int, num_levels: int, level: int, m: int = _KLL_M) -> int:
+    """KllHelper.levelCapacity / intCapAux: round-half-up k*(2/3)^depth,
+    computed in exact integer arithmetic like the reference."""
+    depth = num_levels - level - 1
+    if depth > 30:  # folded form, KllHelper.intCapAux:892-898
+        half, rest = depth // 2, depth - depth // 2
+        tmp = (((k << 1) << half) // _POW3[half] + 1) >> 1
+        return max(m, (((tmp << 1) << rest) // _POW3[rest] + 1) >> 1)
+    return max(m, (((k << 1) << depth) // _POW3[depth] + 1) >> 1)
+
+
+def _ref_total_capacity(k: int, num_levels: int, m: int = _KLL_M) -> int:
+    return sum(_ref_level_capacity(k, num_levels, lvl, m) for lvl in range(num_levels))
+
+
+def kll_from_reference_bytes(raw: bytes):
+    """Heapify a reference KLL floats/doubles image into the engine's
+    ``KllSketch`` (float64). Layout per kll/KllPreambleUtil.java:130-160:
+
+      byte 0: preamble ints, 1: SerVer, 2: FamID=15, 3: flags,
+      4-5: k, 6: m, 7: unused; then for the full case
+      8-15: n, 16-17: minK, 18: numLevels, 19: unused, levels array
+      (numLevels ints compact / numLevels+1 updatable), min/max items,
+      then the items, level 0 first at offset levels[0].
+
+    The compact form's top fence is not stored — the reference recomputes
+    it as computeTotalItemCapacity(k, m, numLevels)
+    (KllMemoryValidate.java:131-134), reproduced by ``_ref_total_capacity``.
+    SerVer 2 is the 12/16-byte single-item form; the golden v1 file
+    (``kll_sketch_float_one_item_v1.sk``) is instead a full image with n=1.
+    Items enter the engine sketch level-by-level so weights (2^level)
+    are preserved.
+    """
+    from .sketches.kll import KllSketch
+
+    if len(raw) < 8:
+        raise SketchesArgumentError(f"source too small: {len(raw)} < 8")
+    _pre_ints, ser_ver, family, flags, k, m, _ = struct.unpack_from("<BBBBHBB", raw, 0)
+    if family != _FAMILY_KLL:
+        raise SketchesArgumentError(f"not a KLL image (family {family})")
+    doubles = bool(flags & _KLL_DOUBLES_FLAG)
+    item_ch, item_dtype, item_bytes = ("d", "<f8", 8) if doubles else ("f", "<f4", 4)
+    item_fmt = "<" + item_ch
+    sk = KllSketch(k)
+    if flags & _KLL_EMPTY_FLAG:
+        return sk
+    if (flags & _KLL_SINGLE_FLAG) or ser_ver == 2:
+        (item,) = struct.unpack_from(item_fmt, raw, 8)
+        sk.update(float(item))
+        return sk
+    n, _min_k, num_levels = struct.unpack_from("<qHB", raw, 8)
+    updatable = ser_ver == 3
+    n_fence_ints = num_levels + 1 if updatable else num_levels
+    levels = np.frombuffer(raw, dtype="<i4", count=n_fence_ints, offset=20).astype(
+        np.int64
+    )
+    minmax_off = 20 + n_fence_ints * 4
+    mn, mx = struct.unpack_from("<" + item_ch * 2, raw, minmax_off)
+    items_off = minmax_off + 2 * item_bytes
+    if updatable:
+        fences = list(levels)
+        stored = np.frombuffer(
+            raw, dtype=item_dtype, count=int(fences[-1]), offset=items_off
+        ).astype(np.float64)
+        base = 0  # updatable stores the full capacity array incl. garbage gap
+    else:
+        fences = list(levels) + [_ref_total_capacity(k, num_levels, m)]
+        stored = np.frombuffer(
+            raw,
+            dtype=item_dtype,
+            count=int(fences[-1] - fences[0]),
+            offset=items_off,
+        ).astype(np.float64)
+        base = int(fences[0])  # stored block starts at levels[0]
+    for lvl in range(num_levels):
+        items = stored[fences[lvl] - base : fences[lvl + 1] - base]
+        if len(items) == 0:
+            continue
+        while lvl >= len(sk.levels):
+            sk.levels.append(np.zeros(0, dtype=np.float64))
+        sk.levels[lvl] = np.concatenate([sk.levels[lvl], items])
+    sk.n = int(n)
+    sk._min = float(mn)
+    sk._max = float(mx)
+    return sk
+
+
+def kll_to_reference_bytes(sk) -> bytes:
+    """Serialize the engine's ``KllSketch`` to the reference's compact
+    *floats* image (SerVer 1/2 per state). Items are narrowed to float32.
+
+    The compact top fence is implied — the reference recomputes capacity
+    from (k, m, numLevels) — so retained items must fit under
+    ``_ref_total_capacity``. The engine's in-memory capacity rule (ceil)
+    can exceed the reference's (round-half-up) by a hair, in which case we
+    run extra weight-preserving compactions before writing.
+    """
+    k = sk.k
+    if sk.n == 0:
+        return struct.pack(
+            "<BBBBHBB", 2, 1, _FAMILY_KLL, _KLL_EMPTY_FLAG, k, _KLL_M, 0
+        )
+    if sk.n == 1:
+        item = next(float(l[0]) for l in sk.levels if len(l))
+        return struct.pack(
+            "<BBBBHBBf", 2, 2, _FAMILY_KLL, _KLL_SINGLE_FLAG, k, _KLL_M, 0, item
+        )
+    levels = [np.asarray(l, dtype=np.float64).copy() for l in sk.levels]
+    while len(levels) > 1 and len(levels[-1]) == 0:
+        levels.pop()
+    # weight-preserving compaction until retained fits the reference capacity
+    while sum(map(len, levels)) > _ref_total_capacity(k, len(levels)):
+        for i, lvl in enumerate(levels):
+            if len(lvl) >= 2 and len(lvl) >= _ref_level_capacity(k, len(levels), i):
+                srt = np.sort(lvl)
+                leftover = srt[: len(srt) % 2]
+                promoted = srt[len(srt) % 2 :][::2]
+                if i + 1 == len(levels):
+                    levels.append(np.zeros(0, dtype=np.float64))
+                levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+                levels[i] = leftover
+                break
+        else:
+            break
+    num_levels = len(levels)
+    cap = _ref_total_capacity(k, num_levels)
+    fences = np.zeros(num_levels + 1, dtype=np.int64)
+    fences[num_levels] = cap
+    for i in range(num_levels - 1, -1, -1):
+        fences[i] = fences[i + 1] - len(levels[i])
+    if fences[0] < 0:
+        raise SketchesArgumentError(
+            f"retained {sum(map(len, levels))} exceeds reference capacity {cap}"
+        )
+    out = [
+        struct.pack("<BBBBHBB", 5, 1, _FAMILY_KLL, 0, k, _KLL_M, 0),
+        struct.pack("<qHBB", sk.n, k, num_levels, 0),
+        np.ascontiguousarray(fences[:num_levels], dtype="<i4").tobytes(),
+        struct.pack("<ff", sk._min, sk._max),
+        np.concatenate(levels).astype("<f4").tobytes(),
+    ]
+    return b"".join(out)

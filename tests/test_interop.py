@@ -1,0 +1,276 @@
+"""Cross-ecosystem wire-format conformance (raydedup.interop).
+
+Theta: round-trips through the reference's SerVer-3 compact-ordered image
+(theta/PreambleUtil.java:54-110) plus the hard-coded cross-language seed
+hash constant (tuple/CompactSketch.java:46 documents 37836 for seed 9001).
+
+KLL: reads the reference's float/double images (kll/KllPreambleUtil.java),
+verified against the upstream golden resource
+``kll_sketch_float_one_item_v1.sk``, and writes reference-layout float
+images (top fence implied by computeTotalItemCapacity).
+"""
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from raydedup.config import SketchesArgumentError
+from raydedup.interop import (
+    _ref_level_capacity,
+    _ref_total_capacity,
+    compute_seed_hash,
+    kll_from_reference_bytes,
+    kll_to_reference_bytes,
+    theta_from_bytes,
+    theta_to_bytes,
+)
+from raydedup.kmv import MAX_THETA, KmvSketch, build_sketch, empty_sketch, union
+from raydedup.sketches.kll import KllSketch
+
+RESOURCES = Path("/root/reference/src/test/resources")
+
+
+# ---------------------------------------------------------------------------
+# seed hash
+# ---------------------------------------------------------------------------
+
+
+def test_seed_hash_matches_reference_constant():
+    # The reference hard-codes 37836 as computeSeedHash(9001) — the same
+    # value all language bindings must produce (tuple/CompactSketch.java:46).
+    assert compute_seed_hash(9001) == 37836
+
+
+def test_seed_hash_nonzero_rule():
+    # any seed works unless its hash is 0; just verify range + determinism
+    h = compute_seed_hash(12345)
+    assert 0 < h < 65536
+    assert compute_seed_hash(12345) == h
+
+
+# ---------------------------------------------------------------------------
+# theta images
+# ---------------------------------------------------------------------------
+
+
+def test_theta_empty_image_is_8_bytes():
+    raw = theta_to_bytes(empty_sketch(16))
+    assert len(raw) == 8
+    pre, ser, fam, _, _, flags, seed_hash = struct.unpack("<BBBBBBH", raw)
+    assert (pre, ser, fam) == (1, 3, 3)
+    assert flags & 4  # EMPTY
+    assert seed_hash == 37836
+    back = theta_from_bytes(raw)
+    assert len(back.hashes) == 0 and back.theta == MAX_THETA
+
+
+def test_theta_single_item_image_is_16_bytes():
+    sk = build_sketch(np.array([12345], dtype=np.uint64), k=16)
+    raw = theta_to_bytes(sk)
+    assert len(raw) == 16
+    flags = raw[5]
+    assert flags & 32  # SINGLEITEM
+    back = theta_from_bytes(raw)
+    assert back.theta == MAX_THETA
+    assert list(back.hashes) == [12345]
+
+
+def test_theta_exact_mode_round_trip():
+    hashes = np.sort(np.array([7, 99, 1234, 2**62], dtype=np.uint64))
+    sk = build_sketch(hashes, k=16)
+    raw = theta_to_bytes(sk)
+    # preLongs=2: 16-byte preamble (no theta long) + 4 hash longs
+    assert len(raw) == 16 + 8 * 4
+    assert raw[0] == 2
+    back = theta_from_bytes(raw, k=16)
+    assert back.theta == MAX_THETA
+    np.testing.assert_array_equal(back.hashes, sk.hashes)
+    assert back.estimate() == sk.estimate()
+
+
+def test_theta_estimating_mode_round_trip():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(1, 2**63, size=5000, dtype=np.uint64)
+    sk = build_sketch(vals, k=256)
+    assert sk.is_estimation_mode
+    raw = theta_to_bytes(sk)
+    assert raw[0] == 3  # preLongs=3 carries theta
+    back = theta_from_bytes(raw, k=256)
+    assert back.theta == sk.theta
+    np.testing.assert_array_equal(back.hashes, sk.hashes)
+    assert back.estimate() == pytest.approx(sk.estimate())
+    # deserialized sketches stay algebraically usable
+    u = union(back, sk, k=256)
+    assert u.estimate() == pytest.approx(sk.estimate())
+
+
+def test_theta_unordered_image_sorted_on_read():
+    sk = build_sketch(np.array([50, 10, 30], dtype=np.uint64), k=8)
+    raw = bytearray(theta_to_bytes(sk))
+    # clear ORDERED flag and scramble the hash longs
+    raw[5] &= ~16 & 0xFF
+    scrambled = np.array([30, 50, 10], dtype="<u8").tobytes()
+    raw[16:] = scrambled
+    back = theta_from_bytes(bytes(raw))
+    np.testing.assert_array_equal(back.hashes, np.array([10, 30, 50], dtype=np.uint64))
+
+
+def test_theta_seed_hash_mismatch_rejected():
+    raw = theta_to_bytes(empty_sketch(16), seed=9001)
+    with pytest.raises(SketchesArgumentError, match="seed hash"):
+        theta_from_bytes(raw, seed=777)
+
+
+def test_theta_bad_images_rejected():
+    with pytest.raises(SketchesArgumentError, match="too small"):
+        theta_from_bytes(b"\x01\x03\x03")
+    raw = bytearray(theta_to_bytes(empty_sketch(16)))
+    raw[1] = 9  # SerVer
+    with pytest.raises(SketchesArgumentError, match="SerVer"):
+        theta_from_bytes(bytes(raw))
+    raw = bytearray(theta_to_bytes(empty_sketch(16)))
+    raw[2] = 1  # family
+    with pytest.raises(SketchesArgumentError, match="family"):
+        theta_from_bytes(bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# KLL reference capacity formula
+# ---------------------------------------------------------------------------
+
+
+def test_ref_level_capacity_values():
+    # KllHelper.levelCapacity: round-half-up k*(2/3)^depth, floor m=8.
+    assert _ref_level_capacity(200, 1, 0) == 200
+    assert _ref_level_capacity(200, 2, 0) == 133  # round(133.33)
+    assert _ref_level_capacity(200, 2, 1) == 200
+    assert _ref_level_capacity(200, 3, 0) == 89  # round(88.88..) half-up int math
+    assert _ref_level_capacity(200, 61, 0) == 8  # floored at m
+    # deep fold path (depth > 30) stays at the m floor for practical k
+    assert _ref_level_capacity(200, 40, 0) == 8
+
+
+# ---------------------------------------------------------------------------
+# KLL images
+# ---------------------------------------------------------------------------
+
+
+def test_kll_golden_one_item_v1():
+    raw = (RESOURCES / "kll_sketch_float_one_item_v1.sk").read_bytes()
+    sk = kll_from_reference_bytes(raw)
+    assert sk.k == 200
+    assert sk.n == 1
+    assert sk._min == 1.0 and sk._max == 1.0
+    assert sk.quantile(0.5) == 1.0
+
+
+def test_kll_empty_round_trip():
+    sk = KllSketch(200)
+    raw = kll_to_reference_bytes(sk)
+    assert len(raw) == 8
+    assert raw[1] == 1 and raw[3] & 1  # SerVer 1, EMPTY flag
+    back = kll_from_reference_bytes(raw)
+    assert back.n == 0
+
+
+def test_kll_single_item_round_trip():
+    sk = KllSketch(200)
+    sk.update(42.5)
+    raw = kll_to_reference_bytes(sk)
+    assert len(raw) == 12  # 8-byte preamble + one float
+    assert raw[1] == 2 and raw[3] & 4  # SerVer 2, SINGLE flag
+    back = kll_from_reference_bytes(raw)
+    assert back.n == 1
+    assert back.quantile(0.5) == 42.5
+
+
+def test_kll_small_exact_round_trip():
+    sk = KllSketch(200)
+    vals = np.arange(1, 101, dtype=np.float64)
+    sk.update_many(vals)
+    raw = kll_to_reference_bytes(sk)
+    # full-compact header checks
+    assert raw[0] == 5 and raw[1] == 1 and raw[2] == 15
+    (k,) = struct.unpack_from("<H", raw, 4)
+    assert k == 200
+    back = kll_from_reference_bytes(raw)
+    assert back.n == 100
+    assert back._min == 1.0 and back._max == 100.0
+    np.testing.assert_array_equal(np.sort(back.levels[0]), vals)
+
+
+def test_kll_large_round_trip_preserves_weight_and_quantiles():
+    rng = np.random.default_rng(11)
+    sk = KllSketch(200)
+    sk.update_many(rng.standard_normal(50_000))
+    raw = kll_to_reference_bytes(sk)
+    back = kll_from_reference_bytes(raw)
+    assert back.n == sk.n
+    # retained weight (sum of 2^level item weights) must equal n both sides
+    for s in (sk, back):
+        assert sum(len(l) << i for i, l in enumerate(s.levels)) == s.n
+    # image must honor the reference capacity bound for its numLevels
+    num_levels = raw[18]
+    retained = sum(len(l) for l in back.levels)
+    assert retained <= _ref_total_capacity(200, num_levels)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert back.quantile(q) == pytest.approx(
+            np.float32(sk.quantile(q)), abs=3e-2
+        )
+
+
+def test_kll_updatable_format_read():
+    # synthesize a SerVer-3 (updatable) float image: levels arr carries the
+    # top fence and the items array is full capacity with a garbage gap
+    k, num_levels = 200, 1
+    items = np.array([5.0, 1.0, 3.0], dtype="<f4")
+    cap = _ref_total_capacity(k, num_levels)
+    lvl0 = cap - len(items)
+    fences = np.array([lvl0, cap], dtype="<i4")
+    full = np.zeros(cap, dtype="<f4")
+    full[lvl0:] = items
+    raw = (
+        struct.pack("<BBBBHBB", 5, 3, 15, 0, k, 8, 0)
+        + struct.pack("<qHBB", 3, k, num_levels, 0)
+        + fences.tobytes()
+        + struct.pack("<ff", 1.0, 5.0)
+        + full.tobytes()
+    )
+    sk = kll_from_reference_bytes(raw)
+    assert sk.n == 3
+    np.testing.assert_array_equal(np.sort(sk.levels[0]), [1.0, 3.0, 5.0])
+    assert sk.quantile(0.0) == 1.0 and sk.quantile(1.0) == 5.0
+
+
+def test_kll_doubles_image_read():
+    # full-compact doubles image (flags bit 8): same layout with 8-byte items
+    k, num_levels = 200, 1
+    items = np.array([2.25, 7.5], dtype="<f8")
+    cap = _ref_total_capacity(k, num_levels)
+    fences = np.array([cap - len(items)], dtype="<i4")
+    raw = (
+        struct.pack("<BBBBHBB", 5, 1, 15, 8, k, 8, 0)
+        + struct.pack("<qHBB", 2, k, num_levels, 0)
+        + fences.tobytes()
+        + struct.pack("<dd", 2.25, 7.5)
+        + items.tobytes()
+    )
+    sk = kll_from_reference_bytes(raw)
+    assert sk.n == 2
+    np.testing.assert_array_equal(np.sort(sk.levels[0]), [2.25, 7.5])
+
+
+def test_kll_doubles_single_item_read():
+    raw = struct.pack("<BBBBHBBd", 2, 2, 15, 8 | 4, 200, 8, 0, 3.5)
+    sk = kll_from_reference_bytes(raw)
+    assert sk.n == 1
+    assert sk.quantile(0.5) == 3.5
+
+
+def test_kll_bad_images_rejected():
+    with pytest.raises(SketchesArgumentError, match="too small"):
+        kll_from_reference_bytes(b"\x05\x01")
+    with pytest.raises(SketchesArgumentError, match="KLL"):
+        kll_from_reference_bytes(struct.pack("<BBBBHBB", 5, 1, 3, 0, 200, 8, 0))
