@@ -126,6 +126,182 @@ def theta_from_bytes(
 
 
 # ---------------------------------------------------------------------------
+# Tuple CompactSketch images (tuple/CompactSketch.java:43-148)
+# ---------------------------------------------------------------------------
+
+_FAMILY_TUPLE = 9
+_SKTYPE_COMPACT = 1  # SerializerDeserializer.SketchType.CompactSketch ordinal
+
+# reference Mode enum ordinals (tuple/aninteger/IntegerSummary.java:40-75,
+# tuple/adouble/DoubleSummary.java:40-70) — same order as tuple.MODES
+_MODE_NAMES = ("sum", "min", "max", "always_one", "increment")
+
+# summary codecs: name -> (record bytes, numpy struct fields after the hash)
+# int32      = 4-byte LE int, no mode byte (the C++ writer and the Java
+#              TestIntegerSummary; tuple-int-*-cpp.sk)
+# int32_mode = Java IntegerSummary: int32 + mode byte (IntegerSummary.java:130-140)
+# double_mode= Java DoubleSummary: float64 + mode byte (DoubleSummary.java:130-140)
+_SUMMARY_CODECS = {
+    "int32": (4, [("v", "<i4")]),
+    "int32_mode": (5, [("v", "<i4"), ("m", "u1")]),
+    "double_mode": (9, [("v", "<f8"), ("m", "u1")]),
+}
+
+_TUPLE_EMPTY_FLAG = 4     # Flags.IS_EMPTY ordinal 2
+_TUPLE_V3_FLAGS = 2 | 8 | 16  # READ_ONLY | COMPACT | ORDERED (matches C++ 0x1a)
+
+
+def _tuple_codec(summary: str):
+    try:
+        return _SUMMARY_CODECS[summary]
+    except KeyError:
+        raise SketchesArgumentError(
+            f"unknown summary codec {summary!r}; one of {sorted(_SUMMARY_CODECS)}"
+        ) from None
+
+
+def _mode_from_ordinals(modes: np.ndarray | None, default_mode: str) -> str:
+    if modes is None or len(modes) == 0:
+        return default_mode
+    ordinal = int(modes[0])
+    if ordinal >= len(_MODE_NAMES):
+        raise SketchesArgumentError(f"unknown summary mode ordinal {ordinal}")
+    return _MODE_NAMES[ordinal]
+
+
+def tuple_from_bytes(raw: bytes, summary: str = "int32", k: int | None = None,
+                     mode: str = "sum", seed: int = DEFAULT_UPDATE_SEED):
+    """Heapify a reference tuple ``CompactSketch`` image (SerVer 1/2/3) into
+    the engine's ``TupleSketch`` (scalar float64 summary column).
+
+    * SerVer 3 (current; tuple/CompactSketch.java:121-148): 8-byte header
+      with seed hash, optional count/theta by preamble longs, then
+      interleaved (hash long, summary) records — the C++ cross-language
+      form (tuple-int-*-cpp.sk golden files).
+    * SerVer 2 (legacy :86-120): flags byte with HAS_ENTRIES/THETA_INCLUDED,
+      hashes block then summaries block.
+    * SerVer 1: SerVer 2 plus a length-prefixed summary class name.
+
+    ``summary`` picks the summary codec; images without a mode byte take
+    ``mode``. Mode ordinals map 1:1 onto the engine's ``MODES``.
+    """
+    from .sketches.tuple import TupleSketch
+
+    if len(raw) < 8:
+        raise SketchesArgumentError(f"source too small: {len(raw)} < 8")
+    _, sfields = _tuple_codec(summary)
+    pre_longs, ser_ver, family, sktype = struct.unpack_from("<BBBB", raw, 0)
+    if family != _FAMILY_TUPLE:
+        raise SketchesArgumentError(f"not a tuple image (family {family})")
+    if sktype != _SKTYPE_COMPACT:
+        raise SketchesArgumentError(f"not a tuple CompactSketch (type {sktype})")
+    if ser_ver > 3:
+        raise SketchesArgumentError(f"unsupported tuple SerVer: {ser_ver}")
+    rec = np.dtype([("h", "<u8")] + sfields)
+    has_mode = any(f[0] == "m" for f in sfields)
+
+    if ser_ver <= 2:  # legacy
+        flags = raw[4]
+        if flags & 1:
+            raise SketchesArgumentError("big-endian images not supported")
+        off = 5
+        theta = MAX_THETA
+        if flags & 8:  # IS_THETA_INCLUDED
+            theta = np.frombuffer(raw, dtype="<u8", count=1, offset=off)[0]
+            off += 8
+        hashes = np.zeros(0, dtype=np.uint64)
+        values = np.zeros((0, 1), dtype=np.float64)
+        modes = None
+        if flags & 4:  # HAS_ENTRIES
+            if ser_ver == 1:
+                name_len = raw[off]
+                off += 1
+            (count,) = struct.unpack_from("<i", raw, off)
+            off += 4
+            if ser_ver == 1:
+                off += name_len
+            hashes = np.frombuffer(raw, dtype="<u8", count=count, offset=off).astype(
+                np.uint64
+            )
+            off += 8 * count
+            summ = np.frombuffer(raw, dtype=np.dtype(sfields), count=count, offset=off)
+            values = summ["v"].astype(np.float64).reshape(-1, 1)
+            modes = summ["m"] if has_mode else None
+    else:  # current v3
+        flags = raw[5]
+        seed_hash = struct.unpack_from("<H", raw, 6)[0]
+        if seed_hash != 0 and seed_hash != compute_seed_hash(seed):
+            raise SketchesArgumentError(
+                f"seed hash mismatch: image {seed_hash} vs seed {seed}"
+            )
+        theta = MAX_THETA
+        if flags & _TUPLE_EMPTY_FLAG:
+            count, off = 0, 8
+        elif pre_longs == 1:
+            count, off = 1, 8
+        elif pre_longs == 2:
+            (count,) = struct.unpack_from("<i", raw, 8)
+            off = 16
+        elif pre_longs == 3:
+            (count,) = struct.unpack_from("<i", raw, 8)
+            theta = np.frombuffer(raw, dtype="<u8", count=1, offset=16)[0]
+            off = 24
+        else:
+            raise SketchesArgumentError(f"bad tuple preamble longs: {pre_longs}")
+        entries = np.frombuffer(raw, dtype=rec, count=count, offset=off)
+        hashes = entries["h"].astype(np.uint64)
+        values = entries["v"].astype(np.float64).reshape(-1, 1)
+        modes = entries["m"] if has_mode else None
+
+    order = np.argsort(hashes, kind="stable")
+    return TupleSketch(
+        theta=np.uint64(theta),
+        hashes=hashes[order],
+        values=values[order],
+        k=k or max(len(hashes), 1),
+        mode=_mode_from_ordinals(modes, mode),
+    )
+
+
+def tuple_to_bytes(sk, summary: str = "int32", seed: int = DEFAULT_UPDATE_SEED) -> bytes:
+    """Serialize the engine's ``TupleSketch`` (scalar summary) to the
+    reference's SerVer-3 compact image (tuple/CompactSketch.java:185-240)."""
+    if sk.values.shape[1] != 1:
+        raise SketchesArgumentError(
+            f"wire tuple images carry scalar summaries; sketch has {sk.values.shape[1]}"
+        )
+    _, sfields = _tuple_codec(summary)
+    has_mode = any(f[0] == "m" for f in sfields)
+    seed_hash = compute_seed_hash(seed)
+    n = len(sk.hashes)
+    if n == 0 and sk.theta == MAX_THETA:
+        return struct.pack(
+            "<BBBBBBH", 1, 3, _FAMILY_TUPLE, _SKTYPE_COMPACT, 0,
+            _TUPLE_V3_FLAGS | _TUPLE_EMPTY_FLAG, seed_hash,
+        )
+    estimating = sk.theta != MAX_THETA
+    pre_longs = 3 if estimating else (1 if n == 1 else 2)
+    rec = np.dtype([("h", "<u8")] + sfields)
+    entries = np.zeros(n, dtype=rec)
+    entries["h"] = sk.hashes
+    entries["v"] = sk.values[:, 0]
+    if has_mode:
+        entries["m"] = _MODE_NAMES.index(sk.mode)
+    out = [
+        struct.pack(
+            "<BBBBBBH", pre_longs, 3, _FAMILY_TUPLE, _SKTYPE_COMPACT, 0,
+            _TUPLE_V3_FLAGS, seed_hash,
+        )
+    ]
+    if pre_longs >= 2:
+        out.append(struct.pack("<iI", n, 0))
+    if pre_longs == 3:
+        out.append(np.array([sk.theta], dtype="<u8").tobytes())
+    out.append(entries.tobytes())
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # KLL images (kll/KllPreambleUtil.java:130-160, kll/KllMemoryValidate.java:118-168)
 # ---------------------------------------------------------------------------
 

@@ -274,3 +274,123 @@ def test_kll_bad_images_rejected():
         kll_from_reference_bytes(b"\x05\x01")
     with pytest.raises(SketchesArgumentError, match="KLL"):
         kll_from_reference_bytes(struct.pack("<BBBBHBB", 5, 1, 3, 0, 200, 8, 0))
+
+
+# ---------------------------------------------------------------------------
+# tuple CompactSketch images
+# ---------------------------------------------------------------------------
+
+from raydedup.interop import tuple_from_bytes, tuple_to_bytes  # noqa: E402
+from raydedup.kmv import MAX_THETA as _MT  # noqa: E402
+from raydedup.sketches.tuple import TupleSketch  # noqa: E402
+
+
+def test_tuple_golden_cpp_empty():
+    raw = (RESOURCES / "tuple-int-empty-cpp.sk").read_bytes()
+    sk = tuple_from_bytes(raw)
+    assert len(sk.hashes) == 0 and sk.theta == _MT
+    assert sk.estimate() == 0.0
+
+
+def test_tuple_golden_cpp_single():
+    raw = (RESOURCES / "tuple-int-single-cpp.sk").read_bytes()
+    sk = tuple_from_bytes(raw)
+    assert len(sk.hashes) == 1 and sk.theta == _MT
+    assert sk.values[0, 0] == 1.0  # C++ test wrote summary value 1
+
+
+def test_tuple_golden_cpp_two():
+    raw = (RESOURCES / "tuple-int-two-cpp.sk").read_bytes()
+    sk = tuple_from_bytes(raw)
+    assert len(sk.hashes) == 2 and sk.theta == _MT
+    assert list(sk.values[:, 0]) == [1.0, 1.0]
+    assert np.all(np.diff(sk.hashes.astype(np.uint64)) > 0)
+
+
+def test_tuple_golden_cpp_estimation():
+    # SerialVersion3Test.estimationModeFromCpp: 4096 retained, estimating
+    raw = (RESOURCES / "tuple-int-est-trim-cpp.sk").read_bytes()
+    sk = tuple_from_bytes(raw)
+    assert len(sk.hashes) == 4096
+    assert sk.theta < _MT
+    assert np.all(sk.hashes < sk.theta)
+
+
+def test_tuple_golden_server2_legacy():
+    # SerialVersion3Test.version2Compatibility: 2*4096 distinct keys trimmed
+    # to k=4096, theta < MAX, not empty, estimating
+    raw = (RESOURCES / "TupleWithTestIntegerSummary4kTrimmedSerVer2.sk").read_bytes()
+    sk = tuple_from_bytes(raw, summary="int32")
+    assert len(sk.hashes) == 4096
+    assert sk.theta < _MT
+    assert sk.estimate() == pytest.approx(8192, rel=0.05)
+
+
+def test_tuple_golden_server1_double_summary():
+    # CompactSketchWithDoubleSummaryTest.serialVersion1Compatibility:
+    # estimating, ~8192 estimate, 4096 retained, every summary value 1.0
+    raw = (RESOURCES / "CompactSketchWithDoubleSummary4K_serialVersion1.sk").read_bytes()
+    sk = tuple_from_bytes(raw, summary="double_mode")
+    assert sk.theta < _MT
+    assert len(sk.hashes) == 4096
+    assert sk.estimate() == pytest.approx(8192, rel=0.05)
+    assert np.all(sk.values[:, 0] == 1.0)
+
+
+def test_tuple_rejects_v091_union_like_reference():
+    # ArrayOfDoublesUnionTest.noSupportHeapifyV0_9_1: the reference throws on
+    # this pre-1.0 image; we must reject it too (it is not a CompactSketch)
+    raw = (RESOURCES / "ArrayOfDoublesUnion_v0.9.1.sk").read_bytes()
+    with pytest.raises(SketchesArgumentError):
+        tuple_from_bytes(raw)
+
+
+def _mk_tuple(nkeys, k=64, mode="sum"):
+    rng = np.random.default_rng(5)
+    sk = TupleSketch.empty(k, 1, mode)
+    h = rng.integers(1, 2**63, size=nkeys, dtype=np.uint64)
+    return sk.update_many(h, np.arange(1, nkeys + 1, dtype=np.float64).reshape(-1, 1))
+
+
+@pytest.mark.parametrize("summary", ["int32", "int32_mode", "double_mode"])
+def test_tuple_round_trip_exact(summary):
+    sk = _mk_tuple(10)
+    raw = tuple_to_bytes(sk, summary=summary)
+    back = tuple_from_bytes(raw, summary=summary, k=sk.k, mode=sk.mode)
+    assert back.theta == sk.theta
+    np.testing.assert_array_equal(back.hashes, sk.hashes)
+    np.testing.assert_array_equal(back.values, np.floor(sk.values))
+    assert back.mode == sk.mode
+
+
+def test_tuple_round_trip_estimating_and_algebra():
+    sk = _mk_tuple(500, k=64, mode="min")
+    assert sk.theta < _MT
+    raw = tuple_to_bytes(sk, summary="double_mode")
+    back = tuple_from_bytes(raw, summary="double_mode", k=sk.k)
+    assert back.mode == "min"  # mode byte round-trips
+    assert back.theta == sk.theta
+    np.testing.assert_array_equal(back.hashes, sk.hashes)
+    np.testing.assert_array_equal(back.values, sk.values)
+    inter = back.intersect(sk)
+    assert len(inter.hashes) == len(sk.hashes)
+
+
+def test_tuple_round_trip_empty_and_single():
+    empty = TupleSketch.empty(16)
+    raw = tuple_to_bytes(empty)
+    assert len(raw) == 8 and raw[5] & 4  # EMPTY flag
+    assert len(tuple_from_bytes(raw).hashes) == 0
+    single = TupleSketch.empty(16).update_many(
+        np.array([777], dtype=np.uint64), np.array([[3.0]])
+    )
+    raw = tuple_to_bytes(single)
+    assert raw[0] == 1 and len(raw) == 8 + 12  # preLongs=1, interleaved rec
+    back = tuple_from_bytes(raw)
+    assert list(back.hashes) == [777] and back.values[0, 0] == 3.0
+
+
+def test_tuple_vector_summary_rejected():
+    sk = TupleSketch.empty(16, num_values=3)
+    with pytest.raises(SketchesArgumentError, match="scalar"):
+        tuple_to_bytes(sk)
