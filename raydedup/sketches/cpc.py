@@ -53,6 +53,14 @@ class CpcSketch:
         self.lg_k = lg_k
         self.k = 1 << lg_k
         self.matrix = np.zeros(self.k, dtype=np.uint64)
+        # Wire/HIP state (CpcSketch.java:138-141): engine-built sketches are
+        # merge-semantics (mergeFlag=true, ICON estimator); sketches read from
+        # reference images may carry a HIP accumulator, which getEstimate
+        # prefers. We do not maintain HIP on update — only carry it through.
+        self.merge_flag = True
+        self.fi_col = 0
+        self.kxp = float(self.k)
+        self.hip_est_accum = 0.0
 
     def update_hash_pairs(self, hash0: np.ndarray, hash1: np.ndarray) -> None:
         """Vectorized coupon insertion from two independent uniform uint64
@@ -92,8 +100,12 @@ class CpcSketch:
         return float((k * -np.expm1(n * np.log1p(-p / k))).sum())
 
     def estimate(self) -> float:
-        """ICON estimate: n̂ = E[C]^{-1}(observed C), solved by bisection
-        (E[C] is strictly increasing in n)."""
+        """Best estimate (CpcSketch.java:138-141): the HIP accumulator when
+        the sketch carries one (read from a reference HIP image), else ICON:
+        n̂ = E[C]^{-1}(observed C), solved by bisection (E[C] is strictly
+        increasing in n)."""
+        if not self.merge_flag:
+            return self.hip_est_accum
         c = self.num_coupons
         if c == 0:
             return 0.0
@@ -126,6 +138,7 @@ class CpcSketch:
     def merge(self, other: "CpcSketch") -> "CpcSketch":
         """Union (CpcUnion semantics): bitwise OR; mixed lgK downsamples to
         the smaller (row = low lgK bits → fold rows sharing low bits)."""
+        self.merge_flag = True  # union results are merge-semantics (no HIP)
         if other.lg_k != self.lg_k:
             a, b = (self, other) if self.lg_k <= other.lg_k else (other, self)
             folded = np.bitwise_or.reduce(b.matrix.reshape(-1, a.k), axis=0)
