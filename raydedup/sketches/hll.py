@@ -48,6 +48,12 @@ class HllSketch:
         self.m = 1 << lg_k
         self.sparse: set[int] | None = set()  # None once dense
         self.regs: np.ndarray | None = None
+        # Wire state (interop_hll): reference HLL-mode images carry a HIP
+        # accumulator that getEstimate prefers when the sketch is not
+        # out-of-order (hll/HllEstimators.java). Engine-built sketches never
+        # set it; merges clear it.
+        self.out_of_order = True
+        self.hip_accum: float | None = None
 
     @property
     def is_sparse(self) -> bool:
@@ -85,6 +91,8 @@ class HllSketch:
         self._dense_update(h)
 
     def merge(self, other: "HllSketch") -> "HllSketch":
+        self.out_of_order = True  # merged state: HIP no longer valid
+        self.hip_accum = None
         if other.sparse is not None:
             # replay other's raw hashes (works across any lg_k)
             if other.sparse:
@@ -116,6 +124,8 @@ class HllSketch:
         return self
 
     def estimate(self) -> float:
+        if self.hip_accum is not None and not self.out_of_order:
+            return self.hip_accum  # in-order wire image: HIP is the best estimate
         if self.sparse is not None:
             return float(len(self.sparse))  # exact in the small-range regime
         m = self.m
