@@ -147,7 +147,21 @@ class HllSketch:
             arr = np.fromiter(self.sparse, dtype=np.uint64, count=len(self.sparse))
             arr.sort()
             return bytes([self.lg_k, 1]) + arr.astype("<u8").tobytes()
-        return bytes([self.lg_k, 0]) + self.regs.tobytes()
+        # Dense state ships 4-bit packed (the reference's HLL_4 idea,
+        # hll/Hll4Update.java): nibble = value - curMin clipped at 15, with
+        # the rare overflows (P ≈ 2^-(14+curMin) per slot) as (value<<26|slot)
+        # exception pairs. Halves the per-group aggregate state that moves
+        # through the combiner tree versus the flat u8 register array.
+        cur_min = int(self.regs.min())
+        shifted = self.regs.astype(np.int64) - cur_min
+        exc = shifted >= 15
+        nibs = np.where(exc, 15, shifted).astype(np.uint8)
+        packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8)
+        slots = np.nonzero(exc)[0]
+        pairs = (self.regs[slots].astype(np.uint32) << np.uint32(26)) | slots.astype(np.uint32)
+        return (
+            bytes([self.lg_k, 2, cur_min]) + packed.tobytes() + pairs.astype("<u4").tobytes()
+        )
 
     @staticmethod
     def deserialize(buf: bytes) -> "HllSketch":
@@ -155,7 +169,21 @@ class HllSketch:
         if buf[1] == 1:
             sk.sparse = set(np.frombuffer(buf[2:], dtype="<u8").tolist())
             sk.regs = None
-        else:
+        elif buf[1] == 2:
+            sk.sparse = None
+            cur_min = buf[2]
+            half = sk.m >> 1
+            packed = np.frombuffer(buf, dtype=np.uint8, count=half, offset=3)
+            nibs = np.empty(sk.m, dtype=np.uint8)
+            nibs[0::2] = packed & 0xF
+            nibs[1::2] = packed >> 4
+            sk.regs = nibs + np.uint8(cur_min)
+            pairs = np.frombuffer(buf, dtype="<u4", offset=3 + half)
+            if len(pairs):
+                sk.regs[(pairs & np.uint32((1 << 26) - 1)).astype(np.intp)] = (
+                    pairs >> np.uint32(26)
+                ).astype(np.uint8)
+        else:  # legacy flat u8 register array
             sk.sparse = None
             sk.regs = np.frombuffer(buf[2:], dtype=np.uint8).copy()
         return sk
