@@ -93,6 +93,8 @@ def theta_from_bytes(
         "<BBBBBBH", raw, 0
     )
     pre_longs = pre_longs_byte & 0x3F
+    if ser_ver in (1, 2):
+        return _theta_from_legacy_bytes(raw, ser_ver, k, seed)
     if ser_ver != 3:
         raise SketchesArgumentError(f"unsupported theta SerVer: {ser_ver}")
     if family != _FAMILY_COMPACT:
@@ -121,6 +123,51 @@ def theta_from_bytes(
         np.uint64
     )
     if not flags & _ORDERED_FLAG:
+        hashes = np.sort(hashes)
+    return KmvSketch(theta=np.uint64(theta), hashes=hashes, k=k or max(count, 1))
+
+
+def _theta_from_legacy_bytes(
+    raw: bytes, ser_ver: int, k: int | None, seed: int
+) -> KmvSketch:
+    """Forward-compatibility readers for the pre-2015 theta wire formats
+    (layouts documented in the reference's test/theta/BackwardConversions.java:
+    38-86 for SerVer 1 and :104-182 for SerVer 2; exercised there by
+    ForwardCompatibilityTest). Both versions serialized only compact images
+    with the hash longs starting right after the preamble."""
+    pre_longs = raw[0] & 0x3F
+    sk_type = raw[2]
+    if sk_type != 3:  # SetSketch; Alpha/QS images were never compact exports
+        raise SketchesArgumentError(f"unsupported legacy theta SkType {sk_type}")
+    if ser_ver == 1:
+        # V1: MD_LONGS always 3, no seedHash, flags(byte 6) carry no layout
+        # info; empty <=> curCount==0 and theta==MAX.
+        if pre_longs != 3 or len(raw) < 24:
+            raise SketchesArgumentError("malformed SerVer-1 theta image")
+        (count,) = struct.unpack_from("<i", raw, 8)
+        theta = np.frombuffer(raw, dtype="<u8", count=1, offset=16)[0]
+        hashes = np.frombuffer(raw, dtype="<u8", count=count, offset=24).astype(np.uint64)
+        return KmvSketch(theta=np.uint64(theta), hashes=hashes, k=k or max(count, 1))
+    # V2: preLongs 1 (empty) / 2 (exact) / 3 (estimating); seedHash at 6-7.
+    (seed_hash,) = struct.unpack_from("<H", raw, 6)
+    if seed_hash != 0 and seed_hash != compute_seed_hash(seed):
+        raise SketchesArgumentError(
+            f"seed hash mismatch: image {seed_hash} vs seed {seed}"
+        )
+    flags = raw[5]
+    if pre_longs == 1 or flags & _EMPTY_FLAG:
+        return KmvSketch(theta=MAX_THETA, hashes=np.zeros(0, dtype=np.uint64), k=k or 1)
+    (count,) = struct.unpack_from("<i", raw, 8)
+    if pre_longs == 2:
+        theta = MAX_THETA
+        data_off = 16
+    elif pre_longs == 3:
+        theta = np.frombuffer(raw, dtype="<u8", count=1, offset=16)[0]
+        data_off = 24
+    else:
+        raise SketchesArgumentError(f"bad SerVer-2 preamble longs: {pre_longs}")
+    hashes = np.frombuffer(raw, dtype="<u8", count=count, offset=data_off).astype(np.uint64)
+    if flags & 16:  # UNORDERED flag (V2-specific)
         hashes = np.sort(hashes)
     return KmvSketch(theta=np.uint64(theta), hashes=hashes, k=k or max(count, 1))
 

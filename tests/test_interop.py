@@ -394,3 +394,78 @@ def test_tuple_vector_summary_rejected():
     sk = TupleSketch.empty(16, num_values=3)
     with pytest.raises(SketchesArgumentError, match="scalar"):
         tuple_to_bytes(sk)
+
+
+# ---------------------------------------------------------------------------
+# theta SerVer-1/2 forward compatibility
+# (legacy layouts from test/theta/BackwardConversions.java:38-86,:104-182;
+# synthesized images mirror that converter, as ForwardCompatibilityTest does)
+# ---------------------------------------------------------------------------
+
+
+def _to_v1(sk: KmvSketch) -> bytes:
+    import struct as _s
+
+    count = len(sk.hashes)
+    out = bytearray((3 + count) * 8)
+    out[0], out[1], out[2], out[6] = 3, 1, 3, 2  # MD_LONGS, SerVer, SetSketch, RO|LE
+    _s.pack_into("<i", out, 8, count)
+    _s.pack_into("<Q", out, 16, int(sk.theta))
+    out[24:] = np.sort(sk.hashes).astype("<u8").tobytes()
+    return bytes(out)
+
+
+def _to_v2(sk: KmvSketch, seed: int = 9001) -> bytes:
+    import struct as _s
+
+    count = len(sk.hashes)
+    estimating = int(sk.theta) != int(MAX_THETA)
+    if count == 0 and not estimating:
+        out = bytearray(8)
+        out[0], out[1], out[2], out[5] = 1, 2, 3, 0xE
+        _s.pack_into("<H", out, 6, compute_seed_hash(seed))
+        return bytes(out)
+    pre_longs = 3 if estimating else 2
+    out = bytearray((pre_longs + count) * 8)
+    out[0], out[1], out[2], out[5] = pre_longs, 2, 3, 0xA
+    _s.pack_into("<H", out, 6, compute_seed_hash(seed))
+    _s.pack_into("<i", out, 8, count)
+    if estimating:
+        _s.pack_into("<Q", out, 16, int(sk.theta))
+    out[pre_longs * 8 :] = np.sort(sk.hashes).astype("<u8").tobytes()
+    return bytes(out)
+
+
+@pytest.mark.parametrize("n", [0, 1, 10, 500])
+def test_theta_serv1_forward_compat(n):
+    rng = np.random.default_rng(n + 1)
+    sk = build_sketch(rng.integers(1, 1 << 62, n, dtype=np.uint64), k=64)
+    back = theta_from_bytes(_to_v1(sk))
+    assert back.theta == sk.theta
+    assert np.array_equal(np.sort(back.hashes), np.sort(sk.hashes))
+    assert back.estimate() == pytest.approx(sk.estimate())
+
+
+@pytest.mark.parametrize("n", [0, 1, 10, 500])
+def test_theta_serv2_forward_compat(n):
+    rng = np.random.default_rng(n + 9)
+    sk = build_sketch(rng.integers(1, 1 << 62, n, dtype=np.uint64), k=64)
+    back = theta_from_bytes(_to_v2(sk))
+    assert back.theta == sk.theta
+    assert np.array_equal(np.sort(back.hashes), np.sort(sk.hashes))
+
+
+def test_theta_serv2_rejects_wrong_seed_hash():
+    sk = build_sketch(np.arange(1, 40, dtype=np.uint64), k=64)
+    raw = bytearray(_to_v2(sk))
+    raw[6] ^= 0xFF
+    with pytest.raises(SketchesArgumentError):
+        theta_from_bytes(bytes(raw))
+
+
+def test_theta_legacy_rejects_alpha_sketch_type():
+    sk = build_sketch(np.arange(1, 40, dtype=np.uint64), k=64)
+    raw = bytearray(_to_v1(sk))
+    raw[2] = 1  # AlphaSketch
+    with pytest.raises(SketchesArgumentError):
+        theta_from_bytes(bytes(raw))
