@@ -89,18 +89,19 @@ class FdtSketch:
     """
 
     def __init__(self, lg_k: int = 12, seed: int = 9001):
-        from .hashing import xxh64_bytes
         from .sketches.tuple import ArrayOfStringsSketch
 
         self.k = 1 << lg_k
         self.seed = seed
-        self._xxh = xxh64_bytes
         self._sk = ArrayOfStringsSketch(self.k)
 
     def _tuple_hash(self, parts: list[str]) -> np.ndarray:
-        blob = "\x00".join(parts).encode()
-        # theta-domain 63-bit hash of the whole tuple
-        return np.array([self._xxh(blob, self.seed) >> 1], dtype=np.uint64)
+        # the reference's exact key chain (Util.stringArrHash +
+        # UpdatableSketch.update(long)), so serialized images carry keys a
+        # reference consumer would compute for the same tuples
+        from .interop_aos import string_arr_key
+
+        return np.array([string_arr_key(parts)], dtype=np.uint64)
 
     def update(self, tuple_values: list[str]) -> None:
         """Insert one string tuple (FdtSketch.update(String[]))."""
@@ -109,6 +110,20 @@ class FdtSketch:
     def merge(self, other: "FdtSketch") -> "FdtSketch":
         self._sk = self._sk.union(other._sk)
         return self
+
+    def to_bytes(self) -> bytes:
+        """Reference-format ArrayOfStringsSketch compact image (family 9)."""
+        from .interop_aos import aos_tuple_to_bytes
+
+        return aos_tuple_to_bytes(self._sk, seed=self.seed)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, lg_k: int = 12, seed: int = 9001) -> "FdtSketch":
+        from .interop_aos import aos_tuple_from_bytes
+
+        out = cls(lg_k=lg_k, seed=seed)
+        out._sk = aos_tuple_from_bytes(raw, k=out.k, seed=seed)
+        return out
 
     def estimate(self) -> float:
         """Distinct tuple count estimate."""
