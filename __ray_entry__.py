@@ -226,6 +226,38 @@ def _q_cpc_distinct_customers(sf_dir: str):
     )
 
 
+
+def _q_alpha_distinct_parts(sf_dir: str):
+    """Alpha-sketch distinct counter (theta/HeapAlphaSketch.java role:
+    single-stream estimator): distinct parts per return flag. Each block
+    runs the alpha update path; partials merge as compact theta (the
+    reference's own merge story for alpha). Group cardinalities at
+    correctness scale stay below k, the exact regime."""
+    import ray.data
+
+    from raydedup.aggregates import alpha_distinct
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+    out = li.groupby("l_returnflag").aggregate(
+        alpha_distinct("l_partkey", lg_k=14, name="distinct_parts")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "distinct_parts": pa.array(
+                    np.round(
+                        b.column("distinct_parts").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_frequent_suppliers(sf_dir: str):
     """Heavy hitters: suppliers with > threshold lineitems (exact regime)."""
     import ray.data
@@ -745,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_distinct_orders": _q_theta_distinct_orders,
         "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
         "cpc_distinct_customers": _q_cpc_distinct_customers,
+        "alpha_distinct_parts": _q_alpha_distinct_parts,
         "frequent_suppliers": _q_frequent_suppliers,
         "frequent_part_types": _q_frequent_part_types,
         "hll_distinct_orders_by_priority": _q_hll_distinct_orders_by_priority,
@@ -904,6 +937,10 @@ HAVING count(*) > greatest(1, (SELECT c FROM n) // 20)
         "cpc_distinct_customers": """
 SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_customers
 FROM customer GROUP BY c_nationkey
+""",
+        "alpha_distinct_parts": """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+FROM lineitem GROUP BY l_returnflag
 """,
         "frequent_suppliers": """
 WITH n AS (SELECT count(*) c FROM lineitem)

@@ -483,3 +483,41 @@ def frequent_items(
         finalize=lambda s: s,
         name=name or f"frequent_items({col})",
     )
+
+
+def alpha_distinct(col: str, lg_k: int = 14, seed: int = 9001, name: str | None = None) -> AggregateFn:
+    """Alpha-sketch distinct count of a column. Each block runs the
+    single-stream alpha update path (theta/HeapAlphaSketch.java:323-369);
+    partials hand off as compact theta form and merge via the standard
+    theta union — exactly the reference's guidance for distributing alpha
+    (alpha is single-stream; unions go through theta Union on compact()).
+    Exact while every block's distinct count stays <= k and the union
+    keeps all hashes (the oracle regime)."""
+    from .sketches.alpha import AlphaSketch
+
+    k = 1 << lg_k
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = AlphaSketch(lg_k=lg_k, seed=seed)
+        sk.update_hashes(_column_theta_hashes(block, col, seed))
+        partial = sk.compact()
+        if not state:
+            return partial.serialize()
+        return union_many([KmvSketch.deserialize(state), partial], k).serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or empty_sketch(k).serialize()
+        if not b:
+            return a
+        return union_many(
+            [KmvSketch.deserialize(a), KmvSketch.deserialize(b)], k
+        ).serialize()
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: KmvSketch.deserialize(s).estimate() if s else 0.0,
+        name=name or f"alpha_distinct({col})",
+    )

@@ -505,3 +505,135 @@ def kll_to_reference_bytes(sk) -> bytes:
         np.concatenate(levels).astype("<f4").tobytes(),
     ]
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Theta UpdateSketch images: ALPHA (family 1) + QUICKSELECT (family 2)
+# (HeapUpdateSketch.toByteArray:109-140, HeapAlphaSketch.java:234-253,
+#  HeapQuickSelectSketch heapify — same 3-long preamble, then the live
+#  open-addressing hash table of 2^lgArrLongs longs)
+# ---------------------------------------------------------------------------
+
+_FAMILY_ALPHA = 1
+_FAMILY_QUICKSELECT = 2
+_MIN_LG_ARR_LONGS = 5  # ThetaUtil.MIN_LG_ARR_LONGS
+
+
+def _update_table_lg(count: int, lg_nom: int, estimating: bool) -> int:
+    """Smallest lgArrLongs whose hashTableThreshold admits `count`
+    (HeapAlphaSketch.setHashTableThreshold:574-577): fraction is
+    RESIZE_THRESHOLD (1/2) below target size, REBUILD_THRESHOLD (15/16)
+    at/above; sketch-mode tables are at target size lgNom+1 or larger."""
+    lg = max(_MIN_LG_ARR_LONGS, lg_nom + 1 if estimating else _MIN_LG_ARR_LONGS)
+    while True:
+        frac = 0.5 if lg <= lg_nom else 15.0 / 16.0
+        if count <= int(frac * (1 << lg)):
+            return lg
+        lg += 1
+
+
+def _probe_table(keys: np.ndarray, lg_arr: int) -> np.ndarray:
+    """Place keys into a reference open-addressing table
+    (HashOperations.hashSearchOrInsert:129-148 probe sequence)."""
+    from .interop_aod import _probe_slots
+
+    table = np.zeros(1 << lg_arr, dtype=np.uint64)
+    if len(keys):
+        table[_probe_slots(np.asarray(keys, dtype=np.uint64), lg_arr)] = keys
+    return table
+
+
+def alpha_to_bytes(sk, seed: int = DEFAULT_UPDATE_SEED) -> bytes:
+    """Serialize an ``AlphaSketch`` to the reference's family-1 UpdateSketch
+    image (rebuilds first, as HeapUpdateSketch.toByteArray:110 does)."""
+    sk.rebuild()
+    valid = np.array(sorted(sk._set), dtype=np.uint64)
+    estimating = sk.is_estimation_mode
+    lg_arr = _update_table_lg(len(valid), sk.lg_k, estimating)
+    flags = 0 if not sk.empty else _EMPTY_FLAG
+    lg_rf = 1  # X2 — the heapify's fallback for any inconsistent factor
+    head = struct.pack(
+        "<BBBBBBH",
+        3 | (lg_rf << 6), _SER_VER, _FAMILY_ALPHA, sk.lg_k, lg_arr, flags,
+        compute_seed_hash(seed),
+    )
+    body = struct.pack("<if", len(valid), sk.p)
+    theta = np.array([sk.theta], dtype="<u8").tobytes()
+    return head + body + theta + _probe_table(valid, lg_arr).astype("<u8").tobytes()
+
+
+def _read_update_preamble(raw: bytes, want_family: int, seed: int):
+    if len(raw) < 24:
+        raise SketchesArgumentError(f"source too small: {len(raw)} < 24")
+    pre_byte, ser_ver, family, lg_nom, lg_arr, flags, seed_hash = struct.unpack_from(
+        "<BBBBBBH", raw, 0
+    )
+    if (pre_byte & 0x3F) != 3:
+        raise SketchesArgumentError(f"bad UpdateSketch preamble longs: {pre_byte & 0x3F}")
+    if ser_ver != _SER_VER:
+        raise SketchesArgumentError(f"unsupported UpdateSketch SerVer: {ser_ver}")
+    if family != want_family:
+        raise SketchesArgumentError(f"family mismatch: image {family} != {want_family}")
+    if flags & _BIG_ENDIAN_FLAG:
+        raise SketchesArgumentError("big-endian images not supported")
+    if seed_hash != 0 and seed_hash != compute_seed_hash(seed):
+        raise SketchesArgumentError(
+            f"seed hash mismatch: image {seed_hash} vs seed {seed}"
+        )
+    count, p = struct.unpack_from("<if", raw, 8)
+    theta = int(np.frombuffer(raw, dtype="<u8", count=1, offset=16)[0])
+    if len(raw) < 24 + (8 << lg_arr):
+        raise SketchesArgumentError("UpdateSketch image truncated")
+    table = np.frombuffer(raw, dtype="<u8", count=1 << lg_arr, offset=24)
+    return lg_nom, flags, count, p, theta, table.astype(np.uint64)
+
+
+def alpha_from_bytes(raw: bytes, seed: int = DEFAULT_UPDATE_SEED):
+    """Heapify a reference family-1 alpha image into a live ``AlphaSketch``
+    (HeapAlphaSketch.heapifyInstance:128-155). Dirty entries (>= theta),
+    possible in images of a live unrebuilt heap, are retained as dirty."""
+    from .sketches.alpha import AlphaSketch
+
+    lg_nom, flags, _, p, theta, table = _read_update_preamble(raw, _FAMILY_ALPHA, seed)
+    sk = AlphaSketch(lg_k=lg_nom, p=float(p), seed=seed)
+    sk.theta = theta
+    sk.empty = bool(flags & _EMPTY_FLAG)
+    entries = table[table != np.uint64(0)]
+    for v in entries.tolist():
+        sk._insert(v)
+    sk.dirty = bool((entries >= np.uint64(min(theta, (1 << 63) - 1))).any()) and (
+        theta < (1 << 63)
+    )
+    return sk
+
+
+def quickselect_from_bytes(
+    raw: bytes, seed: int = DEFAULT_UPDATE_SEED
+) -> KmvSketch:
+    """Heapify a reference family-2 QuickSelect UpdateSketch image into the
+    engine's compact form (valid entries < theta, k = 2^lgNomLongs)."""
+    lg_nom, flags, _, _, theta, table = _read_update_preamble(
+        raw, _FAMILY_QUICKSELECT, seed
+    )
+    if flags & _EMPTY_FLAG:
+        return KmvSketch(theta=MAX_THETA, hashes=np.zeros(0, dtype=np.uint64), k=1 << lg_nom)
+    valid = np.sort(table[(table != np.uint64(0)) & (table < np.uint64(theta))])
+    return KmvSketch(theta=np.uint64(theta), hashes=valid, k=1 << lg_nom)
+
+
+def quickselect_to_bytes(sk: KmvSketch, seed: int = DEFAULT_UPDATE_SEED) -> bytes:
+    """Serialize a compact ``KmvSketch`` as a family-2 QuickSelect
+    UpdateSketch image — an updatable heap a reference consumer can keep
+    feeding (the inverse of a compact() handoff)."""
+    lg_nom = max(int(np.ceil(np.log2(max(sk.k, 16)))), 4)
+    estimating = sk.theta != MAX_THETA
+    lg_arr = _update_table_lg(len(sk.hashes), lg_nom, estimating)
+    flags = _EMPTY_FLAG if (len(sk.hashes) == 0 and not estimating) else 0
+    head = struct.pack(
+        "<BBBBBBH",
+        3 | (1 << 6), _SER_VER, _FAMILY_QUICKSELECT, lg_nom, lg_arr, flags,
+        compute_seed_hash(seed),
+    )
+    body = struct.pack("<if", len(sk.hashes), 1.0)
+    theta = np.array([sk.theta], dtype="<u8").tobytes()
+    return head + body + theta + _probe_table(sk.hashes, lg_arr).astype("<u8").tobytes()
