@@ -637,3 +637,142 @@ def quickselect_to_bytes(sk: KmvSketch, seed: int = DEFAULT_UPDATE_SEED) -> byte
     body = struct.pack("<if", len(sk.hashes), 1.0)
     theta = np.array([sk.theta], dtype="<u8").tobytes()
     return head + body + theta + _probe_table(sk.hashes, lg_arr).astype("<u8").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Theta set-operation images: UNION (family 4) + INTERSECTION (family 5)
+# (theta/UnionImpl.java:276-286 — a QuickSelect gadget image with preLongs=4
+#  and unionThetaLong at bytes 24-31; theta/IntersectionImpl.java:354-384 —
+#  3-long preamble + the open-addressing table iff curCount > 0)
+# ---------------------------------------------------------------------------
+
+_FAMILY_UNION = 4
+_FAMILY_INTERSECTION = 5
+
+
+def theta_union_to_bytes(sk: KmvSketch, seed: int = DEFAULT_UPDATE_SEED) -> bytes:
+    """Serialize a compact ``KmvSketch`` as a resumable reference Union
+    image (family 4): the retained hashes become the gadget table and
+    theta doubles as the union theta."""
+    lg_nom = max(int(np.ceil(np.log2(max(sk.k, 16)))), 4)
+    estimating = sk.theta != MAX_THETA
+    lg_arr = _update_table_lg(len(sk.hashes), lg_nom, estimating)
+    flags = _EMPTY_FLAG if (len(sk.hashes) == 0 and not estimating) else 0
+    head = struct.pack(
+        "<BBBBBBH",
+        4 | (1 << 6), _SER_VER, _FAMILY_UNION, lg_nom, lg_arr, flags,
+        compute_seed_hash(seed),
+    )
+    body = struct.pack("<if", len(sk.hashes), 1.0)
+    thetas = np.array([sk.theta, sk.theta], dtype="<u8").tobytes()  # gadget + union
+    return head + body + thetas + _probe_table(sk.hashes, lg_arr).astype("<u8").tobytes()
+
+
+def theta_union_from_bytes(raw: bytes, seed: int = DEFAULT_UPDATE_SEED) -> KmvSketch:
+    """Heapify a reference theta Union image: gadget entries below
+    min(gadget theta, union theta) — UnionImpl.heapifyInstance:136-143 +
+    getResult's min-theta rule."""
+    if len(raw) < 32:
+        raise SketchesArgumentError(f"source too small: {len(raw)} < 32")
+    pre_byte, ser_ver, family, lg_nom, lg_arr, flags, seed_hash = struct.unpack_from(
+        "<BBBBBBH", raw, 0
+    )
+    if (pre_byte & 0x3F) != 4:
+        raise SketchesArgumentError(f"bad Union preamble longs: {pre_byte & 0x3F}")
+    if ser_ver != _SER_VER:
+        raise SketchesArgumentError(f"unsupported Union SerVer: {ser_ver}")
+    if family != _FAMILY_UNION:
+        raise SketchesArgumentError(f"not a theta Union image (family {family})")
+    if seed_hash != 0 and seed_hash != compute_seed_hash(seed):
+        raise SketchesArgumentError(
+            f"seed hash mismatch: image {seed_hash} vs seed {seed}"
+        )
+    gadget_theta = int(np.frombuffer(raw, dtype="<u8", count=1, offset=16)[0])
+    union_theta = int(np.frombuffer(raw, dtype="<u8", count=1, offset=24)[0])
+    theta = min(gadget_theta, union_theta)
+    if flags & _EMPTY_FLAG:
+        return KmvSketch(theta=MAX_THETA, hashes=np.zeros(0, dtype=np.uint64), k=1 << lg_nom)
+    if len(raw) < 32 + (8 << lg_arr):
+        raise SketchesArgumentError("Union image truncated")
+    table = np.frombuffer(raw, dtype="<u8", count=1 << lg_arr, offset=32).astype(np.uint64)
+    valid = np.sort(table[(table != np.uint64(0)) & (table < np.uint64(theta))])
+    return KmvSketch(theta=np.uint64(theta), hashes=valid, k=1 << lg_nom)
+
+
+def theta_intersection_to_bytes(sk: KmvSketch, seed: int = DEFAULT_UPDATE_SEED) -> bytes:
+    """Serialize as a reference Intersection image (family 5, preLongs=3,
+    lgNomLongs byte unused) — a resumable intersect state whose current
+    result is the sketch's retained set."""
+    n = len(sk.hashes)
+    lg_arr = _MIN_LG_ARR_LONGS
+    while n > int((15.0 / 16.0) * (1 << lg_arr)):
+        lg_arr += 1
+    flags = _EMPTY_FLAG if (n == 0 and sk.theta == MAX_THETA) else 0
+    head = struct.pack(
+        "<BBBBBBH", 3, _SER_VER, _FAMILY_INTERSECTION, 0, lg_arr, flags,
+        compute_seed_hash(seed),
+    )
+    body = struct.pack("<if", n, 1.0)
+    theta = np.array([sk.theta], dtype="<u8").tobytes()
+    if n == 0:
+        return head + body + theta
+    return head + body + theta + _probe_table(sk.hashes, lg_arr).astype("<u8").tobytes()
+
+
+def theta_intersection_from_bytes(
+    raw: bytes, seed: int = DEFAULT_UPDATE_SEED
+) -> KmvSketch:
+    """Heapify a reference Intersection image
+    (IntersectionImpl.heapifyInstance:173-191). A virgin state
+    (curCount == -1, no intersect calls yet) has no defined result and is
+    rejected, as the reference's getResult does."""
+    if len(raw) < 24:
+        raise SketchesArgumentError(f"source too small: {len(raw)} < 24")
+    pre_byte, ser_ver, family, _, lg_arr, flags, seed_hash = struct.unpack_from(
+        "<BBBBBBH", raw, 0
+    )
+    if (pre_byte & 0x3F) != 3:
+        raise SketchesArgumentError(f"bad Intersection preamble longs: {pre_byte & 0x3F}")
+    if ser_ver != _SER_VER:
+        raise SketchesArgumentError(f"unsupported Intersection SerVer: {ser_ver}")
+    if family != _FAMILY_INTERSECTION:
+        raise SketchesArgumentError(f"not an Intersection image (family {family})")
+    if seed_hash != 0 and seed_hash != compute_seed_hash(seed):
+        raise SketchesArgumentError(
+            f"seed hash mismatch: image {seed_hash} vs seed {seed}"
+        )
+    count = struct.unpack_from("<i", raw, 8)[0]
+    theta = int(np.frombuffer(raw, dtype="<u8", count=1, offset=16)[0])
+    if count < 0:
+        raise SketchesArgumentError(
+            "virgin Intersection image has no result (curCount == -1)"
+        )
+    if (flags & _EMPTY_FLAG) or count == 0:
+        t = MAX_THETA if flags & _EMPTY_FLAG else np.uint64(theta)
+        return KmvSketch(theta=t, hashes=np.zeros(0, dtype=np.uint64), k=max(count, 1))
+    if len(raw) < 24 + (8 << lg_arr):
+        raise SketchesArgumentError("Intersection image truncated")
+    table = np.frombuffer(raw, dtype="<u8", count=1 << lg_arr, offset=24).astype(np.uint64)
+    valid = np.sort(table[(table != np.uint64(0)) & (table < np.uint64(theta))])
+    return KmvSketch(theta=np.uint64(theta), hashes=valid, k=max(len(valid), 1))
+
+
+def heapify_sketch(raw: bytes, seed: int = DEFAULT_UPDATE_SEED):
+    """Family-dispatch facade (the reference's ``Sketches.heapifySketch`` /
+    ``SetOperation.heapify`` role): sniff the family byte and route to the
+    right reader. Families 2-5 return the compact ``KmvSketch`` form;
+    family 1 returns a live ``AlphaSketch``."""
+    if len(raw) < 8:
+        raise SketchesArgumentError(f"source too small: {len(raw)} < 8")
+    family = raw[2]
+    if family == _FAMILY_ALPHA:
+        return alpha_from_bytes(raw, seed)
+    if family == _FAMILY_QUICKSELECT:
+        return quickselect_from_bytes(raw, seed)
+    if family == _FAMILY_COMPACT:
+        return theta_from_bytes(raw, seed=seed)
+    if family == _FAMILY_UNION:
+        return theta_union_from_bytes(raw, seed)
+    if family == _FAMILY_INTERSECTION:
+        return theta_intersection_from_bytes(raw, seed)
+    raise SketchesArgumentError(f"unsupported theta-domain family: {family}")
