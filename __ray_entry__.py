@@ -496,6 +496,19 @@ def _q_text_stats(sf_dir: str):
     return docs.map_batches(stats6, batch_format="pyarrow")
 
 
+
+def _q_token_counts(sf_dir: str):
+    """Token counting, whitespace + BPE-ish regex conventions. Both the
+    engine (pyarrow count_substring_regex) and the oracle (DuckDB
+    regexp_extract_all) run RE2, so counts match bit-exactly."""
+    import ray.data
+
+    from raydedup.textstats import token_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_counts, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data
 
@@ -790,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "top_dup_repos": _q_top_dup_repos,
@@ -1080,6 +1094,14 @@ rp AS (
 SELECT repo, CAST(count(DISTINCT partner) AS BIGINT) AS distinct_partner_repos
 FROM rp GROUP BY repo
 ORDER BY distinct_partner_repos DESC, repo ASC LIMIT 10
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS bpe_tokens
+FROM documents
 """,
         "text_stats": r"""
 SELECT doc_id,

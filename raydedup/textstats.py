@@ -150,3 +150,31 @@ def fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id")
             "fingerprint": pa.array(fp, type=pa.uint64()),
         }
     )
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits,
+# lookaheads removed so the pattern stays inside RE2 — the engine both
+# pyarrow's count_substring_regex and DuckDB's regexp_extract_all use,
+# which is what makes this operator exactly SQL-oracle-able)
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token counting, both conventions: whitespace tokens (ws_tokens) and
+    BPE-ish subword-boundary tokens (bpe_tokens) — the pre-tokenization pass
+    of byte-pair encoders, a cheap proxy for LLM token budgets."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    trimmed = pc.utf8_trim_whitespace(text)
+    ws = pc.if_else(
+        pc.equal(trimmed, ""),
+        pa.scalar(0, pa.int32()),
+        pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")),
+    )
+    bpe = pc.count_substring_regex(text, BPE_TOKEN_PATTERN)
+    cols = {name: batch.column(name) for name in batch.column_names if name != text_col}
+    cols["ws_tokens"] = pc.cast(ws, pa.int64())
+    cols["bpe_tokens"] = pc.cast(bpe, pa.int64())
+    return pa.table(cols)

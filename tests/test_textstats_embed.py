@@ -213,3 +213,39 @@ def test_ann_topk_ivf_recall(ray_session):
         tot += len(want)
     # offline sweep at sf0.001: nprobe 8/16 → recall 0.9 (half the compute)
     assert hits / tot >= 0.85, hits / tot
+
+
+def test_token_counts_matches_duckdb_re2():
+    import duckdb
+
+    from raydedup.textstats import BPE_TOKEN_PATTERN, token_counts
+
+    texts = [
+        "Hello world, it's 2026!",
+        "",
+        "   ",
+        "naïve café #42 — ok",
+        "don't stop can't won't I'll we're you've I'm he'd",
+        "x" * 100 + "9y z_3",
+        "tabs\tand\nnewlines  multiple   spaces",
+        None,
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = token_counts(batch)
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "select length(regexp_extract_all(?, ?))", [t or "", BPE_TOKEN_PATTERN]
+        ).fetchone()[0]
+        assert out.column("bpe_tokens")[i].as_py() == want, texts[i]
+    # whitespace convention: empty/null rows count zero
+    assert out.column("ws_tokens").to_pylist()[:4] == [4, 0, 0, 5]
+
+
+def test_token_counts_bpe_splits_contractions_and_numbers():
+    from raydedup.textstats import token_counts
+
+    batch = pa.table({"text": ["it's a12b", "hello"]})
+    out = token_counts(batch)
+    # it|'s| a|12|b = 5 ; hello = 1
+    assert out.column("bpe_tokens").to_pylist() == [5, 1]
