@@ -85,12 +85,23 @@ def empty_sketch(k: int) -> KmvSketch:
     return KmvSketch(theta=MAX_THETA, hashes=np.zeros(0, dtype=np.uint64), k=k)
 
 
-def build_sketch(theta_hashes: np.ndarray, k: int) -> KmvSketch:
-    """Build a compact KMV sketch from hashes already in (0, 2^63)."""
+def build_sketch(theta_hashes: np.ndarray, k: int, p: float = 1.0) -> KmvSketch:
+    """Build a compact KMV sketch from hashes already in (0, 2^63).
+
+    ``p`` is the reference's up-front sampling probability
+    (UpdateSketchBuilder.setP, theta/UpdateSketch.java:77-86): theta starts
+    at p*2^63 and hashes at/above it are rejected before any trimming, so
+    the sketch behaves as if fed a p-sample of the stream while estimates
+    remain unbiased (count / theta)."""
+    if not 0.0 < p <= 1.0:
+        raise SketchesArgumentError(f"p must be in (0, 1]: {p}")
     u = np.unique(np.asarray(theta_hashes, dtype=np.uint64))
     u = u[u != np.uint64(0)]
+    theta0 = MAX_THETA if p == 1.0 else np.uint64(int(p * float(MAX_THETA)))
+    if p != 1.0:
+        u = u[u < theta0]
     if len(u) <= k:
-        return KmvSketch(theta=MAX_THETA, hashes=u, k=k)
+        return KmvSketch(theta=theta0, hashes=u, k=k)
     # theta = (k+1)-th smallest (QuickSelect pivot k+1,
     # HeapQuickSelectSketch.java:300-312); retain the k below it
     return KmvSketch(theta=u[k], hashes=u[:k], k=k)

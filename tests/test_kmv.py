@@ -144,3 +144,28 @@ def test_theta_domain_rejects_zero():
     h = kmv.to_theta_domain(np.array([0, 1, 2**63, 12345], dtype=np.uint64))
     assert np.uint64(0) not in h
     assert (h < MAX_THETA).all()
+
+
+def test_build_sketch_sampling_p():
+    import pytest
+
+    from raydedup.config import SketchesArgumentError
+    from raydedup.kmv import MAX_THETA, build_sketch, union
+
+    rng = np.random.default_rng(42)
+    h = rng.integers(1, 1 << 63, size=200_000, dtype=np.int64).astype(np.uint64)
+    # p < 1: theta starts at p*2^63, estimate stays unbiased
+    sk = build_sketch(h, k=1 << 20, p=0.25)
+    assert sk.theta == np.uint64(int(0.25 * float(MAX_THETA)))
+    assert (sk.hashes < sk.theta).all()
+    assert abs(sk.estimate() / 200_000 - 1.0) < 0.02
+    # p-sampled sketches stay mergeable under the min-theta rule
+    sk2 = build_sketch(h[:100_000], k=1 << 20, p=0.5)
+    u = union(sk, sk2, k=1 << 20)
+    assert u.theta == sk.theta
+    assert abs(u.estimate() / 200_000 - 1.0) < 0.02
+    # p == 1 unchanged: exact below k
+    exact = build_sketch(h[:100], k=4096, p=1.0)
+    assert exact.theta == MAX_THETA and exact.estimate() == len(np.unique(h[:100]))
+    with pytest.raises(SketchesArgumentError):
+        build_sketch(h, k=16, p=0.0)
