@@ -860,7 +860,7 @@ def _lang_id_sql() -> str:
     best_case = "CASE " + " ".join(case_parts) + f" ELSE '{langs[-1]}' END"
     greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
     return rf"""
-WITH t AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
+WITH t AS (SELECT doc_id, lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS lt FROM documents),
 tk AS (
   SELECT doc_id,
          CASE WHEN lt = '' THEN CAST([] AS VARCHAR[])
@@ -1054,8 +1054,8 @@ FROM events GROUP BY 1, 2
 WITH s AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS n_tokens,
          length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_cnt,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt
   FROM documents),
@@ -1097,8 +1097,8 @@ ORDER BY distinct_partner_repos DESC, repo ASC LIMIT 10
 """,
         "token_counts": r"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS ws_tokens,
        len(regexp_extract_all(text,
            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS bpe_tokens
 FROM documents
@@ -1106,8 +1106,8 @@ FROM documents
         "text_stats": r"""
 SELECT doc_id,
        length(text) AS n_chars,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS n_tokens,
        floor(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) * 1e6) / 1e6 AS punct_ratio,
        floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)

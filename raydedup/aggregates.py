@@ -43,6 +43,27 @@ def _column_theta_hashes(block: pa.Table, col: str, seed: int) -> np.ndarray:
     return h1 >> np.uint64(1)
 
 
+def _column_hash_pairs(
+    block: pa.Table, col: str, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Both murmur3-128 output words per datum — the reference's full hash
+    for families that consume two words (CPC: CpcSketch.java:310-313 passes
+    hash[0] AND hash[1] to hashUpdate). Same datum byte conventions as
+    _column_theta_hashes (int64 LE image / utf8 bytes)."""
+    from .hashing import murmur3_128_u64s
+
+    arr = block.column(col)
+    if pa.types.is_integer(arr.type):
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return murmur3_128_u64s(vals[:, None], seed)
+    from .tokenize import _string_array_np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat, off = _string_array_np(arr)
+    return murmur3_128_flat(flat, off, seed)
+
+
 def theta_distinct(col: str, k: int = 4096, seed: int = 9001, name: str | None = None) -> AggregateFn:
     """Theta-sketch distinct count of a column; exact while n_distinct <= k."""
 
@@ -111,8 +132,8 @@ def cpc_distinct(col: str, lg_k: int = 11, seed: int = 9001, name: str | None = 
 
     def acc(state: bytes | None, block: pa.Table) -> bytes:
         sk = CpcSketch.deserialize(state) if state else CpcSketch(lg_k)
-        h = _column_theta_hashes(block, col, seed)
-        sk.update_hashes(h)
+        h0, h1 = _column_hash_pairs(block, col, seed)
+        sk.update_hash_pairs(h0, h1)
         return sk.serialize()
 
     def merge(a: bytes | None, b: bytes | None) -> bytes:

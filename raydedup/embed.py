@@ -442,9 +442,11 @@ def make_embedding_block_verifier(
             if m <= max_bucket:
                 ia, ib = np.triu_indices(m, k=1)
             else:
-                limit = min(m, max_bucket)
-                ia = np.zeros(limit - 1, dtype=np.int64)
-                ib = np.arange(1, limit)
+                # representative star over the WHOLE bucket (O(m) edges):
+                # every member pairs with member 0, so no member is silently
+                # excluded from verification however large the bucket
+                ia = np.zeros(m - 1, dtype=np.int64)
+                ib = np.arange(1, m)
             ra, rb = rows[ia], rows[ib]
             # rowwise cosine (same IEEE op sequence as quantized_cosine)
             qa, qb = quantize(emb_all[ra]), quantize(emb_all[rb])

@@ -94,20 +94,34 @@ class FdtSketch:
         self.k = 1 << lg_k
         self.seed = seed
         self._sk = ArrayOfStringsSketch(self.k)
+        # single-tuple updates buffer here and flush in batches: every
+        # ArrayOfStringsSketch.update_many call rebuilds its retained table,
+        # so per-tuple flushing would make driver-side builds quadratic
+        self._buf_h: list[int] = []
+        self._buf_s: list[str] = []
 
-    def _tuple_hash(self, parts: list[str]) -> np.ndarray:
-        # the reference's exact key chain (Util.stringArrHash +
-        # UpdatableSketch.update(long)), so serialized images carry keys a
-        # reference consumer would compute for the same tuples
-        from .interop_aos import string_arr_key
-
-        return np.array([string_arr_key(parts)], dtype=np.uint64)
+    def _flush(self) -> None:
+        if self._buf_h:
+            self._sk.update_many(
+                np.array(self._buf_h, dtype=np.uint64), self._buf_s
+            )
+            self._buf_h, self._buf_s = [], []
 
     def update(self, tuple_values: list[str]) -> None:
-        """Insert one string tuple (FdtSketch.update(String[]))."""
-        self._sk.update_many(self._tuple_hash(tuple_values), ["\x00".join(tuple_values)])
+        """Insert one string tuple (FdtSketch.update(String[])). Keys use
+        the reference's exact chain (Util.stringArrHash →
+        UpdatableSketch.update(long)), so serialized images carry keys a
+        reference consumer would compute for the same tuples."""
+        from .interop_aos import string_arr_key
+
+        self._buf_h.append(string_arr_key(tuple_values))
+        self._buf_s.append("\x00".join(tuple_values))
+        if len(self._buf_h) >= 8192:
+            self._flush()
 
     def merge(self, other: "FdtSketch") -> "FdtSketch":
+        self._flush()
+        other._flush()
         self._sk = self._sk.union(other._sk)
         return self
 
@@ -115,6 +129,7 @@ class FdtSketch:
         """Reference-format ArrayOfStringsSketch compact image (family 9)."""
         from .interop_aos import aos_tuple_to_bytes
 
+        self._flush()
         return aos_tuple_to_bytes(self._sk, seed=self.seed)
 
     @classmethod
@@ -127,12 +142,15 @@ class FdtSketch:
 
     def estimate(self) -> float:
         """Distinct tuple count estimate."""
+        self._flush()
         return self._sk.estimate()
 
     def get_result(self, prim_indices: list[int], limit: int = 20) -> list[tuple]:
         """Rank primary-dim combinations by estimated distinct tuple count:
         [(primary_key_tuple, est_distinct), ...] desc (Group ordering)."""
         from collections import Counter
+
+        self._flush()
 
         counts: Counter = Counter()
         for summ in self._sk.summaries:

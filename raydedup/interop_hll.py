@@ -18,7 +18,10 @@ keeps full 64-bit hashes in its sparse tier for small-range exactness
 instead of 32-bit coupons, so engine-built sketches use a different
 item→register mapping than reference-built ones; merging the two kinds over
 *overlapping* item streams is not meaningful (the same caveat does not
-apply to theta/CPC interop, whose update mappings are bit-identical).
+apply to theta interop, whose update mapping is bit-identical, nor to CPC
+fed through ``update_hash_pairs`` / ``aggregates.cpc_distinct`` — both
+murmur3 words, exactly CpcSketch.hashUpdate; only CpcSketch.update_hashes,
+the engine-internal single-word convenience, deviates and says so).
 There are no golden HLL binaries in the reference test resources, so
 conformance here is layout-exact read/write + round-trip + cross-type
 consistency tests rather than golden-file equality.

@@ -37,7 +37,7 @@ def req_to_bytes(sk: ReqSketch) -> bytes:
         out = bytearray(8)
         struct.pack_into("<4B", out, 0, 2, REQ_SER_VER, REQ_FAMILY_ID, flags | _EMPTY_FLAG)
         struct.pack_into("<H", out, 4, k)
-        out[6] = 1  # numCompactors, matching the reference's empty image
+        out[6] = 0  # numCompactors: 0 when empty (ReqSerDe.java:271)
         return bytes(out)
     if sk.n <= _MIN_K_RAW:
         raw = np.sort(sk.compactors[0].items).astype("<f4")

@@ -50,6 +50,36 @@ def reservoir_longs_to_bytes(sk: ReservoirSketch) -> bytes:
     return bytes(out)
 
 
+_RS_BINS_PER_OCTAVE = 2048  # ReservoirSize.BINS_PER_OCTAVE
+_RS_MAX_ENC = 0xF7FF  # p=30, i=2047 (ReservoirSize.MAX_ENC_VALUE)
+
+
+def _reservoir_size_encode(k: int) -> int:
+    """ReservoirSize.computeSize: smallest representable size >= k as
+    exponent(5b)<<11 | mantissa-bin index(11b)."""
+    if not 1 <= k <= 2146959360:
+        raise SketchesArgumentError(f"reservoir k out of encodable range: {k}")
+    p = k.bit_length() - 1
+    if k == 1 << p:
+        return (p & 0x1F) << 11
+    import math
+
+    m = math.pow(2.0, math.log2(k) - p)
+    i = int(math.floor(m * _RS_BINS_PER_OCTAVE)) - _RS_BINS_PER_OCTAVE + 1
+    if i == _RS_BINS_PER_OCTAVE:
+        return ((p + 1) & 0x1F) << 11
+    return ((p & 0x1F) << 11) | (i & 0x7FF)
+
+
+def _reservoir_size_decode(enc: int) -> int:
+    """ReservoirSize.decodeValue: (1<<p) * (i/2048 + 1)."""
+    if enc > _RS_MAX_ENC:
+        raise SketchesArgumentError(f"invalid encoded reservoir size: {enc:#x}")
+    p = (enc >> 11) & 0x1F
+    i = enc & 0x7FF
+    return int((1 << p) * (i / _RS_BINS_PER_OCTAVE + 1.0))
+
+
 def reservoir_longs_from_bytes(raw: bytes) -> ReservoirSketch:
     if len(raw) < 8:
         raise SketchesArgumentError("buffer too small for reservoir preamble")
@@ -58,10 +88,11 @@ def reservoir_longs_from_bytes(raw: bytes) -> ReservoirSketch:
     if fam_id != RESERVOIR_FAMILY_ID:
         raise SketchesArgumentError(f"not a reservoir image (family {fam_id})")
     if ser_ver == 1:
-        # serVer 1 stored K as a short at bytes 4-5 (PreambleUtil
-        # RESERVOIR_SIZE_SHORT); encoded as ceiling pseudo-log in very old
-        # images — plain short here, matching getAndCheckPreLongs-era readers.
-        (k,) = struct.unpack_from("<H", raw, 4)
+        # serVer 1 stored K pseudo-log-encoded in a short at bytes 4-5
+        # (ReservoirSize.computeSize: exponent<<11 | 2048-bin mantissa index;
+        # ReservoirLongsSketch.java:213-215 decodes via decodeValue)
+        (enc,) = struct.unpack_from("<H", raw, 4)
+        k = _reservoir_size_decode(enc)
     elif ser_ver == 2:
         (k,) = struct.unpack_from("<i", raw, 4)
     else:

@@ -156,7 +156,13 @@ def jaccard(a: KmvSketch, b: KmvSketch) -> tuple[float, float, float]:
     the *unioned* sketch's sample, with ratio bounds from
     BoundsOnRatiosInThetaSketchedSets.java:59-96.
     """
-    if len(a.hashes) == 0 and len(b.hashes) == 0:
+    # corner cases (JaccardSimilarity.java:55-60): both empty -> ONES (two
+    # empty sets are identical), exactly one empty -> ZEROS
+    a_empty = len(a.hashes) == 0 and a.theta == MAX_THETA
+    b_empty = len(b.hashes) == 0 and b.theta == MAX_THETA
+    if a_empty and b_empty:
+        return (1.0, 1.0, 1.0)
+    if a_empty or b_empty:
         return (0.0, 0.0, 0.0)
     # exact-set short-circuit (JaccardSimilarity.java:106-133 exactlyEqual)
     if (

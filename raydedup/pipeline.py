@@ -478,24 +478,16 @@ def _sketch_broadcast_ref(sigs: "ray.data.Dataset", cfg: SigConfig):
     order = np.argsort(cat.column("id").to_numpy())
     sk_ids = cat.column("id").to_numpy()[order]
     sk_thetas = cat.column("kmv_theta").to_numpy()[order]
-    from .stages import _binary_col_flat_u64
+    from .stages import _binary_col_flat_u64, _intra
 
     wb = cfg.kmv_hash_bytes
     flat_all, off_all = _binary_col_flat_u64(cat.column("kmv"), wb)
     lens = (off_all[1:] - off_all[:-1])[order]
     starts = off_all[:-1][order]
-    idx = np.repeat(starts, lens) + _intra_counts(lens)
+    idx = np.repeat(starts, lens) + _intra(lens)
     flat = flat_all[idx]
     off = np.concatenate([[0], np.cumsum(lens)])
     return ray.put((sk_ids, sk_thetas, off, flat))
-
-
-def _intra_counts(counts: np.ndarray) -> np.ndarray:
-    total = int(counts.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    return np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
 
 
 def near_edges(

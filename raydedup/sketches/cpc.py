@@ -74,8 +74,12 @@ class CpcSketch:
         np.bitwise_or.at(self.matrix, row, np.uint64(1) << col)
 
     def update_hashes(self, hashes: np.ndarray) -> None:
-        """Single-word convenience: derives the second word with splitmix64
-        (the reference uses the two murmur3-128 output words)."""
+        """ENGINE-INTERNAL single-word convenience (derives the second word
+        with splitmix64). Not the reference ingest mapping — sketches built
+        this way must not be merged with reference-built CPC images over
+        overlapping items. Reference-parity callers (aggregates.cpc_distinct)
+        feed both murmur3-128 words to :meth:`update_hash_pairs`, which IS
+        CpcSketch.hashUpdate (CpcSketch.java:310-313, 667-684)."""
         from ..hashing import splitmix64
 
         h = np.asarray(hashes, dtype=np.uint64)

@@ -136,7 +136,13 @@ def tuple_jaccard(a: TupleSketch, b: TupleSketch) -> tuple[float, float, float]:
     """{LB, estimate, UB} of J(A,B) over two tuple sketches' key sets —
     tuple/JaccardSimilarity.java semantics (summaries ignored; the hash
     sets drive the ratio, bounds per BoundsOnRatiosInTupleSketchedSets)."""
-    if len(a.hashes) == 0 and len(b.hashes) == 0:
+    # corner cases (tuple/JaccardSimilarity.java:66-69): both empty -> ONES
+    # (two empty sets are identical), exactly one empty -> ZEROS
+    a_empty = len(a.hashes) == 0 and a.theta == MAX_THETA
+    b_empty = len(b.hashes) == 0 and b.theta == MAX_THETA
+    if a_empty and b_empty:
+        return (1.0, 1.0, 1.0)
+    if a_empty or b_empty:
         return (0.0, 0.0, 0.0)
     if (
         a.theta == MAX_THETA

@@ -15,6 +15,13 @@ import pyarrow.compute as pc
 from .hashing import xxh64_flat
 from .tokenize import _string_array_np, tokenize_hashes
 
+# Trim exactly this ASCII whitespace set on both sides of every SQL-oracled
+# text operator. DuckDB's trim() strips only spaces and Arrow's
+# utf8_trim_whitespace strips all Unicode whitespace — using an explicit
+# shared character set (mirrored in the oracles as
+# trim(text, ' ' || chr(9) || ...)) makes the match exact by construction.
+_ASCII_WS = " \t\n\r\v\f"
+
 # per-language stopword profiles (public common-word lists). Declaration
 # order is the tie-break order (first max wins); the DuckDB oracle is
 # generated from this dict, so the two sides can never drift.
@@ -58,7 +65,7 @@ def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         text = text.combine_chunks()
     text = pc.fill_null(text, "")
     n_chars = pc.utf8_length(text)
-    trimmed = pc.utf8_trim_whitespace(text)
+    trimmed = pc.utf8_trim(text, _ASCII_WS)
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     # split('') yields [''] — empty/whitespace-only rows have zero tokens
     n_tokens = pc.if_else(
@@ -104,7 +111,7 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    lowered = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(text, "")))
+    lowered = pc.utf8_lower(pc.utf8_trim(pc.fill_null(text, ""), _ASCII_WS))
     toks = pc.split_pattern_regex(lowered, r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -167,7 +174,7 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = pc.fill_null(text, "")
-    trimmed = pc.utf8_trim_whitespace(text)
+    trimmed = pc.utf8_trim(text, _ASCII_WS)
     ws = pc.if_else(
         pc.equal(trimmed, ""),
         pa.scalar(0, pa.int32()),

@@ -35,14 +35,30 @@ def test_reservoir_roundtrip(n):
     assert len(raw) == (8 if n == 0 else 16 + 8 * min(32, n))
 
 
-def test_reservoir_serv1_short_k():
+def test_reservoir_serv1_pseudolog_k():
+    # serVer-1 K is pseudo-log encoded (ReservoirSize.computeSize:
+    # exponent<<11 | 2048-bin mantissa; ReservoirLongsSketch.java:213-215)
+    from raydedup.interop_sampling import (
+        _reservoir_size_decode,
+        _reservoir_size_encode,
+    )
+
     raw = bytearray(16 + 8)
     struct.pack_into("<4B", raw, 0, 2, 1, 11, 0)
-    struct.pack_into("<H", raw, 4, 100)  # serVer-1 16-bit K
+    struct.pack_into("<H", raw, 4, _reservoir_size_encode(100))
     struct.pack_into("<q", raw, 8, 1)
     struct.pack_into("<q", raw, 16, 42)
     back = reservoir_longs_from_bytes(bytes(raw))
     assert back.k == 100 and back.samples == [42]
+    # powers of two encode exactly with a zero mantissa index
+    assert _reservoir_size_encode(1024) == 10 << 11
+    assert _reservoir_size_decode(10 << 11) == 1024
+    # decode(encode(k)) is the smallest representable size >= k
+    for k in (1, 2, 3, 100, 1023, 1025, 32767, 100_000, 2_000_000):
+        dk = _reservoir_size_decode(_reservoir_size_encode(k))
+        assert k <= dk <= int(k * (1 + 1 / 1024.0)) + 1, k
+    # the k=32767 mantissa-overflow case rounds up to the next octave
+    assert _reservoir_size_decode(_reservoir_size_encode(32767)) == 32768
 
 
 @pytest.mark.parametrize("n,k", [(0, 8), (5, 8), (8, 8), (1000, 8), (1000, 64)])

@@ -1,0 +1,118 @@
+"""Regression tests for the round-2 self-review findings: CPC ingest
+parity, jaccard corner cases, embed star fallback coverage, oracle trim
+parity, REQ empty image byte."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.kmv import MAX_THETA, KmvSketch, build_sketch, jaccard
+from raydedup.sketches.tuple import TupleSketch, tuple_jaccard
+
+
+def test_cpc_ingest_is_reference_hash_chain():
+    # aggregates.cpc_distinct must feed BOTH murmur3-128 words
+    # (CpcSketch.java:310-313), not the splitmix shortcut
+    from raydedup.aggregates import _column_hash_pairs
+    from raydedup.hashing import murmur3_128_bytes, murmur3_128_u64s
+    from raydedup.sketches.cpc import CpcSketch
+
+    block = pa.table({"v": pa.array([7, -3, 123456789], type=pa.int64())})
+    h0, h1 = _column_hash_pairs(block, "v", 9001)
+    import struct
+
+    for i, v in enumerate([7, -3, 123456789]):
+        w0, w1 = murmur3_128_bytes(struct.pack("<q", v), 9001)
+        assert (int(h0[i]), int(h1[i])) == (w0, w1)
+    # string datums hash their utf8 bytes (update(String) semantics)
+    sblock = pa.table({"v": pa.array(["abc", "déjà"])})
+    s0, s1 = _column_hash_pairs(sblock, "v", 9001)
+    for i, s in enumerate(["abc", "déjà"]):
+        w0, w1 = murmur3_128_bytes(s.encode("utf-8"), 9001)
+        assert (int(s0[i]), int(s1[i])) == (w0, w1)
+    # and the coupon mapping is row = h0 & (k-1), col = clz(h1)
+    sk = CpcSketch(11)
+    sk.update_hash_pairs(h0, h1)
+    k = 1 << 11
+    for w0, w1 in zip(h0.tolist(), h1.tolist()):
+        row = w0 & (k - 1)
+        col = min(64 - int(w1).bit_length() if w1 else 64, 63)
+        assert sk.matrix[row] & (np.uint64(1) << np.uint64(col))
+
+
+def test_jaccard_corner_cases_match_reference():
+    # JaccardSimilarity.java:55-60 — both empty -> ONES, one empty -> ZEROS
+    e1 = KmvSketch(theta=MAX_THETA, hashes=np.zeros(0, dtype=np.uint64), k=16)
+    e2 = KmvSketch(theta=MAX_THETA, hashes=np.zeros(0, dtype=np.uint64), k=16)
+    full = build_sketch(np.arange(1, 100, dtype=np.uint64), 4096)
+    assert jaccard(e1, e2) == (1.0, 1.0, 1.0)
+    assert jaccard(e1, full) == (0.0, 0.0, 0.0)
+    assert jaccard(full, e2) == (0.0, 0.0, 0.0)
+
+
+def test_tuple_jaccard_corner_cases_match_reference():
+    te1 = TupleSketch.empty(16)
+    te2 = TupleSketch.empty(16)
+    h = np.arange(1, 50, dtype=np.uint64)
+    tf = TupleSketch.empty(4096).update_many(h, np.ones((49, 1)))
+    assert tuple_jaccard(te1, te2) == (1.0, 1.0, 1.0)
+    assert tuple_jaccard(te1, tf) == (0.0, 0.0, 0.0)
+    assert tuple_jaccard(tf, te2) == (0.0, 0.0, 0.0)
+
+
+def test_oracle_trim_parity_on_edge_whitespace():
+    # DuckDB trim(text, chars) vs Arrow utf8_trim over the shared ASCII set
+    # must agree on docs with leading/trailing tabs/newlines
+    import duckdb
+
+    from raydedup.textstats import text_stats, token_counts
+
+    texts = ["\ndef foo(): pass", "a b\t", "\t\n  x  \r\n", "plain text", ""]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    eng = token_counts(batch)
+    st = text_stats(batch)
+    con = duckdb.connect()
+    ws_chars = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    for i, t in enumerate(texts):
+        want = con.execute(
+            f"select CASE WHEN trim(?, {ws_chars}) = '' THEN 0 "
+            f"ELSE len(string_split_regex(trim(?, {ws_chars}), '\\s+')) END",
+            [t, t],
+        ).fetchone()[0]
+        assert eng.column("ws_tokens")[i].as_py() == want, t
+        assert st.column("n_tokens")[i].as_py() == want, t
+
+
+def test_embed_star_fallback_covers_whole_bucket():
+    # >max_bucket near-identical vectors: every member must appear in the
+    # edge set (representative star), none silently dropped
+    from raydedup.embed import make_embedding_block_verifier
+
+    n = 64
+    rng = np.random.default_rng(3)
+    emb = np.tile(rng.normal(size=16), (n, 1)) + rng.normal(scale=1e-4, size=(n, 16))
+    keys = np.full(n, 9, dtype=np.uint64)
+    block = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+            "bucket": pa.array(keys, pa.uint64()),
+            "table_idx": pa.array(np.zeros(n, dtype=np.int64)),
+            "all_keys": pa.array([keys[:1].astype("<u8").tobytes()] * n, pa.binary(8)),
+        }
+    )
+    verify = make_embedding_block_verifier(threshold=0.9, n_tables=1, max_bucket=16)
+    out = verify(block)
+    seen = set(out.column("src").to_pylist()) | set(out.column("dst").to_pylist())
+    assert seen == set(range(n))
+
+
+def test_req_empty_image_num_compactors_zero():
+    # ReqSerDe.java:271: numCompactors byte is 0 for empty sketches
+    from raydedup.interop_req import req_from_bytes, req_to_bytes
+    from raydedup.sketches.req import ReqSketch
+
+    raw = req_to_bytes(ReqSketch(12))
+    assert raw[6] == 0
+    back = req_from_bytes(raw)
+    assert back.n == 0

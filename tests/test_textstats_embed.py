@@ -124,8 +124,11 @@ def test_embedding_oversize_bucket_star_fallback():
     )
     verify = make_embedding_block_verifier(threshold=0.9, n_tables=1, max_bucket=100)
     out = verify(block)
-    assert len(out) == 99  # star edges from vec 0, not zero and not n*(n-1)/2
+    # full star over the WHOLE bucket (every member verified once against
+    # the representative), not n*(n-1)/2 and not capped at max_bucket
+    assert len(out) == n - 1
     assert (out.column("src").to_numpy() == 0).all()
+    assert set(out.column("dst").to_pylist()) == set(range(1, n))
 
 
 def test_ann_topk_matches_bruteforce(ray_session):
