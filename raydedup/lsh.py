@@ -6,10 +6,12 @@ Collision probability at Jaccard j is 1-(1-j^r)^b (the standard S-curve;
 with b=16, r=8: j=0.85 → ~0.96, j=0.6 → ~0.26).
 
 Skew handling (SURVEY §4; precedent: hllmap tiered promotion,
-hllmap/UniqueCountMap.java:24-48): buckets above ``max_bucket_size`` are
-salted into ``salt_factor`` sub-buckets keyed by a hash of the *full*
-signature, so identical signatures stay together while merely-band-equal
-crowds split; buckets above ``bucket_ceiling`` degrade to
+hllmap/UniqueCountMap.java:24-48): band keys estimated above
+``max_bucket_size`` by the heavy-hitter pre-pass are salted into n_salt
+sub-buckets keyed by a hash of the doc id (stages.BandEmitStage._salt);
+a delegate round (min-id per sub-bucket regrouping under the original
+key) restores connectivity across sub-buckets. Buckets that still exceed
+``max_bucket_size`` (pre-pass misses) degrade to
 cluster-via-representative (every member pairs with the bucket minimum
 only — linear, not quadratic).
 """
@@ -38,14 +40,6 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray
     for b in range(bands):
         out[:, b] = xxh64_u64s(sig[:, b * rows : (b + 1) * rows], seed=seed + b + 1)
     return out
-
-
-def full_sig_salt(sig: np.ndarray, salt_factor: int, seed: int) -> np.ndarray:
-    """Deterministic salt in [0, salt_factor) from the full signature: rows
-    with identical signatures always share a salt (exact-dup crowds stay
-    pair-discoverable via their representative)."""
-    h = xxh64_u64s(sig, seed=seed ^ 0x5A17)
-    return (h % U64(salt_factor)).astype(np.int64)
 
 
 def make_band_key(band_idx: np.ndarray, band_hash: np.ndarray) -> np.ndarray:

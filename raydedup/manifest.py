@@ -84,7 +84,15 @@ class StageCheckpoint:
 
 
 def _shard_of_path(path: str) -> str:
-    return os.path.splitext(os.path.basename(path))[0]
+    """Shard id for an input file: basename stem + a short digest of the
+    full path. Standard parquet layouts repeat basenames across directories
+    (a/part-0.parquet, b/part-0.parquet) — keying by stem alone would
+    collide two inputs into one shard directory and silently drop one."""
+    import hashlib
+
+    stem = os.path.splitext(os.path.basename(path))[0]
+    digest = hashlib.blake2s(os.path.abspath(path).encode(), digest_size=4).hexdigest()
+    return f"{stem}-{digest}"
 
 
 def _shard_metrics(tbl: pa.Table, kmv_hash_bytes: int = 8) -> dict:
@@ -151,15 +159,34 @@ def resumable_signatures(
             return shard, _shard_metrics(out, cfg.kmv_hash_bytes)
 
         # one task per shard: shard = unit of retry/replay; Ray schedules
-        # them like any map stage (a shard is sized like a block)
-        futures = [process_shard.remote(p) for p in pending]
-        for shard, metrics in ray.get(futures):
-            ckpt.record(shard, **metrics)
+        # them like any map stage (a shard is sized like a block).
+        # Record each completion as it lands (ray.wait, not a single
+        # ray.get) — one failed shard must not discard the manifest rows of
+        # the shards that DID finish, or resume recomputes everything.
+        remaining = [process_shard.remote(p) for p in pending]
+        ref_to_path = dict(zip(remaining, pending))
+        failures: list[tuple[str, Exception]] = []
+        while remaining:
+            done_refs, remaining = ray.wait(remaining, num_returns=1)
+            try:
+                shard, metrics = ray.get(done_refs[0])
+                ckpt.record(shard, **metrics)
+            except Exception as exc:  # noqa: BLE001 — record, then surface
+                failures.append((ref_to_path[done_refs[0]], exc))
+        if failures:
+            raise RuntimeError(
+                f"{len(failures)} shard(s) failed (completed shards are "
+                f"checkpointed and will be skipped on resume); first: "
+                f"{failures[0][0]}"
+            ) from failures[0][1]
 
-    import glob
-
-    shard_files = sorted(glob.glob(os.path.join(ckpt.dir, "shard=*", "*.parquet")))
-    return ray.data.read_parquet(shard_files)
+    # read back ONLY the requested inputs' shards — a bare shard=*/ glob
+    # would leak shards of files from earlier runs into this job's output
+    shard_files = [
+        os.path.join(ckpt.dir, f"shard={_shard_of_path(p)}", "part-0.parquet")
+        for p in input_files
+    ]
+    return ray.data.read_parquet(sorted(shard_files))
 
 
 def run_dedup_job(
@@ -190,23 +217,11 @@ def run_dedup_job(
         edges = edges.union(substring_edges(sigs, cfg))
     edges = edges.materialize()
     assigned = cluster_edges(edges, method="auto")
+    # assign_clusters owns the merge (broadcast fast path when the
+    # assignment table is small, groupby-min fallback otherwise)
+    from .pipeline import assign_clusters
 
-    def defaults(batch: pa.Table) -> pa.Table:
-        return pa.table({"id": batch.column("id"), "cluster_id": batch.column("id")})
-
-    full = (
-        sigs.select_columns(["id"])
-        .map_batches(defaults, batch_format="pyarrow")
-        .union(assigned)
-        .groupby("id")
-        .min("cluster_id")
-        .map_batches(
-            lambda b: pa.table(
-                {"id": b.column("id"), "cluster_id": b.column("min(cluster_id)")}
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    full = assign_clusters(sigs, assigned)
     return write_clusters_checkpoint(full, ckpt_root, cfg)
 
 

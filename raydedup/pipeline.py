@@ -206,17 +206,25 @@ def detect_hot_band_keys(
     )
     merged = (
         FrequentKeysSketch.deserialize(res["hh"])
-        if res.get("hh")
+        # res is None when the (sampled) dataset is empty — Ray's
+        # Dataset.aggregate returns None rather than an empty row
+        if res is not None and res.get("hh")
         else FrequentKeysSketch(map_size)
     )
     hot: dict[int, int] = {}
-    # thresholds/counts live in the sampled domain; rescale by 1/sample
+    # thresholds/counts live in the sampled domain; rescale by 1/sample.
+    # n_salt gets 2x headroom over the lower-bound estimate and a high
+    # ceiling: an under-salted hot key produces sub-buckets above
+    # max_bucket_size, which degrade to representative stars (pair recall
+    # loss), so erring toward more sub-buckets is the cheap direction —
+    # the delegate round reconnects them at one row per sub-bucket.
+    salt_cap = max(cfg.salt_factor, 1024)
     for key, est in merged.get_frequent_items(
         max(1, int(cfg.max_bucket_size * sample)), NO_FALSE_POSITIVES
     ):
         full_est = est / sample
         n_salt = min(
-            cfg.salt_factor, max(2, math.ceil(full_est / cfg.max_bucket_size))
+            salt_cap, max(2, math.ceil(2.0 * full_est / cfg.max_bucket_size))
         )
         hot[int(np.int64(key).view(np.uint64))] = n_salt
     return hot
@@ -305,8 +313,10 @@ def candidate_pairs_lsh(
 ) -> "ray.data.Dataset":
     """LSH band shuffle → UNIQUE unverified candidate pairs (src, dst)."""
     pairs = _banded(sigs, cfg, hot, carry_kmv=False, verify=False)
-    # pairs are already globally unique thanks to the owner-band rule
-    # (delegate-bucket pairs may rarely duplicate a normal pair; harmless)
+    # pairs are globally unique thanks to the owner-band rule, with two
+    # rare, harmless duplicate sources: delegate-bucket pairs, and capped
+    # buckets' star edges (which bypass the rule — their election target
+    # may itself have capped and dropped the pair)
     return pairs.select_columns(["src", "dst"])
 
 
@@ -671,6 +681,9 @@ def assign_clusters(
     appear in a dup edge), so it is broadcast once via ray.put and applied
     map-side — no shuffle. Falls back to a groupby-min merge when the
     assignment exceeds ``broadcast_limit`` rows."""
+    # materialize once: count() + to_arrow_refs() would otherwise each
+    # re-execute the (possibly lazy) clustering tail
+    assigned = assigned.materialize()
     n_assigned = assigned.count()
     if n_assigned <= broadcast_limit:
         tables = [t for t in ray.get(assigned.to_arrow_refs()) if t.num_rows]

@@ -15,7 +15,7 @@ Scale shape (mirrors the MinHash-LSH tier in stages.py):
   only by the smallest chunk index on which the two fingerprints agree, so
   no downstream dedup shuffle is needed;
 * buckets larger than ``max_bucket`` degrade to a representative star
-  (min-id member vs up to ``bucket_ceiling`` others) instead of silently
+  (min-id member vs every other member) instead of silently
   returning zero pairs — recall on skewed buckets is reduced, never void,
   and the rows are flagged ``capped``.
 """
@@ -79,7 +79,6 @@ def make_simhash_block_verifier(
     d: int,
     n_chunks: int,
     max_bucket: int = 4096,
-    bucket_ceiling: int = 4096,
 ):
     """Block processor for hash-partitioned chunk rows: verifies every
     bucket in the partition in one python call (vectorized inside).
@@ -137,10 +136,11 @@ def make_simhash_block_verifier(
                 ia, ib = np.triu_indices(m, k=1)
                 capped = False
             else:
-                # representative star: min-id member vs up to ceiling others
-                limit = min(m, bucket_ceiling)
-                ia = np.zeros(limit - 1, dtype=np.int64)
-                ib = np.arange(1, limit)
+                # representative star over the WHOLE bucket: min-id member
+                # vs every other (O(m) edges — capping the star would
+                # silently exclude members from verification)
+                ia = np.zeros(m - 1, dtype=np.int64)
+                ib = np.arange(1, m)
                 capped = True
             diff = x[ia] ^ x[ib]
             ham = popcount64(diff)
@@ -148,19 +148,26 @@ def make_simhash_block_verifier(
             if not hm.any():
                 continue
             ia, ib, diff, ham = ia[hm], ib[hm], diff[hm], ham[hm]
-            # owner-chunk rule: emit only from the smallest agreeing chunk
-            my_chunk = int(cidx_all[s])
-            owner = np.full(len(diff), n_chunks, dtype=np.int64)
-            for c in range(n_chunks - 1, -1, -1):
-                agree = (diff >> U64(c * width)) & mask == 0
-                owner[agree] = c
-            om = owner == my_chunk
-            if not om.any():
-                continue
-            out_src.append(u[ia[om]])
-            out_dst.append(u[ib[om]])
-            out_ham.append(ham[om].astype(np.int64))
-            out_cap.append(np.full(int(om.sum()), capped, dtype=bool))
+            if not capped:
+                # owner-chunk rule: emit only from the smallest agreeing
+                # chunk. Capped buckets skip the rule — the owner chunk's
+                # bucket may itself be capped and not carry this pair as a
+                # star edge, so suppressing here could drop it everywhere
+                # (a star pair may duplicate one owned elsewhere: bounded
+                # by m per capped bucket and harmless to clustering).
+                my_chunk = int(cidx_all[s])
+                owner = np.full(len(diff), n_chunks, dtype=np.int64)
+                for c in range(n_chunks - 1, -1, -1):
+                    agree = (diff >> U64(c * width)) & mask == 0
+                    owner[agree] = c
+                om = owner == my_chunk
+                if not om.any():
+                    continue
+                ia, ib, ham = ia[om], ib[om], ham[om]
+            out_src.append(u[ia])
+            out_dst.append(u[ib])
+            out_ham.append(ham.astype(np.int64))
+            out_cap.append(np.full(len(ia), capped, dtype=bool))
 
         if not out_src:
             return _empty()
@@ -181,7 +188,6 @@ def simhash_dup_pairs(
     cfg: SigConfig = DEFAULT_CONFIG,
     max_hamming: int | None = None,
     max_bucket: int = 4096,
-    bucket_ceiling: int = 4096,
 ) -> "ray.data.Dataset":
     """→ (src, dst, hamming) pairs with Hamming(simhash) <= max_hamming.
 
@@ -199,6 +205,27 @@ def simhash_dup_pairs(
     chunked = sigs.select_columns(["id", "simhash", "n_shingles"]).map_batches(
         SimhashChunkEmit(n_chunks), batch_format="pyarrow"
     )
-    verify_block = make_simhash_block_verifier(d, n_chunks, max_bucket, bucket_ceiling)
+    verify_block = make_simhash_block_verifier(d, n_chunks, max_bucket)
     pairs = grouped_blocks(chunked, "chunk_key", verify_block)
-    return pairs.select_columns(["src", "dst", "hamming"])
+    # capped (star) rows bypass the owner-chunk rule, so the same star pair
+    # can surface from several chunks; dedupe just that (tiny) subset to
+    # keep the output's each-pair-exactly-once contract
+    base = pairs.filter(expr="capped == False").select_columns(
+        ["src", "dst", "hamming"]
+    )
+    capped_unique = (
+        pairs.filter(expr="capped == True")
+        .groupby(["src", "dst"])
+        .min("hamming")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "hamming": b.column("min(hamming)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return base.union(capped_unique)

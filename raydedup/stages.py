@@ -151,6 +151,18 @@ def _kmv_blobs(
     idx = np.repeat(starts, keep_lens) + _intra(keep_lens)
     if hash_bytes == 4:
         kept = (flat_sorted[idx] >> U64(32)).astype("<u4")
+        # distinct 64-bit values can truncate to the same 32-bit cell; the
+        # vectorized verifier (kmv_jaccard_many) requires sorted-UNIQUE
+        # cells per sketch (an intra-sketch duplicate would count as a
+        # false intersection), so dedupe adjacent within each row
+        if len(kept):
+            row_id = np.repeat(np.arange(n, dtype=np.int64), keep_lens)
+            uniq = np.concatenate(
+                [[True], (row_id[1:] != row_id[:-1]) | (kept[1:] != kept[:-1])]
+            )
+            kept = kept[uniq]
+            dedup_lens = np.bincount(row_id[uniq], minlength=n)
+            out_off = np.concatenate([[0], np.cumsum(dedup_lens)]).astype(np.int64)
         blobs = _binary_from_segments(kept.view(np.uint8), out_off * 4)
     else:
         kept = flat_sorted[idx].astype("<u8")
@@ -220,7 +232,7 @@ class BandEmitStage:
         cfg = self.cfg
         n = len(batch)
         if n == 0:
-            return _empty_band_table()
+            return _empty_band_table(self.carry_kmv, self.carry_bandhashes)
         mh_flat, _ = _binary_col_flat_u64(batch.column("minhash"))
         mh = mh_flat.reshape(n, cfg.num_perm)  # fixed-width cells, zero-copy
         ids = batch.column("id").to_numpy()
@@ -284,17 +296,23 @@ class BandEmitStage:
         return out, is_hot
 
 
-def _empty_band_table() -> pa.Table:
-    return pa.table(
-        {
-            "band_key": pa.array([], type=pa.uint64()),
-            "orig_key": pa.array([], type=pa.uint64()),
-            "salted": pa.array([], type=pa.bool_()),
-            "band_idx": pa.array([], type=pa.uint8()),
-            "id": pa.array([], type=pa.int64()),
-            "bandhashes": pa.array([], type=pa.large_binary()),
-        }
-    )
+def _empty_band_table(carry_kmv: bool = False, carry_bandhashes: bool = True) -> pa.Table:
+    """Empty block with EXACTLY the columns non-empty blocks emit for the
+    active mode — a schema mismatch here breaks downstream groupby/union
+    schema unification on corpora containing an empty shard."""
+    cols = {
+        "band_key": pa.array([], type=pa.uint64()),
+        "orig_key": pa.array([], type=pa.uint64()),
+        "salted": pa.array([], type=pa.bool_()),
+        "band_idx": pa.array([], type=pa.uint8()),
+        "id": pa.array([], type=pa.int64()),
+    }
+    if carry_bandhashes:
+        cols["bandhashes"] = pa.array([], type=pa.large_binary())
+    if carry_kmv:
+        cols["kmv_theta"] = pa.array([], type=pa.uint64())
+        cols["kmv"] = pa.array([], type=pa.large_binary())
+    return pa.table(cols)
 
 
 def delegate_reducer(group: pa.Table) -> pa.Table:
@@ -408,12 +426,20 @@ def make_block_pair_emitter(
                 ia, ib = np.triu_indices(m, k=1)
                 capped = False
             else:
-                limit = min(m, cfg.bucket_ceiling)
-                ia = np.zeros(limit - 1, dtype=np.int64)
-                ib = np.arange(1, limit)
+                # representative star over the WHOLE bucket: O(m) edges
+                # keep every member connected to the min-id rep — capping
+                # the star itself would silently drop members
+                ia = np.zeros(m - 1, dtype=np.int64)
+                ib = np.arange(1, m)
                 capped = True
             my_band = int(band_idx_all[s])
-            if my_band != 255 and have_bh:
+            if my_band != 255 and have_bh and not capped:
+                # owner-band pair uniqueness: exactly one (small) bucket
+                # emits any given pair. Capped buckets skip the rule — the
+                # election can point at a bucket that capped and never
+                # emitted the pair, so star edges go out unconditionally
+                # (a star pair may duplicate one owned elsewhere: bounded
+                # by m per capped bucket and harmless to clustering).
                 bh = bh_mat[rows]
                 co = bh[ia] == bh[ib]
                 if hot_arr is not None:

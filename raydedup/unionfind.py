@@ -64,8 +64,11 @@ def cluster_edges(
     Only nodes that appear in an edge are emitted; callers union with
     singleton assignments (cluster_id = id) for isolated nodes.
     """
+    # edges are tiny relative to the corpus; materialize once so count()
+    # and the consumption below don't each re-execute a lazy upstream DAG
+    edges = edges.materialize()
+    n_edges = edges.count()
     if method == "auto":
-        n_edges = edges.count()
         method = "collect" if n_edges <= DRIVER_EDGE_LIMIT else "distributed"
 
     if method == "collect":
@@ -73,8 +76,8 @@ def cluster_edges(
             [pa.table({"src": b["src"], "dst": b["dst"]}) for b in
              edges.select_columns(["src", "dst"]).iter_batches(batch_format="pyarrow",
                                                                batch_size=1 << 20)]
-        ) if edges.count() else pa.table({"src": pa.array([], pa.int64()),
-                                          "dst": pa.array([], pa.int64())})
+        ) if n_edges else pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())})
         src = tbl.column("src").to_numpy() if tbl.num_rows else np.zeros(0, np.int64)
         dst = tbl.column("dst").to_numpy() if tbl.num_rows else np.zeros(0, np.int64)
         nodes, roots = unionfind_numpy(src, dst)

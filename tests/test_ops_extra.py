@@ -126,8 +126,10 @@ def test_simhash_block_verifier_oversize_bucket_star_fallback():
     )
     verify = make_simhash_block_verifier(d=3, n_chunks=4, max_bucket=4096)
     out = verify(block)
-    assert len(out) == 4095  # ceiling-1 star edges, not zero
+    # full star over the whole bucket: every member connected to the rep
+    assert len(out) == n - 1
     assert (out.column("src").to_numpy() == 0).all()
+    assert set(out.column("dst").to_pylist()) == set(range(1, n))
     assert out.column("capped").to_numpy().all()
     assert (out.column("hamming").to_numpy() == 0).all()
 

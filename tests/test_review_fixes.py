@@ -116,3 +116,118 @@ def test_req_empty_image_num_compactors_zero():
     assert raw[6] == 0
     back = req_from_bytes(raw)
     assert back.n == 0
+
+
+def test_shard_ids_distinguish_equal_basenames(tmp_path):
+    from raydedup.manifest import _shard_of_path
+
+    a = tmp_path / "a" / "part-0.parquet"
+    b = tmp_path / "b" / "part-0.parquet"
+    assert _shard_of_path(str(a)) != _shard_of_path(str(b))
+    assert _shard_of_path(str(a)) == _shard_of_path(str(a))
+
+
+def test_resumable_signatures_scopes_to_requested_inputs(ray_session, tmp_path):
+    """A second job over a DIFFERENT input file must not leak the first
+    job's shards into its output, and same-basename inputs in different
+    directories must both survive."""
+    import pyarrow.parquet as pq
+
+    from raydedup.config import DEFAULT_CONFIG as CFG
+    from raydedup.manifest import resumable_signatures
+
+    for sub, ids in (("a", [1, 2]), ("b", [3, 4, 5])):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "content": pa.array([f"doc {i} words here now" for i in ids]),
+                }
+            ),
+            str(d / "part-0.parquet"),  # same basename in both dirs
+        )
+    ck = str(tmp_path / "ckpt")
+    both = resumable_signatures(
+        [str(tmp_path / "a/part-0.parquet"), str(tmp_path / "b/part-0.parquet")],
+        ck, CFG,
+    )
+    assert sorted(both.to_pandas()["id"]) == [1, 2, 3, 4, 5]
+    only_b = resumable_signatures([str(tmp_path / "b/part-0.parquet")], ck, CFG)
+    assert sorted(only_b.to_pandas()["id"]) == [3, 4, 5]
+
+
+def test_detect_hot_band_keys_empty_corpus(ray_session):
+    import ray.data
+
+    from raydedup.config import DEFAULT_CONFIG as CFG
+    from raydedup.pipeline import detect_hot_band_keys, signatures
+
+    tbl = pa.table(
+        {"id": pa.array([], pa.int64()), "content": pa.array([], pa.string())}
+    )
+    sigs = signatures(ray.data.from_arrow(tbl), CFG)
+    assert detect_hot_band_keys(sigs, CFG) == {}
+
+
+def test_kmv_4byte_cells_are_deduped():
+    """Truncated 32-bit cells must be sorted-unique per row: the vectorized
+    verifier counts an intra-sketch duplicate as a false intersection."""
+    from raydedup.stages import _binary_col_flat_u64, _kmv_blobs
+
+    # two 64-bit values sharing the same top 32 bits
+    vals = np.sort(
+        np.array(
+            [0x1111, (7 << 32) | 1, (7 << 32) | 2, (9 << 32) | 5], dtype=np.uint64
+        )
+    )
+    off = np.array([0, len(vals)], dtype=np.int64)
+    blobs, thetas, _ = _kmv_blobs(vals, off, k=128, hash_bytes=4)
+    flat, fo = _binary_col_flat_u64(blobs, 4)
+    cells = flat[fo[0]:fo[1]]
+    assert sorted(cells.tolist()) == [0, 7, 9]  # dup top-32 collapsed
+    assert len(np.unique(cells)) == len(cells)
+
+
+def test_capped_bucket_star_not_suppressed_by_owner_rule():
+    """A pair in a capped bucket must be emitted there as a star edge even
+    when its first co-bucketing band is a DIFFERENT (also capped) band —
+    the old owner mask dropped such pairs everywhere."""
+    from raydedup.config import SigConfig
+    from raydedup.stages import SignatureStage, make_block_pair_emitter
+
+    cfg = SigConfig(max_bucket_size=4)
+    n = 8  # > max_bucket_size members, all identical signatures
+    content = " ".join(f"tok{i}" for i in range(60))
+    sigs = SignatureStage(cfg)(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "content": pa.array([content] * n),
+            }
+        )
+    )
+    from raydedup.lsh import band_hashes, make_band_key
+    from raydedup.stages import _binary_col_flat_u64, _matrix_binary
+
+    mh_flat, _ = _binary_col_flat_u64(sigs.column("minhash"))
+    mh = mh_flat.reshape(n, cfg.num_perm)
+    bh = band_hashes(mh, cfg.bands, cfg.rows_per_band, cfg.seed)
+    # identical docs co-bucket in EVERY band; simulate the band-5 bucket:
+    # first co-band is 0, so the old rule suppressed all pairs here
+    band = 5
+    keys = make_band_key(np.full(n, band, dtype=np.uint64), bh[:, band])
+    block = pa.table(
+        {
+            "band_key": pa.array(keys, pa.uint64()),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "band_idx": pa.array(np.full(n, band, dtype=np.uint8), pa.uint8()),
+            "bandhashes": _matrix_binary(bh),
+            "kmv_theta": sigs.column("kmv_theta"),
+            "kmv": sigs.column("kmv"),
+        }
+    )
+    out = make_block_pair_emitter(cfg, verify=True)(block)
+    assert len(out) == n - 1  # full star emitted despite owner != my_band
+    assert out.column("capped").to_numpy().all()
