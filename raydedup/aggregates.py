@@ -350,7 +350,8 @@ def weighted_sample(
 
     return AggregateFn(
         init=lambda key: None, merge=merge, accumulate_block=acc,
-        finalize=lambda s: s, name=name or f"weighted_sample({key_col})",
+        finalize=lambda s: s or pickle.dumps(PrioritySample(k, seed)),
+        name=name or f"weighted_sample({key_col})",
     )
 
 
@@ -382,7 +383,8 @@ def varopt_sample(
 
     return AggregateFn(
         init=lambda key: None, merge=merge, accumulate_block=acc,
-        finalize=lambda s: s, name=name or f"varopt_sample({key_col})",
+        finalize=lambda s: s or pickle.dumps(VarOptItemsSketch(k, seed)),
+        name=name or f"varopt_sample({key_col})",
     )
 
 
@@ -467,7 +469,7 @@ def frequent_items_generic(
         init=lambda key: None,
         merge=merge,
         accumulate_block=acc,
-        finalize=lambda s: s,
+        finalize=lambda s: s or FrequentItemsSketch(max_map_size).serialize(),
         name=name or f"frequent_items_generic({col})",
     )
 
@@ -501,7 +503,7 @@ def frequent_items(
         init=lambda key: None,
         merge=merge,
         accumulate_block=acc,
-        finalize=lambda s: s,
+        finalize=lambda s: s or FrequentKeysSketch(max_map_size).serialize(),
         name=name or f"frequent_items({col})",
     )
 

@@ -185,6 +185,13 @@ class DoublesSketch:
             return math.nan
         if not 0.0 <= rank <= 1.0:
             raise SketchesArgumentError(f"rank must be in [0,1]: {rank}")
+        # rank 0/1 return the tracked exact extremes (the reference's
+        # quantile API contract) — in estimation mode the random zip can
+        # drop the global min/max from the retained levels
+        if rank <= 0.0:
+            return self._min
+        if rank >= 1.0:
+            return self._max
         items, cum = self._sorted_view()
         if inclusive:
             natural = int(math.ceil(rank * self.n))

@@ -34,10 +34,11 @@ class FrequentKeysSketch:
         self.stream_len = 0
 
     def update_many(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
-        k, c = np.unique(np.asarray(keys), return_counts=True)
         if counts is not None:
             # pre-aggregated input
             k, c = np.asarray(keys), np.asarray(counts)
+        else:
+            k, c = np.unique(np.asarray(keys), return_counts=True)
         self.stream_len += int(c.sum())
         d = self.counts
         for key, cnt in zip(k.tolist(), c.tolist()):
@@ -68,9 +69,17 @@ class FrequentKeysSketch:
 
     def merge(self, other: "FrequentKeysSketch") -> "FrequentKeysSketch":
         self.stream_len += other.stream_len
+        if other.offset:
+            # keys retained only in self may have been seen by other's
+            # stream and purged there up to other.offset times — their
+            # stored upper bound must grow by other.offset too, or the
+            # v >= true-count invariant (NO_FALSE_NEGATIVES) breaks
+            for k in self.counts:
+                if k not in other.counts:
+                    self.counts[k] += other.offset
         for k, v in other.counts.items():
-            # other's est for k = v - ... ; merge upper-bound counts
-            self.counts[k] = self.counts.get(k, self.offset) + (v)
+            # merge upper-bound counts (both sides carry their offsets)
+            self.counts[k] = self.counts.get(k, self.offset) + v
         self.offset += other.offset
         self._maybe_purge()
         return self

@@ -51,22 +51,29 @@ class ReservoirSketch:
 
     def merge(self, other: "ReservoirSketch") -> "ReservoirSketch":
         # lightweight merge: stream other's samples, each standing for
-        # other.n / len(other.samples) items (ReservoirItemsUnion semantics)
+        # implied = other.n / len(other.samples) items (ReservoirItemsUnion
+        # pseudo-stream semantics) — acceptance must be k*implied/total or
+        # the merged reservoir is biased toward self by a factor of implied
         if other.n == 0:
             return self
         if self.n == 0:
-            self.n, self.samples = other.n, list(other.samples)
+            self.n = other.n
+            if len(other.samples) <= self.k:
+                self.samples = list(other.samples)
+            else:
+                # adopting a larger-k sample: subsample uniformly to k —
+                # oversized slots could never be replaced by update()
+                idx = self._rng.choice(len(other.samples), size=self.k, replace=False)
+                self.samples = [other.samples[i] for i in idx]
             return self
         implied = other.n / max(1, len(other.samples))
-        total = self.n
+        total = float(self.n)
         for it in other.samples:
             total += implied
             if len(self.samples) < self.k:
                 self.samples.append(it)
-            else:
-                j = self._rng.random()
-                if j < self.k / total:
-                    self.samples[int(self._rng.integers(self.k))] = it
+            elif self._rng.random() < min(1.0, self.k * implied / total):
+                self.samples[int(self._rng.integers(self.k))] = it
         self.n = int(round(total))
         return self
 
@@ -315,6 +322,15 @@ class PrioritySample:
         self.keys = np.concatenate([self.keys, keys])
         self.weights = np.concatenate([self.weights, weights])
         self.priorities = np.concatenate([self.priorities, pri])
+        # dedupe repeated key observations the same way merge does, so the
+        # retained sample is independent of how observations were split
+        # across blocks/partitions (total_weight stays observation-summed
+        # on both paths)
+        _, idx = np.unique(self.keys, return_index=True)
+        if len(idx) != len(self.keys):
+            self.keys = self.keys[idx]
+            self.weights = self.weights[idx]
+            self.priorities = self.priorities[idx]
         self._trim()
 
     def _trim(self) -> None:
@@ -359,8 +375,12 @@ class PrioritySample:
         mask = predicate(self.keys)
         adj = np.maximum(self.weights, self.tau)
         est = float(adj[mask].sum())
-        # normal-approx bounds on the HT estimator (documented approximation)
-        var = float((adj[mask] * np.maximum(self.tau - 0.0, 0.0)).sum())
+        # normal-approx bounds on the HT estimator (documented
+        # approximation): per-item variance term tau*(tau - w_i)+ — zero
+        # for heavy items (included with probability 1)
+        var = float(
+            (adj[mask] * np.maximum(self.tau - self.weights[mask], 0.0)).sum()
+        )
         sd = math.sqrt(max(var, 0.0))
         return SampleSubsetSummary(
             max(0.0, est - 2 * sd),

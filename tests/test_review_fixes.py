@@ -231,3 +231,133 @@ def test_capped_bucket_star_not_suppressed_by_owner_rule():
     out = make_block_pair_emitter(cfg, verify=True)(block)
     assert len(out) == n - 1  # full star emitted despite owner != my_band
     assert out.column("capped").to_numpy().all()
+
+
+def test_freq_merge_preserves_upper_bound_invariant():
+    """Keys retained only in self must absorb other's offset: a key purged
+    from other's stream may have occurred up to other.offset times there
+    (LongsSketch merge semantics: errors add)."""
+    from raydedup.sketches.freq import NO_FALSE_NEGATIVES, FrequentKeysSketch
+
+    rng = np.random.default_rng(1)
+    a = FrequentKeysSketch(8)
+    a.update_many(np.full(100, 7, dtype=np.int64))  # key 7 seen 100x in A
+    b = FrequentKeysSketch(8)
+    b.update_many(np.full(50, 7, dtype=np.int64))  # ... and 50x in B
+    # force purges in B so key 7's count gets decremented/purged
+    for salt in range(40):
+        b.update_many(rng.integers(1000, 9000, size=30, dtype=np.int64))
+    true_count = 150
+    ab = FrequentKeysSketch(8)
+    ab.merge(a).merge(b)
+    ba = FrequentKeysSketch(8)
+    ba.merge(b).merge(a)
+    for m in (ab, ba):
+        est = m.get_estimate(7)
+        assert est >= true_count, (est, m.offset)  # UB invariant
+        items = dict(m.get_frequent_items(120, NO_FALSE_NEGATIVES))
+        assert 7 in items  # no false negative at threshold < true count
+
+
+def test_reservoir_merge_unbiased_composition():
+    """Merging two equal-n reservoirs must mix both sides ~evenly (the
+    pseudo-stream acceptance is k*implied/total, not k/total)."""
+    from raydedup.sketches.sampling import ReservoirSketch
+
+    from_b = 0
+    for t in range(200):
+        a = ReservoirSketch(10, seed=t)
+        a.update_many(list(range(0, 10_000)))
+        b = ReservoirSketch(10, seed=1000 + t)
+        b.update_many(list(range(100_000, 110_000)))
+        a.merge(b)
+        assert len(a.samples) == 10 and a.n == 20_000
+        from_b += sum(1 for s in a.samples if s >= 100_000)
+    frac_b = from_b / (200 * 10)
+    assert 0.4 < frac_b < 0.6, frac_b  # ~half from each side
+
+
+def test_reservoir_merge_into_empty_trims_to_k():
+    from raydedup.sketches.sampling import ReservoirSketch
+
+    big = ReservoirSketch(64, seed=1)
+    big.update_many(list(range(1000)))
+    empty = ReservoirSketch(16, seed=2)
+    empty.merge(big)
+    assert len(empty.samples) == 16 and empty.n == 1000
+
+
+def test_ks_test_not_fooled_by_small_samples():
+    """Two small same-distribution samples must NOT be declared different:
+    the threshold needs the two-sample sampling-noise term
+    (quantiles/KolmogorovSmirnov.java:82-93)."""
+    from raydedup.sketches.kll import KllSketch
+
+    rng = np.random.default_rng(5)
+    rejections = 0
+    for t in range(20):
+        a = KllSketch(200)
+        b = KllSketch(200)
+        a.update_many(rng.normal(size=100))
+        b.update_many(rng.normal(size=100))
+        if KllSketch.ks_test(a, b):
+            rejections += 1
+    assert rejections <= 2  # ~alpha=0.046 false-positive rate, not ~100%
+    # and clearly different distributions still get rejected
+    a = KllSketch(200)
+    b = KllSketch(200)
+    a.update_many(rng.normal(size=5000))
+    b.update_many(rng.normal(loc=3.0, size=5000))
+    assert KllSketch.ks_test(a, b)
+
+
+def test_priority_sample_partition_independent():
+    """Same observations, different block/partition splits → identical
+    retained sample and identical subset-sum estimates."""
+    import pickle
+
+    from raydedup.sketches.sampling import PrioritySample
+
+    keys = np.arange(1, 201, dtype=np.int64)
+    w = np.linspace(1, 50, 200)
+    dup_keys = np.concatenate([keys, keys[:50]])  # 50 duplicate observations
+    dup_w = np.concatenate([w, w[:50]])
+
+    one = PrioritySample(32, seed=9)
+    one.update_many(dup_keys, dup_w)
+
+    two = PrioritySample(32, seed=9)
+    two.update_many(dup_keys[:100], dup_w[:100])
+    other = PrioritySample(32, seed=9)
+    other.update_many(dup_keys[100:], dup_w[100:])
+    two.merge(other)
+
+    pred = lambda k: k % 3 == 0
+    s1 = one.estimate_subset_sum(pred)
+    s2 = two.estimate_subset_sum(pred)
+    assert sorted(one.keys.tolist()) == sorted(two.keys.tolist())
+    assert s1.estimate == s2.estimate
+    assert s1.total_sketch_weight == s2.total_sketch_weight
+
+
+def test_priority_sample_heavy_items_have_tight_bounds():
+    """All-heavy samples (w_i >= tau) have zero estimator variance: bounds
+    collapse to the estimate (the variance term is tau*(tau-w)+ per item)."""
+    from raydedup.sketches.sampling import PrioritySample
+
+    sk = PrioritySample(16, seed=3)
+    # few huge-weight keys: all retained exactly, tau stays small
+    sk.update_many(np.arange(1, 9, dtype=np.int64), np.full(8, 1e6))
+    s = sk.estimate_subset_sum(lambda k: k <= 4)
+    assert s.lower_bound == s.estimate == s.upper_bound == 4e6
+
+
+def test_doubles_quantile_extremes_exact():
+    from raydedup.sketches.doubles import DoublesSketch
+
+    rng = np.random.default_rng(11)
+    sk = DoublesSketch(128)
+    vals = rng.normal(size=5000)
+    sk.update_many(vals)
+    assert sk.quantile(0.0) == vals.min()
+    assert sk.quantile(1.0) == vals.max()
