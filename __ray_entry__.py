@@ -830,7 +830,7 @@ def _corpus_cte() -> str:
 
 
 _SHINGLES_CTE = r"""
-toks0 AS (SELECT id, string_split_regex(trim(content), '\s+') toks FROM corpus),
+toks0 AS (SELECT id, string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') toks FROM corpus),
 shing AS (
   SELECT id,
          list_distinct([list_aggregate(toks[i:i+4],'string_agg',' ')
@@ -917,7 +917,7 @@ SELECT src, dst, jaccard FROM pj WHERE jaccard >= 0.7
 """,
         "containment_pairs": f"""
 WITH {corpus},
-t AS (SELECT id, content, len(string_split_regex(trim(content), '\\s+')) nt FROM corpus)
+t AS (SELECT id, content, len(string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) nt FROM corpus)
 SELECT a.id src, b.id dst
 FROM t a JOIN t b ON a.id < b.id
 WHERE (a.nt >= 24 AND contains(b.content, a.content))

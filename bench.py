@@ -174,8 +174,15 @@ def run_scaling() -> dict:
         proc = subprocess.run(
             cmd, env=env, capture_output=True, text=True, timeout=3600
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        json_lines = [
+            l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+        ]
+        if proc.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) rc={proc.returncode}, no JSON "
+                f"output; stderr tail: {proc.stderr.strip()[-2000:]}"
+            )
+        return json.loads(json_lines[-1])
 
     # INTERLEAVED best-of-N: this VM's background load drifts on the scale
     # of minutes; alternating levels exposes both sides to the same drift

@@ -77,7 +77,9 @@ def audit_recall(
     n = len(truth_set)
     hit = len(truth_set & found_set)
     if n == 0:
-        return RecallAudit(1.0, 0.0, 1.0, 0, len(found_set), sample_rate, thr)
+        # no truth pairs in the sample: truth∩found is empty by definition
+        # (keep found_pairs_in_sample = |truth∩found| on BOTH branches)
+        return RecallAudit(1.0, 0.0, 1.0, 0, 0, sample_rate, thr)
     return RecallAudit(
         recall_estimate=hit / n,
         recall_lb=approx_lower_bound_on_p(n, hit, 2.0),

@@ -404,6 +404,7 @@ def make_embedding_block_verifier(
                 "src": pa.array([], pa.int64()),
                 "dst": pa.array([], pa.int64()),
                 "cosine": pa.array([], pa.float64()),
+                "capped": pa.array([], pa.bool_()),
             }
         )
 
@@ -430,7 +431,7 @@ def make_embedding_block_verifier(
         if not multi.any():
             return _empty()
 
-        out_src, out_dst, out_cos = [], [], []
+        out_src, out_dst, out_cos, out_cap = [], [], [], []
         for s, e in zip(bnd[multi], ends[multi]):
             u = ids_all[s:e]
             keep = np.concatenate([[True], u[1:] != u[:-1]])
@@ -441,12 +442,14 @@ def make_embedding_block_verifier(
                 continue
             if m <= max_bucket:
                 ia, ib = np.triu_indices(m, k=1)
+                capped = False
             else:
                 # representative star over the WHOLE bucket (O(m) edges):
                 # every member pairs with member 0, so no member is silently
                 # excluded from verification however large the bucket
                 ia = np.zeros(m - 1, dtype=np.int64)
                 ib = np.arange(1, m)
+                capped = True
             ra, rb = rows[ia], rows[ib]
             # rowwise cosine (same IEEE op sequence as quantized_cosine)
             qa, qb = quantize(emb_all[ra]), quantize(emb_all[rb])
@@ -460,7 +463,12 @@ def make_embedding_block_verifier(
             if not km.any():
                 continue
             ia, ib, ra, rb, c = ia[km], ib[km], ra[km], rb[km], c[km]
-            if n_tables > 1:
+            if n_tables > 1 and not capped:
+                # owner-table pair uniqueness — skipped for capped (star)
+                # buckets: the election can point at a table whose bucket
+                # also capped and never verified this pair, so suppressing
+                # here could drop it from every table (same fix as the
+                # LSH band tier; duplicates are deduped below)
                 my_t = int(tidx_all[s])
                 eq = keys_all[ra] == keys_all[rb]  # (pairs, n_tables)
                 owner = np.argmax(eq, axis=1)  # first co-bucketing table
@@ -471,6 +479,7 @@ def make_embedding_block_verifier(
             out_src.append(u[ia])
             out_dst.append(u[ib])
             out_cos.append(c)
+            out_cap.append(np.full(len(c), capped, dtype=bool))
 
         if not out_src:
             return _empty()
@@ -479,6 +488,7 @@ def make_embedding_block_verifier(
                 "src": pa.array(np.concatenate(out_src), type=pa.int64()),
                 "dst": pa.array(np.concatenate(out_dst), type=pa.int64()),
                 "cosine": pa.array(np.concatenate(out_cos)),
+                "capped": pa.array(np.concatenate(out_cap), type=pa.bool_()),
             }
         )
 
@@ -517,4 +527,26 @@ def embedding_dup_pairs(
         concurrency=_pool(),
     )
     verify_block = make_embedding_block_verifier(threshold, n_tables, max_bucket)
-    return grouped_blocks(bucketed, "bucket", verify_block)
+    pairs = grouped_blocks(bucketed, "bucket", verify_block)
+    # capped (star) rows bypass the owner-table rule and can surface from
+    # several tables; dedupe just that (tiny) subset to keep the output's
+    # each-pair-exactly-once contract
+    base = pairs.filter(expr="capped == False").select_columns(
+        ["src", "dst", "cosine"]
+    )
+    capped_unique = (
+        pairs.filter(expr="capped == True")
+        .groupby(["src", "dst"])
+        .max("cosine")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "cosine": b.column("max(cosine)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return base.union(capped_unique)

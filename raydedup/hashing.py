@@ -138,10 +138,15 @@ def xxh64_flat(flat: np.ndarray, offsets: np.ndarray, seed: int = 0) -> np.ndarr
     lmax = int(lens.max()) if n else 0
     pad = ((lmax + 31) // 32 + 1) * 32
     buf = np.zeros((n, pad), dtype=np.uint8)
-    # scatter each string row; vectorized via a single flat assignment
+    # scatter each string row; vectorized via a single flat assignment.
+    # Gather by absolute per-segment positions so sliced layouts
+    # (offsets[0] != 0, flat = the full absolute buffer) work — mirroring
+    # murmur3_128_flat's offset normalization
+    total = int(lens.sum())
     row = np.repeat(np.arange(n), lens)
-    col = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lens)
-    buf[row, col] = flat[: offsets[-1]] if len(flat) >= offsets[-1] else flat
+    seg_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    buf[row, intra] = flat[np.repeat(offsets[:-1], lens) + intra]
     return _xxh64_padded(buf, lens, seed)
 
 

@@ -62,7 +62,7 @@ class DecodeStage:
             [
                 b.mean() / 255.0,
                 b.std() / 255.0,
-                float(len(b)) / 4096.0,  # bounded: must not dominate cosine
+                min(float(len(b)) / 4096.0, 1.0),  # clamped: must not dominate cosine
                 float(xxh64_bytes(payload) % 1000) / 1000.0,
             ]
         )
@@ -103,7 +103,9 @@ class FrameSampleStage:
         dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
         out_id, out_ts = [], []
         for i in range(len(ids)):
-            d = int(dur[i]) if dur[i] is not None else 0
+            # null duration_ms arrives as NaN (to_numpy float conversion),
+            # never None — treat it as duration 0
+            d = 0 if dur[i] is None or dur[i] != dur[i] else int(dur[i])
             ts = np.arange(0, max(d, 1), self.every_ms, dtype=np.int64)
             out_id.append(np.full(len(ts), ids[i], dtype=np.int64))
             out_ts.append(ts)

@@ -36,9 +36,15 @@ class KllItemsSketch:
     # -- update ------------------------------------------------------------
 
     def update_many(self, values: Sequence[Any]) -> None:
-        v = np.asarray([x for x in values if x is not None], dtype=object)
-        if len(v) == 0:
+        items = [x for x in values if x is not None]
+        if not items:
             return
+        # element-wise fill: np.asarray(list_of_tuples, dtype=object) builds
+        # a 2-D array, not a 1-D array of tuple objects — and tuples are an
+        # advertised item type ("anything with a total order")
+        v = np.empty(len(items), dtype=object)
+        for i, x in enumerate(items):
+            v[i] = x
         self.n += len(v)
         vmin, vmax = min(v), max(v)
         self._min = vmin if self._min is None else min(self._min, vmin)
@@ -115,7 +121,11 @@ class KllItemsSketch:
         if self.n == 0:
             return math.nan
         it, wt = self._weighted_items()
-        return float(wt[it <= q].sum()) / self.n
+        # wrap q in a 0-d object array: a bare tuple would broadcast across
+        # the object array instead of comparing as one item
+        qq = np.empty((), dtype=object)
+        qq[()] = q
+        return float(wt[it <= qq].sum()) / self.n
 
     def quantile(self, r: float) -> Any:
         if self.n == 0:

@@ -53,7 +53,6 @@ def winnow_fingerprints(
     # winnow windows over grams, again on the flat array with row masking
     fp_h: list[np.ndarray] = []
     fp_p: list[np.ndarray] = []
-    counts = np.zeros(n, dtype=np.int64)
 
     # per-row gram segment boundaries
     gram_counts = np.where(lens >= k, lens - k + 1, 0)
@@ -93,7 +92,6 @@ def winnow_fingerprints(
             sel, sel_rows = key, sel_rows
         fp_h.append(grams[sel])
         fp_p.append(pos_in_row[sel].astype(np.uint64))
-        counts += np.bincount(sel_rows, minlength=n)
         handled = gram_counts >= w
     else:
         handled = np.zeros(n, dtype=bool)
@@ -105,7 +103,6 @@ def winnow_fingerprints(
         amin = int(len(seg) - 1 - np.argmin(seg[::-1]))
         fp_h.append(seg[amin : amin + 1])
         fp_p.append(pos_in_row[gram_off[r] + amin : gram_off[r] + amin + 1].astype(np.uint64))
-        counts[r] += 1
 
     if not fp_h:
         z = np.zeros(0, dtype=np.uint64)

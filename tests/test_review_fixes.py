@@ -361,3 +361,71 @@ def test_doubles_quantile_extremes_exact():
     sk.update_many(vals)
     assert sk.quantile(0.0) == vals.min()
     assert sk.quantile(1.0) == vals.max()
+
+
+def test_kll_items_handles_tuples():
+    from raydedup.sketches.kll_items import KllItemsSketch
+
+    sk = KllItemsSketch()
+    tups = [(i % 5, f"s{i}") for i in range(500)]
+    sk.update_many(tups)
+    assert sk.min_value == min(tups) and sk.max_value == max(tups)
+    q = sk.quantile(0.5)
+    assert isinstance(q, tuple)
+    assert sk.rank(max(tups)) == 1.0
+
+
+def test_xxh64_flat_sliced_layout():
+    import pyarrow as pa
+
+    from raydedup.hashing import xxh64_bytes, xxh64_flat
+    from raydedup.tokenize import _string_array_np
+
+    arr = pa.array(["alpha", "beta", "gamma", "delta"])
+    sliced = arr.slice(1, 2)  # offsets no longer start at 0
+    flat, off = _string_array_np(sliced)
+    got = xxh64_flat(flat, off, 7)
+    want = [xxh64_bytes(s.encode(), 7) for s in ["beta", "gamma"]]
+    assert got.tolist() == want
+
+
+def test_embedding_capped_star_not_suppressed_by_owner_table():
+    """A pair whose FIRST co-bucketing table star-degraded must still be
+    emitted by its capped bucket (owner-table rule bypassed when capped)."""
+    from raydedup.embed import make_embedding_block_verifier
+
+    # one bucket of table 1 with 2 identical vectors whose all_keys claim
+    # co-bucketing in table 0 as well (owner would be 0, not 1)
+    emb = np.tile(np.linspace(0.1, 0.9, 8), (3, 1))
+    keys2 = np.array([5, 7], dtype="<u8").tobytes()  # same in both tables
+    block = pa.table(
+        {
+            "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+            "bucket": pa.array(np.full(3, 7, dtype=np.uint64), pa.uint64()),
+            "table_idx": pa.array(np.ones(3, dtype=np.int64)),
+            "all_keys": pa.array([keys2] * 3, pa.binary(16)),
+        }
+    )
+    # max_bucket=2 -> this 3-member bucket is capped (star)
+    verify = make_embedding_block_verifier(threshold=0.9, n_tables=2, max_bucket=2)
+    out = verify(block)
+    assert len(out) == 2  # star pairs emitted despite owner == table 0
+    assert out.column("capped").to_numpy().all()
+    # and small buckets still apply the owner rule (this one is owned by 0)
+    verify_small = make_embedding_block_verifier(threshold=0.9, n_tables=2, max_bucket=10)
+    assert len(verify_small(block)) == 0
+
+
+def test_media_size_feature_clamped():
+    from raydedup.multimodal import DecodeStage
+
+    stage = DecodeStage(codec="fake")
+    big1 = bytes(np.random.default_rng(1).integers(0, 256, 1 << 20, dtype=np.uint8))
+    big2 = bytes(np.random.default_rng(2).integers(0, 256, 1 << 20, dtype=np.uint8))
+    f1 = stage._fake_features(big1)
+    f2 = stage._fake_features(big2)
+    from raydedup.embed import quantized_cosine
+
+    cos = quantized_cosine(f1[None, :], f2[None, :])[0, 0]
+    assert cos < 0.999  # different 1 MB payloads must NOT collide
