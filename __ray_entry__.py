@@ -860,7 +860,7 @@ def _lang_id_sql() -> str:
     best_case = "CASE " + " ".join(case_parts) + f" ELSE '{langs[-1]}' END"
     greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
     return rf"""
-WITH t AS (SELECT doc_id, lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS lt FROM documents),
+WITH t AS (SELECT doc_id, lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS lt FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d),
 tk AS (
   SELECT doc_id,
          CASE WHEN lt = '' THEN CAST([] AS VARCHAR[])
@@ -1058,7 +1058,7 @@ WITH s AS (
               ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS n_tokens,
          length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_cnt,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt
-  FROM documents),
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d),
 r AS (
   SELECT doc_id,
          CAST(n_tokens AS DOUBLE) AS nt,
@@ -1101,7 +1101,7 @@ SELECT doc_id,
             ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS ws_tokens,
        len(regexp_extract_all(text,
            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS bpe_tokens
-FROM documents
+FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
 """,
         "text_stats": r"""
 SELECT doc_id,
@@ -1112,6 +1112,6 @@ SELECT doc_id,
              / greatest(length(text), 1) * 1e6) / 1e6 AS punct_ratio,
        floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) * 1e6) / 1e6 AS digit_ratio
-FROM documents
+FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
 """,
     }

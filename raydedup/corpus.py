@@ -106,7 +106,15 @@ SELECT id, repo, path, "commit", lang, content FROM (
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    """Cache tag for a testdata dir: readable basename + a digest of the
+    FULL absolute path, so two different dirs that share a basename (e.g.
+    /a/sf0.01 and /b/sf0.01) never share a cache entry."""
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:10]
+    base = os.path.basename(norm) or "sf"
+    return f"{base}-{digest}"
 
 
 def corpus_parquet_path(sf_dir: str) -> str:

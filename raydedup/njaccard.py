@@ -50,13 +50,15 @@ class ShingleExplode:
         )
 
 
-def _posting_pairs(max_posting: int | None):
-    def emit(group: pa.Table) -> pa.Table:
-        ids = group.column("id").to_numpy()
-        nsh = group.column("nsh").to_numpy()
-        order = np.argsort(ids)
-        ids, nsh = ids[order], nsh[order]
-        n = len(ids)
+def _pairs_block(max_posting: int | None):
+    """Pair emitter for ONE hash partition holding many whole posting lists
+    (grouped_blocks pattern — one python call per partition, not per shingle;
+    groupby('sh').map_groups paid a python call per posting list, ruinous for
+    millions of mostly-singleton shingles). All pairs of all runs are built
+    in one segmented-arange pass: element a of an m-long run is src for
+    (m-1-a) pairs, its dsts are the next 1..(m-1-a) elements."""
+
+    def emit(block: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "src": pa.array([], pa.int64()),
@@ -65,15 +67,38 @@ def _posting_pairs(max_posting: int | None):
                 "nb": pa.array([], pa.int32()),
             }
         )
-        if n < 2 or (max_posting is not None and n > max_posting):
+        n = len(block)
+        if n == 0:
             return empty
-        iu = np.triu_indices(n, k=1)
+        sh = block.column("sh").to_numpy()
+        ids = block.column("id").to_numpy()
+        nsh = block.column("nsh").to_numpy()
+        order = np.lexsort((ids, sh))
+        sh, ids, nsh = sh[order], ids[order], nsh[order]
+        new_run = np.concatenate([[True], sh[1:] != sh[:-1]])
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        loc = np.arange(n) - starts[run_id]
+        cnt = lens[run_id] - 1 - loc  # pairs with this element as src
+        if max_posting is not None:
+            # stop-shingle removal: drop over-cap posting lists entirely
+            cnt = np.where(lens[run_id] > max_posting, 0, cnt)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        src_idx = np.repeat(np.arange(n), cnt)
+        excl = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        pair_loc = np.arange(total) - np.repeat(excl, cnt)
+        dst_idx = src_idx + 1 + pair_loc
+        # ids ascend within each run and are distinct per shingle
+        # (segment_unique emits one posting per (sh, id)), so src < dst holds
         return pa.table(
             {
-                "src": pa.array(ids[iu[0]]),
-                "dst": pa.array(ids[iu[1]]),
-                "na": pa.array(nsh[iu[0]]),
-                "nb": pa.array(nsh[iu[1]]),
+                "src": pa.array(ids[src_idx], type=pa.int64()),
+                "dst": pa.array(ids[dst_idx], type=pa.int64()),
+                "na": pa.array(nsh[src_idx], type=pa.int32()),
+                "nb": pa.array(nsh[dst_idx], type=pa.int32()),
             }
         )
 
@@ -90,9 +115,9 @@ def ngram_jaccard_pairs(
     postings = corpus.select_columns(["id", "content"]).map_batches(
         ShingleExplode(cfg), batch_format="pyarrow"
     )
-    pairs = postings.groupby("sh").map_groups(
-        _posting_pairs(max_posting), batch_format="pyarrow"
-    )
+    from .pipeline import grouped_blocks
+
+    pairs = grouped_blocks(postings, "sh", _pairs_block(max_posting))
     agg = pairs.groupby(["src", "dst"]).aggregate(Count(), Max("na"), Max("nb"))
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -84,14 +84,25 @@ class TupleSketch:
             boundaries = np.concatenate([[True], sh[1:] != sh[:-1]])
             idx = np.flatnonzero(boundaries)
             outh = sh[idx]
-            outv = np.empty((len(idx), sv.shape[1]), dtype=np.float64)
             ends = np.concatenate([idx[1:], [len(sh)]])
-            for j, (s, e) in enumerate(zip(idx, ends)):
-                seg = sv[s:e]
-                acc = seg[0]
-                for r in range(1, len(seg)):
-                    acc = _combine(self.mode, acc, seg[r])
-                outv[j] = acc
+            runlen = ends - idx
+            # vectorized run combine (one reduceat / broadcast per block —
+            # the per-duplicate python loop made tuple_distinct_sum's
+            # accumulate O(rows) scalar work)
+            if self.mode == "sum":
+                outv = np.add.reduceat(sv, idx, axis=0)
+            elif self.mode == "min":
+                outv = np.minimum.reduceat(sv, idx, axis=0)
+            elif self.mode == "max":
+                outv = np.maximum.reduceat(sv, idx, axis=0)
+            elif self.mode == "increment":
+                # acc = first + 1 per further observation (_combine chain)
+                outv = sv[idx] + (runlen - 1)[:, None].astype(np.float64)
+            elif self.mode == "always_one":
+                # singleton runs never enter _combine: they keep their value
+                outv = np.where((runlen > 1)[:, None], 1.0, sv[idx])
+            else:
+                raise ValueError(self.mode)
         else:
             outh, outv = sh, sv
         theta = self.theta

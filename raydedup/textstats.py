@@ -58,8 +58,8 @@ _LANG_PROFILES: dict[str, set[str]] = {
 
 
 def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-row stats: n_chars, n_tokens, avg_token_len, punct_ratio,
-    upper_ratio, digit_ratio. Mirrors straightforward SQL."""
+    """Per-row stats: n_chars, n_tokens, punct_ratio, upper_ratio,
+    digit_ratio. Mirrors straightforward SQL."""
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()

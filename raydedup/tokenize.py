@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 from .hashing import xxh64_flat
 
 _WS = r"\s+"
+# explicit ASCII whitespace, mirrored verbatim in every dedup-tier oracle SQL
+_ASCII_WS = " \t\n\r\v\f"
 
 
 def _string_array_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -47,7 +49,11 @@ def tokenize_hashes(
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     content = pc.fill_null(content, "")
-    trimmed = pc.utf8_trim_whitespace(content)
+    # Trim ONLY the explicit ASCII whitespace set, matching the DuckDB
+    # oracles' trim(content, ' '||chr(9)||chr(10)||chr(13)||chr(11)||chr(12))
+    # by construction (utf8_trim_whitespace strips Unicode WS like U+00A0,
+    # which the oracle's trim() keeps — same parity rule as textstats.py).
+    trimmed = pc.utf8_trim(content, _ASCII_WS)
     toks = pc.split_pattern_regex(trimmed, _WS)
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     offsets = np.asarray(toks.offsets, dtype=np.int64)

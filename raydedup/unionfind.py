@@ -122,6 +122,15 @@ def _propagate_block(block: pa.Table) -> pa.Table:
     add_u = u != m
     src_out.append(m[add_u])
     dst_out.append(u[add_u])
+    # a run whose only neighbor is itself (self-loop: u == m and every
+    # d == m) would otherwise emit nothing and the node silently vanishes
+    # from the assignment — the collect path emits (u, u) for it, so keep
+    # the contract identical by emitting a persistent self-edge
+    kept_any = np.zeros(len(u), dtype=bool)
+    kept_any[run_id[keep]] = True
+    lonely = ~kept_any & ~add_u
+    src_out.append(u[lonely])
+    dst_out.append(u[lonely])
     return pa.table(
         {
             "src": pa.array(np.concatenate(src_out), type=pa.int64()),

@@ -79,14 +79,13 @@ def winnow_fingerprints(
         sel_rows = wrow[wvalid]
         # dedupe repeated selections per row
         key = sel.astype(np.int64)
-        uniq_mask = np.ones(len(sel), dtype=bool)
         if len(sel) > 1:
             order = np.lexsort((key, sel_rows))
             ks, rs = key[order], sel_rows[order]
             um = np.empty(len(ks), dtype=bool)
             um[0] = True
             um[1:] = (ks[1:] != ks[:-1]) | (rs[1:] != rs[:-1])
-            sel = ks[order][um]
+            sel = ks[um]
             sel_rows = rs[um]
         else:
             sel, sel_rows = key, sel_rows
