@@ -778,6 +778,46 @@ def pc_cast_list(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return col.cast(pa.list_(pa.float64()))
 
 
+# the synthetic corpus assigns originals ids < 100000 and every derived
+# variant (exact copies, near edits, substrings, boiler) ids >= 100000 —
+# the natural base/delta split for the incremental queries (append-only
+# contract: delta ids exceed every base id), mirrored as a literal in SQL
+_INCR_CUT = 100000
+
+
+def _incr_split(sf_dir: str):
+    ds = _corpus_ds(sf_dir)
+    return (
+        ds.filter(expr=f"id < {_INCR_CUT}"),
+        ds.filter(expr=f"id >= {_INCR_CUT}"),
+        _INCR_CUT,
+    )
+
+
+def _q_incremental_exact_matches(sf_dir: str):
+    from raydedup.incremental import incremental_exact_matches
+    from raydedup.pipeline import signatures
+
+    _, _, cut = _incr_split(sf_dir)
+    sigs = signatures(_corpus_ds(sf_dir), _cfg())
+    return incremental_exact_matches(sigs, cut)
+
+
+def _q_incremental_dedup_assign(sf_dir: str):
+    """Full incremental pipeline: base is deduped stand-alone (yielding its
+    signature index + assignment), then the delta is deduped AGAINST it —
+    base×base pairs never re-verified. Near tier is minhash-LSH, so no SQL
+    oracle; pytest asserts exact agreement with a full-corpus re-run."""
+    from raydedup.incremental import incremental_dedup
+    from raydedup.pipeline import dedup_clusters, signatures
+
+    base, delta, _ = _incr_split(sf_dir)
+    cfg = _cfg()
+    base_sigs = signatures(base, cfg).materialize()
+    base_assign = dedup_clusters(base, cfg)
+    return incremental_dedup(base_sigs, base_assign, delta, cfg)["assignments"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -815,6 +855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": _q_windowed_events,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "quality_scores": _q_quality_scores,
+        "incremental_exact_matches": _q_incremental_exact_matches,
+        "incremental_dedup_assign": _q_incremental_dedup_assign,
     }
 
 
@@ -894,6 +936,13 @@ def _oracle_sql_entries(corpus: str) -> dict[str, str]:
         "exact_dup_clusters": f"""
 WITH {corpus}
 SELECT id, min(id) OVER (PARTITION BY content) AS cluster_id FROM corpus
+""",
+        "incremental_exact_matches": f"""
+WITH {corpus}
+SELECT d.id AS id, min(s.id) AS matched_base_id
+FROM corpus d JOIN corpus s ON s.content = d.content
+WHERE d.id >= 100000 AND s.id < 100000
+GROUP BY d.id
 """,
         "exact_dup_groups": f"""
 WITH {corpus}

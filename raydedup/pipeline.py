@@ -263,6 +263,7 @@ def _banded(
     carry_kmv: bool,
     verify: bool,
     carry_bandhashes: bool = True,
+    cross_min_id: int | None = None,
 ) -> "ray.data.Dataset":
     cols = ["id", "minhash", "n_shingles"]
     if carry_kmv:
@@ -280,7 +281,9 @@ def _banded(
     # (Measured: per-bucket map_groups on millions of mostly-singleton
     # buckets costs tens of seconds in pure python dispatch.)
     nparts = 2 * join_partitions(64)
-    block_emitter = make_block_pair_emitter(cfg, verify=verify, hot=hot)
+    block_emitter = make_block_pair_emitter(
+        cfg, verify=verify, hot=hot, cross_min_id=cross_min_id
+    )
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = (
@@ -506,6 +509,7 @@ def near_edges(
     hot: dict[int, int] | None = None,
     num_partitions: int | None = None,
     mode: str = "bucket",
+    cross_min_id: int | None = None,
 ) -> "ray.data.Dataset":
     """Verified near-dup edges. Modes (all same verification semantics):
       'bucket' (default): one shuffle carrying sketches, block-vectorized
@@ -526,7 +530,9 @@ def near_edges(
     if mode == "broadcast":
         return _near_edges_broadcast(sigs, cfg, hot)
     if mode == "bucket":
-        edges = _banded(sigs, cfg, hot, carry_kmv=True, verify=True)
+        edges = _banded(
+            sigs, cfg, hot, carry_kmv=True, verify=True, cross_min_id=cross_min_id
+        )
         return edges.select_columns(["src", "dst", "jaccard"])
     if mode == "hybrid":
         pairs = _banded(
@@ -572,7 +578,7 @@ def _explode_winnow(batch: pa.Table) -> pa.Table:
     )
 
 
-def _fp_block_pairs(max_bucket: int):
+def _fp_block_pairs(max_bucket: int, cross_min_id: int | None = None):
     def emit(block: pa.Table) -> pa.Table:
         n = len(block)
         empty = pa.table(
@@ -602,14 +608,20 @@ def _fp_block_pairs(max_bucket: int):
                 out_d.append(u[iu[1]])
         if not out_s:
             return empty
-        return pa.table(
-            {"src": pa.array(np.concatenate(out_s)), "dst": pa.array(np.concatenate(out_d))}
-        )
+        src = np.concatenate(out_s)
+        dst = np.concatenate(out_d)
+        if cross_min_id is not None:
+            # incremental mode: base-vs-base fp pairs are already known
+            cm = (src >= cross_min_id) | (dst >= cross_min_id)
+            src, dst = src[cm], dst[cm]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
     return emit
 
 
-def substring_edges(sigs: "ray.data.Dataset", cfg: SigConfig) -> "ray.data.Dataset":
+def substring_edges(
+    sigs: "ray.data.Dataset", cfg: SigConfig, cross_min_id: int | None = None
+) -> "ray.data.Dataset":
     """Pairs sharing enough winnow fingerprints to imply a verbatim block of
     >= min_substring_tokens tokens."""
     t = cfg.winnow_k + cfg.winnow_window - 1
@@ -617,7 +629,9 @@ def substring_edges(sigs: "ray.data.Dataset", cfg: SigConfig) -> "ray.data.Datas
     fp_rows = sigs.select_columns(["id", "winnow"]).map_batches(
         _explode_winnow, batch_format="pyarrow"
     )
-    pairs = grouped_blocks(fp_rows, "fp", _fp_block_pairs(cfg.max_bucket_size))
+    pairs = grouped_blocks(
+        fp_rows, "fp", _fp_block_pairs(cfg.max_bucket_size, cross_min_id)
+    )
     counted = pairs.groupby(["src", "dst"]).count()
 
     def keep_shared(batch: pa.Table) -> pa.Table:

@@ -359,7 +359,10 @@ def _binary_col_flat_u64(arr: pa.Array, word_bytes: int = 8) -> tuple[np.ndarray
 
 
 def make_block_pair_emitter(
-    cfg: SigConfig, verify: bool = True, hot: dict[int, int] | None = None
+    cfg: SigConfig,
+    verify: bool = True,
+    hot: dict[int, int] | None = None,
+    cross_min_id: int | None = None,
 ):
     """Block-level bucket processor for hash-partitioned band rows.
 
@@ -367,6 +370,11 @@ def make_block_pair_emitter(
     data pre-extracted as flat numpy arrays (zero-copy from Arrow) —
     ``groupby().map_groups`` pays a python call + pyarrow slicing per group,
     which measured ~300 CPU-seconds across millions of small buckets.
+
+    ``cross_min_id``: incremental-dedup filter — drop candidate pairs whose
+    BOTH endpoints are below the boundary (base×base pairs already known
+    from the base run) BEFORE the sketch verification, so an incremental
+    run pays verify cost only for pairs touching new (delta) docs.
     """
     if hot:
         _ha = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
@@ -460,6 +468,11 @@ def make_block_pair_emitter(
         rb = np.concatenate(cand_rb)
         cap = np.concatenate(cand_cap)
         src, dst = ids_all[ra], ids_all[rb]
+        if cross_min_id is not None:
+            cm = (src >= cross_min_id) | (dst >= cross_min_id)
+            if not cm.any():
+                return _empty_pair_table(verify)
+            ra, rb, cap, src, dst = ra[cm], rb[cm], cap[cm], src[cm], dst[cm]
         if verify:
             # pass 2: ONE vectorized merge over all pairs in the block
             jac = kmv_jaccard_many(
