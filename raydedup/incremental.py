@@ -170,12 +170,23 @@ def incremental_dedup(
         )
     boundary = int(base_max) + 1 if base_max is not None else 0
 
-    all_sigs = base_sigs.union(delta_sigs).materialize()
+    all_sigs = base_sigs.union(delta_sigs)
     hot = detect_hot_band_keys(all_sigs, cfg) if with_salting else None
     edges = incremental_dup_pairs(
         all_sigs, cfg, boundary, hot, with_substring=with_substring
     ).materialize()
+    return _finish_incremental(
+        edges, base_assign, delta_sigs, boundary, cluster_method
+    )
 
+
+def _finish_incremental(
+    edges: "ray.data.Dataset",
+    base_assign: "ray.data.Dataset",
+    delta_sigs: "ray.data.Dataset",
+    boundary: int,
+    cluster_method: str,
+) -> dict:
     # replace base endpoints by their BASE CLUSTER ROOT so connectivity
     # through base clusters survives the base×base filter; roots come from
     # an edge-bounded semi-join against the base assignment table
@@ -219,6 +230,310 @@ def incremental_dedup(
     )
     merges = assigned.map_batches(split_merges, batch_format="pyarrow")
     return {"assignments": assignments, "merges": merges, "boundary": boundary}
+
+
+# ---------------------------------------------------------------------------
+# persisted partitioned index — the true 100 TB incremental path
+# ---------------------------------------------------------------------------
+#
+# incremental_dedup() above still SHUFFLES the whole base signature index
+# through the band/sha/fp groupbys on every delta run — at 10^12 base files
+# that all-to-all dwarfs the delta. The indexed path amortizes it ONCE:
+# write_dedup_index() hash-partitions the base's band rows, sha postings and
+# winnow-fp postings into per-part parquet files; an incremental run then
+# shuffles ONLY delta rows (grouped by the same part function) and each
+# part's task STREAMS its base partition straight from storage (a sequential
+# scan, map-side, no exchange) before running the ordinary vectorized pair
+# emitters with the base×base filter. Partition count is fixed at index
+# build (meta.json) so delta runs always align; parts scale with base size
+# so per-task memory stays bounded.
+#
+# Trade-offs, stated: the band index carries the kmv verify payload per band
+# row (~bands × kmv bytes per doc). At extreme scale store ids-only band
+# rows and verify via the existing join mode (near_edges mode='join')
+# instead. Salting is OFF in the indexed path (salt assignments are
+# per-run; they would misalign delta keys vs indexed keys) — over-size
+# buckets degrade to the representative-star ceiling, same as the
+# unsalted flagship.
+
+
+def _part_u64(keys: np.ndarray, nparts: int) -> np.ndarray:
+    from .hashing import splitmix64
+
+    return (splitmix64(keys.astype(np.uint64)) % np.uint64(nparts)).astype(np.int64)
+
+
+def _part_sha(col: pa.Array, nparts: int) -> np.ndarray:
+    from .hashing import splitmix64, xxh64_flat
+    from .tokenize import _string_array_np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat, off = _string_array_np(col)
+    return (splitmix64(xxh64_flat(flat, off, seed=17)) % np.uint64(nparts)).astype(
+        np.int64
+    )
+
+
+def _write_parts(rows: "ray.data.Dataset", out_dir: str, nparts: int) -> int:
+    """Hash-partitioned parquet writer: one file per non-empty part, written
+    idempotently (tmp + atomic rename; existing parts are kept — a re-run
+    resumes where it stopped). Returns rows written (existing parts count
+    as written)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(block: pa.Table) -> pa.Table:
+        p = int(block.column("part")[0].as_py())
+        body = block.select([c for c in block.column_names if c != "part"])
+        path = os.path.join(out_dir, f"part-{p:05d}.parquet")
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp{os.getpid()}"
+            pq.write_table(body, tmp)
+            os.replace(tmp, path)
+        return pa.table(
+            {
+                "part": pa.array([p], pa.int64()),
+                "rows": pa.array([len(body)], pa.int64()),
+            }
+        )
+
+    manifest = rows.groupby("part").map_groups(write_block, batch_format="pyarrow")
+    return int(sum(b["rows"].to_numpy().sum() for b in
+                   manifest.iter_batches(batch_format="pyarrow")))
+
+
+def write_dedup_index(
+    base_sigs: "ray.data.Dataset",
+    path: str,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    nparts: int | None = None,
+) -> dict:
+    """Persist the base corpus's partitioned dedup index under ``path``:
+    bands/ (band rows incl. verify payload), sha/ (sha256 postings),
+    fp/ (winnow fingerprint postings), meta.json (nparts, max base id,
+    config fingerprint). Build cost ≈ one band emit + three partition
+    shuffles — paid once per base, amortized over every delta."""
+    import json
+    import os
+
+    from .pipeline import _explode_winnow, join_partitions
+    from .stages import BandEmitStage
+
+    # resume semantics: a partially-built index pins nparts (part files
+    # written under one partition count must never mix with another)
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior = json.load(f)
+        cfg.check_compatible(prior["cfg_fingerprint"])
+        nparts = int(prior["nparts"])
+    nparts = nparts or 2 * join_partitions(64)
+
+    def _put_meta(meta: dict) -> None:
+        tmp = os.path.join(path, f"meta.json.tmp{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+
+    base_max_id = int(base_sigs.max("id"))
+    # pin nparts BEFORE any part file exists so an interrupted build
+    # resumes under the same partitioning
+    os.makedirs(path, exist_ok=True)
+    _put_meta(
+        {
+            "nparts": nparts,
+            "base_max_id": base_max_id,
+            "cfg_fingerprint": cfg.fingerprint,
+        }
+    )
+
+    band = base_sigs.map_batches(
+        BandEmitStage(cfg, None, carry_kmv=True, carry_bandhashes=True),
+        batch_format="pyarrow",
+    )
+
+    def band_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_part_u64(batch.column("band_key").to_numpy(), nparts))
+        )
+
+    def sha_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_part_sha(batch.column("sha256"), nparts))
+        )
+
+    def fp_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_part_u64(batch.column("fp").to_numpy(), nparts))
+        )
+
+    n_band = _write_parts(
+        band.map_batches(band_part, batch_format="pyarrow"),
+        os.path.join(path, "bands"),
+        nparts,
+    )
+    n_sha = _write_parts(
+        base_sigs.select_columns(["sha256", "id"]).map_batches(
+            sha_part, batch_format="pyarrow"
+        ),
+        os.path.join(path, "sha"),
+        nparts,
+    )
+    n_fp = _write_parts(
+        base_sigs.select_columns(["id", "winnow"])
+        .map_batches(_explode_winnow, batch_format="pyarrow")
+        .map_batches(fp_part, batch_format="pyarrow"),
+        os.path.join(path, "fp"),
+        nparts,
+    )
+    meta = {
+        "nparts": nparts,
+        "base_max_id": base_max_id,
+        "cfg_fingerprint": cfg.fingerprint,
+        "band_rows": n_band,
+        "sha_rows": n_sha,
+        "fp_rows": n_fp,
+    }
+    _put_meta(meta)
+    return meta
+
+
+def _part_merge_emitter(index_dir: str, emitter):
+    """Wrap a vectorized block emitter so each part's task first streams its
+    BASE partition from the index (sequential parquet read, no shuffle) and
+    concatenates it with the shuffled delta rows of the same part."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def run(block: pa.Table) -> pa.Table:
+        p = int(block.column("part")[0].as_py())
+        body = block.select([c for c in block.column_names if c != "part"])
+        base_path = os.path.join(index_dir, f"part-{p:05d}.parquet")
+        if os.path.exists(base_path):
+            base = pq.read_table(base_path, columns=body.column_names)
+            body = pa.concat_tables([base, body], promote_options="default")
+        return emitter(body)
+
+    return run
+
+
+def incremental_dedup_indexed(
+    index_path: str,
+    base_assign: "ray.data.Dataset",
+    delta_corpus: "ray.data.Dataset",
+    cfg: SigConfig = DEFAULT_CONFIG,
+    *,
+    with_substring: bool = True,
+    cluster_method: str = "auto",
+) -> dict:
+    """Incremental dedup against a persisted partitioned index
+    (write_dedup_index): only DELTA rows shuffle; base partitions stream
+    map-side inside each part's task. Output contract matches
+    incremental_dedup. Pair semantics equal the unsalted flagship tiers
+    (see the module note on salting)."""
+    import json
+    import os
+
+    from .pipeline import _exact_block_edges, _explode_winnow, _fp_block_pairs
+    from .stages import BandEmitStage, make_block_pair_emitter
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    cfg.check_compatible(meta["cfg_fingerprint"])
+    nparts = int(meta["nparts"])
+    boundary = int(meta["base_max_id"]) + 1
+
+    delta_sigs = delta_corpus.map_batches(
+        SignatureStage(cfg), batch_format="pyarrow"
+    ).materialize()
+    delta_min = delta_sigs.min("id")
+    if delta_min is not None and delta_min < boundary:
+        raise ValueError(
+            f"delta ids must exceed every base id (append-only contract): "
+            f"index max {boundary - 1} >= delta min {delta_min}"
+        )
+
+    def band_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_part_u64(batch.column("band_key").to_numpy(), nparts))
+        )
+
+    def sha_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_part_sha(batch.column("sha256"), nparts))
+        )
+
+    def fp_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_part_u64(batch.column("fp").to_numpy(), nparts))
+        )
+
+    # near tier: delta band rows shuffle; base band partitions stream
+    delta_band = delta_sigs.map_batches(
+        BandEmitStage(cfg, None, carry_kmv=True, carry_bandhashes=True),
+        batch_format="pyarrow",
+    ).map_batches(band_part, batch_format="pyarrow")
+    near_emitter = make_block_pair_emitter(
+        cfg, verify=True, hot=None, cross_min_id=boundary
+    )
+    e_near = (
+        delta_band.groupby("part")
+        .map_groups(
+            _part_merge_emitter(os.path.join(index_path, "bands"), near_emitter),
+            batch_format="pyarrow",
+        )
+        .select_columns(["src", "dst"])
+    )
+
+    # exact tier: delta sha postings vs base sha partitions
+    delta_sha = delta_sigs.select_columns(["sha256", "id"]).map_batches(
+        sha_part, batch_format="pyarrow"
+    )
+
+    def exact_cross(block: pa.Table) -> pa.Table:
+        return _cross_filter(boundary)(_exact_block_edges(block))
+
+    e_exact = delta_sha.groupby("part").map_groups(
+        _part_merge_emitter(os.path.join(index_path, "sha"), exact_cross),
+        batch_format="pyarrow",
+    )
+    edges = e_exact.union(e_near)
+
+    if with_substring:
+        import pyarrow.compute as pc
+
+        delta_fp = (
+            delta_sigs.select_columns(["id", "winnow"])
+            .map_batches(_explode_winnow, batch_format="pyarrow")
+            .map_batches(fp_part, batch_format="pyarrow")
+        )
+        fp_pairs = delta_fp.groupby("part").map_groups(
+            _part_merge_emitter(
+                os.path.join(index_path, "fp"),
+                _fp_block_pairs(cfg.max_bucket_size, boundary),
+            ),
+            batch_format="pyarrow",
+        )
+        t = cfg.winnow_k + cfg.winnow_window - 1
+        min_shared = max(1, (cfg.min_substring_tokens - t) // cfg.winnow_window)
+        counted = fp_pairs.groupby(["src", "dst"]).count()
+
+        def keep_shared(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(
+                pc.greater_equal(batch.column("count()"), min_shared)
+            )
+            return pa.table({"src": kept.column("src"), "dst": kept.column("dst")})
+
+        edges = edges.union(counted.map_batches(keep_shared, batch_format="pyarrow"))
+
+    return _finish_incremental(
+        edges.materialize(), base_assign, delta_sigs, boundary, cluster_method
+    )
 
 
 def _exact_match_block(boundary: int):

@@ -49,6 +49,57 @@ def test_incremental_matches_full_rerun(corpus_split):
     assert len(merges) > 0
 
 
+def test_indexed_incremental_matches_full_rerun(corpus_split, tmp_path):
+    """The persisted-index path (delta-only shuffle, base partitions
+    streamed map-side) must give the same assignments as a full re-run."""
+    from raydedup.incremental import incremental_dedup_indexed, write_dedup_index
+    from raydedup.pipeline import dedup_clusters, signatures
+
+    ds, base, delta, cut, cfg = corpus_split
+    base_sigs = signatures(base, cfg).materialize()
+    base_assign = dedup_clusters(base, cfg, with_salting=False).materialize()
+
+    idx = str(tmp_path / "idx")
+    meta = write_dedup_index(base_sigs, idx, cfg)
+    assert meta["base_max_id"] < cut
+    assert meta["sha_rows"] == base.count()
+    # idempotent rebuild: existing parts are kept, same meta comes back
+    meta2 = write_dedup_index(base_sigs, idx, cfg)
+    assert meta2 == meta
+
+    out = incremental_dedup_indexed(idx, base_assign, delta, cfg)
+    incr = out["assignments"].to_pandas()
+    full = dedup_clusters(ds, cfg, with_salting=False).to_pandas()
+    fmap = dict(zip(full["id"], full["cluster_id"]))
+    imap = dict(zip(incr["id"], incr["cluster_id"]))
+    assert len(incr) == delta.count()
+    assert all(imap[i] == fmap[i] for i in imap)
+
+    merges = out["merges"].to_pandas()
+    mm = dict(zip(merges["old_cluster"], merges["new_cluster"]))
+    bdf = base_assign.to_pandas()
+    assert all(mm.get(c, c) == fmap[i] for i, c in zip(bdf["id"], bdf["cluster_id"]))
+
+
+def test_indexed_incremental_rejects_config_mismatch(corpus_split, tmp_path):
+    from raydedup.config import SigConfig, SketchesArgumentError
+    from raydedup.incremental import incremental_dedup_indexed, write_dedup_index
+    from raydedup.pipeline import signatures
+
+    _, base, delta, _, cfg = corpus_split
+    base_sigs = signatures(base, cfg).materialize()
+    idx = str(tmp_path / "idx2")
+    write_dedup_index(base_sigs, idx, cfg)
+    other = SigConfig(seed=cfg.seed + 1)
+    import ray.data
+
+    fake_assign = ray.data.from_arrow(
+        pa.table({"id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+    )
+    with pytest.raises(SketchesArgumentError):
+        incremental_dedup_indexed(idx, fake_assign, delta, other)
+
+
 def test_incremental_rejects_id_overlap(corpus_split):
     from raydedup.incremental import incremental_dedup
     from raydedup.pipeline import signatures
