@@ -369,6 +369,108 @@ def _q_kll_quantiles_price(sf_dir: str):
     )
 
 
+def _q_ks_price_by_returnflag(sf_dir: str):
+    """Kolmogorov-Smirnov distance between the l_extendedprice distributions
+    of each pair of return flags (quantiles/KolmogorovSmirnov.java:26-54
+    computeKSDelta over two KLL sketches). k=2^17 keeps every per-flag
+    sketch in the exact regime at correctness sf (~20k rows/flag), so
+    ks_delta equals the exact max ECDF gap and the integer counts n_a/n_b
+    are exact — both SQL-mirrorable."""
+    import ray.data
+
+    from raydedup.aggregates import kll_sketch
+    from raydedup.sketches.kll import KllSketch
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    rows = li.groupby("l_returnflag").aggregate(
+        kll_sketch("l_extendedprice", k=1 << 17, name="sk")
+    ).take_all()
+    sks = {r["l_returnflag"]: KllSketch.deserialize(r["sk"]) for r in rows}
+    flags = sorted(sks)
+    fa, fb, ks, na, nb = [], [], [], [], []
+    for i, a in enumerate(flags):
+        for b in flags[i + 1 :]:
+            fa.append(a)
+            fb.append(b)
+            ks.append(KllSketch.ks_delta(sks[a], sks[b]))
+            na.append(sks[a].n)
+            nb.append(sks[b].n)
+    return pa.table(
+        {
+            "flag_a": pa.array(fa, pa.string()),
+            "flag_b": pa.array(fb, pa.string()),
+            "ks_delta": pa.array(ks, pa.float64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+        }
+    )
+
+
+def _q_hllmap_event_types_by_user(sf_dir: str):
+    """UniqueCountMap (hllmap/UniqueCountMap.java role): distinct event
+    types per user over a wide key space in bounded memory. Every key stays
+    in the exact coupon tier at correctness sf (<= 5 distinct types), so
+    estimates are exact counts."""
+    import pickle
+
+    import ray.data
+
+    from raydedup.aggregates import hllmap_unique
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    res = ev.aggregate(hllmap_unique("user_id", "event_type", name="m"))
+    keys, ests = pickle.loads(res["m"]).items()
+    return pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "uniques": pa.array(ests, pa.float64()),
+        }
+    )
+
+
+def _q_tuple_jaccard_priorities(sf_dir: str):
+    """Tuple-level JaccardSimilarity (tuple/JaccardSimilarity.java): J
+    between the customer sets of urgent vs high-priority orders, from two
+    tuple sketches built per group. k=2^17 >> distinct customers keeps both
+    sketches exact, so the estimate is exactly |A∩B|/|A∪B|."""
+    import pickle
+
+    import ray.data
+
+    from raydedup.aggregates import tuple_sketch
+    from raydedup.sketches.tuple import tuple_jaccard
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"]
+    )
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(
+                batch.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            )
+        )
+
+    rows = o.map_batches(keep, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).aggregate(tuple_sketch("o_custkey", k=1 << 17, name="sk")).take_all()
+    sks = {r["o_orderpriority"]: pickle.loads(r["sk"]) for r in rows}
+    _, est, _ = tuple_jaccard(sks["1-URGENT"], sks["2-HIGH"])
+    return pa.table(
+        {
+            "priority_a": pa.array(["1-URGENT"], pa.string()),
+            "priority_b": pa.array(["2-HIGH"], pa.string()),
+            "jaccard": pa.array([est], pa.float64()),
+        }
+    )
+
+
 def _q_doubles_quantiles_discount(sf_dir: str):
     """Classic-quantiles DoublesSketch (quantiles/DoublesSketch.java role)
     over l_discount; k=2^15 (the reference's MAX_K) keeps the sketch in the
@@ -836,6 +938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_orders_by_priority": _q_hll_distinct_orders_by_priority,
         "req_quantiles_qty": _q_req_quantiles_qty,
         "kll_quantiles_price": _q_kll_quantiles_price,
+        "ks_price_by_returnflag": _q_ks_price_by_returnflag,
+        "hllmap_event_types_by_user": _q_hllmap_event_types_by_user,
+        "tuple_jaccard_priorities": _q_tuple_jaccard_priorities,
         "doubles_quantiles_discount": _q_doubles_quantiles_discount,
         "kll_quantiles_part_names": _q_kll_quantiles_part_names,
         "ann_topk": _q_ann_topk,
@@ -1053,6 +1158,46 @@ WITH qs AS (
 SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS rank_q,
        unnest(ql) AS quantile_value
 FROM qs
+""",
+        "ks_price_by_returnflag": """
+WITH f AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+pairs AS (SELECT a.flag fa, b.flag fb FROM f a JOIN f b ON a.flag < b.flag),
+pt AS (SELECT DISTINCT l_extendedprice AS v FROM lineitem),
+cnt AS (SELECT l_returnflag AS flag, l_extendedprice AS v, count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+n AS (SELECT l_returnflag AS flag, count(*) AS n FROM lineitem GROUP BY 1),
+ecdf AS (
+  SELECT g.flag, p.v,
+         CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY g.flag ORDER BY p.v)
+              AS DOUBLE) / nn.n AS fr
+  FROM f g
+  CROSS JOIN pt p
+  LEFT JOIN cnt c ON c.flag = g.flag AND c.v = p.v
+  JOIN n nn ON nn.flag = g.flag
+),
+d AS (
+  SELECT pr.fa, pr.fb, max(abs(ea.fr - eb.fr)) AS ks_delta
+  FROM pairs pr
+  JOIN ecdf ea ON ea.flag = pr.fa
+  JOIN ecdf eb ON eb.flag = pr.fb AND eb.v = ea.v
+  GROUP BY pr.fa, pr.fb
+)
+SELECT d.fa AS flag_a, d.fb AS flag_b, d.ks_delta,
+       na.n AS n_a, nb.n AS n_b
+FROM d JOIN n na ON na.flag = d.fa JOIN n nb ON nb.flag = d.fb
+""",
+        "hllmap_event_types_by_user": """
+SELECT user_id, CAST(count(DISTINCT event_type) AS DOUBLE) AS uniques
+FROM events GROUP BY user_id
+""",
+        "tuple_jaccard_priorities": """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+     i AS (SELECT count(*) AS c FROM a JOIN b USING (o_custkey)),
+     u AS (SELECT count(*) AS c
+           FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b))
+SELECT '1-URGENT' AS priority_a, '2-HIGH' AS priority_b,
+       CAST((SELECT c FROM i) AS DOUBLE) / (SELECT c FROM u) AS jaccard
 """,
         "kll_quantiles_price": """
 WITH qs AS (

@@ -544,3 +544,123 @@ def alpha_distinct(col: str, lg_k: int = 14, seed: int = 9001, name: str | None 
         finalize=lambda s: KmvSketch.deserialize(s).estimate() if s else 0.0,
         name=name or f"alpha_distinct({col})",
     )
+
+
+def kll_sketch(col: str, k: int = 200, name: str | None = None) -> AggregateFn:
+    """KLL aggregate finalizing to the SERIALIZED SKETCH rather than a
+    quantile list — the per-group artifact downstream distribution
+    comparisons consume (KllSketch.ks_delta/ks_test, further merges;
+    quantiles/KolmogorovSmirnov.java:26-54 takes two sketches, not two
+    quantile vectors). State stays compact bytes through the combiner
+    tree; the driver receives one small sketch per group."""
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = KllSketch.deserialize(state) if state else KllSketch(k)
+        sk.update_many(
+            block.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return sk.serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or KllSketch(k).serialize()
+        if not b:
+            return a
+        return KllSketch.deserialize(a).merge(KllSketch.deserialize(b)).serialize()
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: s if s else KllSketch(k).serialize(),
+        name=name or f"kll_sketch({col})",
+    )
+
+
+def hllmap_unique(
+    key_col: str,
+    id_col: str,
+    lg_k: int = 10,
+    promote_at: int = 16,
+    seed: int = 9001,
+    name: str | None = None,
+) -> AggregateFn:
+    """UniqueCountMap aggregate (hllmap/UniqueCountMap.java:24-172 role):
+    distinct ``id_col`` count per ``key_col`` for millions of skewed keys in
+    bounded memory — the long tail stays in exact coupon sets (~10 B/key),
+    only hot keys get a real HLL. One map per block, merged through Ray's
+    combiner tree; finalize returns the pickled map (call .items() for the
+    (keys, estimates) table). Exact while every key stays in the coupon
+    tier (<= promote_at distinct ids) — the oracle regime."""
+    import pickle
+
+    from .sketches.hllmap import UniqueCountMap
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        m = pickle.loads(state) if state else UniqueCountMap(lg_k, promote_at)
+        keys = block.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = _column_theta_hashes(block, id_col, seed)
+        m.update_block(keys, ids)
+        return pickle.dumps(m)
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps(UniqueCountMap(lg_k, promote_at))
+        if not b:
+            return a
+        return pickle.dumps(pickle.loads(a).merge(pickle.loads(b)))
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: s if s else pickle.dumps(UniqueCountMap(lg_k, promote_at)),
+        name=name or f"hllmap_unique({key_col},{id_col})",
+    )
+
+
+def tuple_sketch(
+    key_col: str,
+    value_col: str | None = None,
+    k: int = 4096,
+    seed: int = 9001,
+    mode: str = "sum",
+    name: str | None = None,
+) -> AggregateFn:
+    """Tuple-sketch aggregate finalizing to the PICKLED SKETCH — the
+    per-group artifact tuple set-algebra and tuple_jaccard
+    (tuple/JaccardSimilarity.java) consume downstream. ``value_col=None``
+    updates with a constant 1.0 payload (AlwaysOne-style presence
+    summary)."""
+    import pickle
+
+    from .sketches.tuple import TupleSketch
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = pickle.loads(state) if state else TupleSketch.empty(k, 1, mode)
+        h = _column_theta_hashes(block, key_col, seed)
+        if value_col is None:
+            v = np.ones(len(h), dtype=np.float64)
+        else:
+            v = (
+                block.column(value_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+        sk = sk.update_many(h, v[:, None])
+        return pickle.dumps(sk)
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or pickle.dumps(TupleSketch.empty(k, 1, mode))
+        if not b:
+            return a
+        return pickle.dumps(pickle.loads(a).union(pickle.loads(b)))
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: s if s else pickle.dumps(TupleSketch.empty(k, 1, mode)),
+        name=name or f"tuple_sketch({key_col})",
+    )

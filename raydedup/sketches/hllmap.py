@@ -45,6 +45,39 @@ class UniqueCountMap:
         for k, h in zip(keys.tolist(), id_hashes.tolist()):
             self.update(int(k), int(h))
 
+    def update_block(self, keys: np.ndarray, id_hashes: np.ndarray) -> None:
+        """Block update paying one Python step per DISTINCT key in the block
+        (lexsort + run boundaries), not one per row — the map_batches hot
+        path. Semantics identical to update() per row."""
+        keys = np.asarray(keys, dtype=np.int64)
+        h = np.asarray(id_hashes, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        order = np.lexsort((h, keys))
+        k_s, h_s = keys[order], h[order]
+        starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
+        bounds = np.append(starts, len(k_s))
+        for i, s in enumerate(starts):
+            key = int(k_s[s])
+            run = h_s[s : bounds[i + 1]]
+            sk = self.hlls.get(key)
+            if sk is not None:
+                sk.update_hashes(run)
+                continue
+            c = self.coupons.setdefault(key, set())
+            c.update(run.tolist())
+            if len(c) > self.promote_at:
+                self._promote(key)
+
+    def items(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted keys, their distinct estimates) — the map's full result
+        table. Coupon-tier keys report exact counts."""
+        ks = sorted(set(self.coupons) | set(self.hlls))
+        return (
+            np.array(ks, dtype=np.int64),
+            np.array([self.estimate(k) for k in ks], dtype=np.float64),
+        )
+
     def _promote(self, key: int) -> None:
         sk = HllSketch(self.lg_k)
         sk.update_hashes(np.fromiter(self.coupons.pop(key), dtype=np.uint64))
