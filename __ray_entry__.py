@@ -471,6 +471,71 @@ def _q_tuple_jaccard_priorities(sf_dir: str):
     )
 
 
+def _q_varopt_qty_by_flag(sf_dir: str):
+    """VarOpt subset-sum (sampling/VarOptItemsSketch.java:59-71 +
+    estimateSubsetSum:636-675): one variance-optimal weighted sample of
+    lineitem rows keyed by return flag, weighted by quantity, then a
+    driver-side estimateSubsetSum per flag. k=2^16 >= 60k rows keeps every
+    item in the H (exact heavy) region at correctness sf, so estimate, LB
+    and UB all equal the exact per-flag quantity sum (quantities are
+    integer-valued, so the float64 sums are order-independent)."""
+    import pickle
+
+    import ray.data
+
+    from raydedup.aggregates import varopt_sample
+    from raydedup.sketches.sampling import VarOptItemsSketch
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    res = li.aggregate(varopt_sample("l_returnflag", "l_quantity", k=1 << 16, name="sk"))
+    sk: VarOptItemsSketch = pickle.loads(res["sk"])
+    flags = sorted({key for key, _ in sk.samples()})
+    lb, est, ub = [], [], []
+    for f in flags:
+        s = sk.estimate_subset_sum(lambda key, f=f: key == f)
+        lb.append(s.lower_bound)
+        est.append(s.estimate)
+        ub.append(s.upper_bound)
+    return pa.table(
+        {
+            "flag": pa.array(flags, pa.string()),
+            "lb_qty": pa.array(lb, pa.float64()),
+            "est_qty": pa.array(est, pa.float64()),
+            "ub_qty": pa.array(ub, pa.float64()),
+        }
+    )
+
+
+def _q_reservoir_events_by_type(sf_dir: str):
+    """ReservoirItemsSketch + Union (sampling/ReservoirItemsSketch.java,
+    ReservoirItemsUnion.java roles): per-event-type uniform sample of event
+    ids via the partial+final reservoir aggregate. k=4096 >= every group
+    (~2k rows/type at correctness sf), so the merged reservoir holds the
+    whole group exactly and (n_seen, sample_sum) are exact."""
+    import ray.data
+
+    from raydedup.aggregates import reservoir_sample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
+    )
+    rows = ev.groupby("event_type").aggregate(
+        reservoir_sample("event_id", k=4096, name="s")
+    ).take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "n_seen": pa.array([len(r["s"]) for r in rows], pa.int64()),
+            "sample_sum": pa.array(
+                [int(sum(r["s"])) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
 def _q_doubles_quantiles_discount(sf_dir: str):
     """Classic-quantiles DoublesSketch (quantiles/DoublesSketch.java role)
     over l_discount; k=2^15 (the reference's MAX_K) keeps the sketch in the
@@ -941,6 +1006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_price_by_returnflag": _q_ks_price_by_returnflag,
         "hllmap_event_types_by_user": _q_hllmap_event_types_by_user,
         "tuple_jaccard_priorities": _q_tuple_jaccard_priorities,
+        "varopt_qty_by_flag": _q_varopt_qty_by_flag,
+        "reservoir_events_by_type": _q_reservoir_events_by_type,
         "doubles_quantiles_discount": _q_doubles_quantiles_discount,
         "kll_quantiles_part_names": _q_kll_quantiles_part_names,
         "ann_topk": _q_ann_topk,
@@ -1189,6 +1256,18 @@ FROM d JOIN n na ON na.flag = d.fa JOIN n nb ON nb.flag = d.fb
         "hllmap_event_types_by_user": """
 SELECT user_id, CAST(count(DISTINCT event_type) AS DOUBLE) AS uniques
 FROM events GROUP BY user_id
+""",
+        "varopt_qty_by_flag": """
+SELECT l_returnflag AS flag,
+       sum(l_quantity) AS lb_qty,
+       sum(l_quantity) AS est_qty,
+       sum(l_quantity) AS ub_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+        "reservoir_events_by_type": """
+SELECT event_type, count(*) AS n_seen,
+       CAST(sum(event_id) AS BIGINT) AS sample_sum
+FROM events GROUP BY 1 ORDER BY 1
 """,
         "tuple_jaccard_priorities": """
 WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
