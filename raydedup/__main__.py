@@ -1,0 +1,246 @@
+"""Command-line entry points: ``python -m raydedup <cmd>``.
+
+The CLI owns the Ray session (init guarded / shutdown on exit) — library
+modules never call ray.init. Inputs are parquet files or directories with an
+int64 id column and a string content column (rename via --id-col /
+--content-col); outputs are partitioned parquet directories written through
+Ray Data's streaming writer, so a run never materializes the corpus on the
+driver.
+
+Commands
+  dedup        corpus → (id, cluster_id) assignments [+ --survivors content]
+  signatures   corpus → signature index parquet (write_signature_index)
+  index        corpus → persisted partitioned dedup index (write_dedup_index)
+  incremental  delta vs persisted index → assignments + merges
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("inputs", nargs="+", help="input parquet file(s)/dir(s)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--id-col", default="id")
+    p.add_argument("--content-col", default="content")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus (default: all)")
+    p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument("--shingle-k", type=int, default=None)
+    p.add_argument("--num-perm", type=int, default=None)
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--rows-per-band", type=int, default=None)
+    p.add_argument("--no-substring", action="store_true",
+                   help="skip the winnow substring tier")
+
+
+def _cfg_from(args: argparse.Namespace):
+    from .config import DEFAULT_CONFIG, SigConfig
+
+    overrides = {
+        k: getattr(args, a)
+        for k, a in [
+            ("jaccard_threshold", "jaccard_threshold"),
+            ("shingle_k", "shingle_k"),
+            ("num_perm", "num_perm"),
+            ("bands", "bands"),
+            ("rows_per_band", "rows_per_band"),
+        ]
+        if getattr(args, a, None) is not None
+    }
+    if not overrides:
+        return DEFAULT_CONFIG
+    return SigConfig(**{**dataclasses.asdict(DEFAULT_CONFIG), **overrides})
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": num_cpus} if num_cpus else {}
+        ray.init(address="local", include_dashboard=False, **kw)
+
+
+def _read_corpus(args: argparse.Namespace):
+    import ray.data
+
+    ds = ray.data.read_parquet(args.inputs)
+    renames = {}
+    if args.id_col != "id":
+        renames[args.id_col] = "id"
+    if args.content_col != "content":
+        renames[args.content_col] = "content"
+    if renames:
+        ds = ds.rename_columns(renames)
+    return ds.select_columns(["id", "content"])
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    from .pipeline import dedup_clusters
+
+    _init_ray(args.num_cpus)
+    corpus = _read_corpus(args)
+    assign = dedup_clusters(
+        corpus, _cfg_from(args), with_substring=not args.no_substring
+    ).materialize()
+    assign.write_parquet(os.path.join(args.out, "assignments"))
+    if args.survivors:
+        import pyarrow as pa
+
+        def keep_roots(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keep = (
+                batch.column("id").to_numpy()
+                == batch.column("cluster_id").to_numpy()
+            )
+            return batch.filter(pa.array(keep))
+
+        # root ids are the cluster survivors; re-join content map-side by
+        # re-reading the (already pruned) corpus and semi-joining on id
+        import numpy as np
+
+        import ray
+
+        roots = np.sort(
+            np.concatenate(
+                [
+                    b.column("id").to_numpy()
+                    for b in assign.map_batches(
+                        keep_roots, batch_format="pyarrow"
+                    ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+                    if b.num_rows
+                ]
+                or [np.zeros(0, np.int64)]
+            )
+        )
+        roots_ref = ray.put(roots)
+
+        def semi(batch: pa.Table, ref=roots_ref) -> pa.Table:
+            want = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+            ids = batch.column("id").to_numpy()
+            if len(want) == 0:
+                return batch.slice(0, 0)
+            pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
+            return batch.filter(pa.array(want[pos] == ids))
+
+        _read_corpus(args).map_batches(semi, batch_format="pyarrow").write_parquet(
+            os.path.join(args.out, "survivors")
+        )
+    n = assign.count()
+    print(json.dumps({"cmd": "dedup", "rows": n, "out": args.out}))
+    return 0
+
+
+def cmd_signatures(args: argparse.Namespace) -> int:
+    from .incremental import write_signature_index
+
+    _init_ray(args.num_cpus)
+    write_signature_index(
+        _read_corpus(args), os.path.join(args.out, "signatures"), _cfg_from(args)
+    )
+    print(json.dumps({"cmd": "signatures", "out": args.out}))
+    return 0
+
+
+def cmd_index(args: argparse.Namespace) -> int:
+    from .incremental import write_dedup_index
+    from .pipeline import signatures
+
+    _init_ray(args.num_cpus)
+    sigs = signatures(_read_corpus(args), _cfg_from(args)).materialize()
+    meta = write_dedup_index(sigs, args.out, _cfg_from(args))
+    print(json.dumps({"cmd": "index", **meta, "out": args.out}))
+    return 0
+
+
+def cmd_incremental(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .incremental import incremental_dedup_indexed
+
+    _init_ray(args.num_cpus)
+    base_assign = ray.data.read_parquet(args.base_assign)
+    res = incremental_dedup_indexed(
+        args.index,
+        base_assign,
+        _read_corpus(args),
+        _cfg_from(args),
+        with_substring=not args.no_substring,
+    )
+    res["assignments"].write_parquet(os.path.join(args.out, "assignments"))
+    merges = res["merges"].materialize()
+    merges_dir = os.path.join(args.out, "merges")
+    if merges.count():
+        merges.write_parquet(merges_dir)
+    else:
+        # Ray writes no files for an empty dataset; leave a schema-bearing
+        # empty parquet so downstream globs always resolve
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(merges_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "old_cluster": pa.array([], pa.int64()),
+                    "new_cluster": pa.array([], pa.int64()),
+                }
+            ),
+            os.path.join(merges_dir, "empty-0.parquet"),
+        )
+    print(
+        json.dumps(
+            {
+                "cmd": "incremental",
+                "boundary": res["boundary"],
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="raydedup")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("dedup", help="full dedup: corpus → cluster assignments")
+    _add_common(p)
+    p.add_argument("--survivors", action="store_true",
+                   help="also write surviving (cluster-root) content rows")
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("signatures", help="corpus → signature index parquet")
+    _add_common(p)
+    p.set_defaults(fn=cmd_signatures)
+
+    p = sub.add_parser("index", help="corpus → persisted partitioned dedup index")
+    _add_common(p)
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("incremental",
+                       help="delta vs persisted index → assignments + merges")
+    _add_common(p)
+    p.add_argument("--index", required=True, help="write_dedup_index directory")
+    p.add_argument("--base-assign", required=True,
+                   help="base assignments parquet (id, cluster_id)")
+    p.set_defaults(fn=cmd_incremental)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

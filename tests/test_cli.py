@@ -1,0 +1,68 @@
+"""End-to-end CLI smoke: python -m raydedup dedup / index / incremental in a
+subprocess (the CLI owns its own Ray session, so it must NOT share the
+session-scoped test fixture)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+
+def _run(args: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "raydedup", *args],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "RAY_DEDUP_LOGS": "0"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_dedup_index_incremental(tmp_path):
+    from raydedup.corpus import corpus_parquet_path
+
+    corpus = corpus_parquet_path("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW c AS SELECT * FROM read_parquet('{corpus}')")
+    cut = con.sql("SELECT id FROM c ORDER BY id LIMIT 1 OFFSET 800").fetchone()[0]
+    base_pq, delta_pq = tmp_path / "base.parquet", tmp_path / "delta.parquet"
+    con.execute(f"COPY (SELECT * FROM c WHERE id < {cut}) TO '{base_pq}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM c WHERE id >= {cut}) TO '{delta_pq}' (FORMAT PARQUET)")
+
+    out = _run(
+        ["dedup", str(base_pq), "--out", str(tmp_path / "base_out"),
+         "--num-cpus", "4", "--survivors"]
+    )
+    assert out["rows"] == 800
+    n_assign = con.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/base_out/assignments/*.parquet')"
+    ).fetchone()[0]
+    assert n_assign == 800
+    n_surv = con.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/base_out/survivors/*.parquet')"
+    ).fetchone()[0]
+    assert 0 < n_surv <= 800
+
+    meta = _run(["index", str(base_pq), "--out", str(tmp_path / "idx"),
+                 "--num-cpus", "4"])
+    assert meta["sha_rows"] == 800 and meta["nparts"] > 0
+
+    res = _run(
+        ["incremental", str(delta_pq), "--index", str(tmp_path / "idx"),
+         "--base-assign", f"{tmp_path}/base_out/assignments",
+         "--out", str(tmp_path / "incr"), "--num-cpus", "4"]
+    )
+    assert res["boundary"] == int(con.sql("SELECT max(id) FROM c WHERE id < " + str(cut)).fetchone()[0]) + 1
+    incr = con.sql(
+        f"SELECT * FROM read_parquet('{tmp_path}/incr/assignments/*.parquet')"
+    ).df()
+    delta_ids = set(con.sql(f"SELECT id FROM read_parquet('{delta_pq}')").df()["id"])
+    assert set(incr["id"]) == delta_ids
+    # merges dir always glob-resolvable, even when empty
+    con.sql(f"SELECT * FROM read_parquet('{tmp_path}/incr/merges/*.parquet')")
+    con.close()
