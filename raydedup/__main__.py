@@ -25,7 +25,8 @@ import sys
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("inputs", nargs="+", help="input parquet file(s)/dir(s)")
-    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--out", default=None,
+                   help="output directory (required unless dedup --ckpt)")
     p.add_argument("--id-col", default="id")
     p.add_argument("--content-col", default="content")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -84,6 +85,30 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     from .pipeline import dedup_clusters
 
     _init_ray(args.num_cpus)
+    if args.ckpt:
+        # resumable mode: shard-checkpointed signatures + manifests; the
+        # unit of replay is one input file (manifest.run_dedup_job). Input
+        # column names must already be (id, content) in this mode.
+        import glob as _glob
+
+        from .manifest import run_dedup_job
+
+        files = sorted(
+            f
+            for pat in args.inputs
+            for f in (
+                _glob.glob(os.path.join(pat, "*.parquet"))
+                if os.path.isdir(pat)
+                else _glob.glob(pat) or [pat]
+            )
+        )
+        out_dir = run_dedup_job(
+            files, args.ckpt, _cfg_from(args),
+            with_substring=not args.no_substring,
+        )
+        print(json.dumps({"cmd": "dedup", "resumable": True, "out": out_dir,
+                          "ckpt": args.ckpt, "shards": len(files)}))
+        return 0
     corpus = _read_corpus(args)
     assign = dedup_clusters(
         corpus, _cfg_from(args), with_substring=not args.no_substring
@@ -214,6 +239,9 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
     p.add_argument("--survivors", action="store_true",
                    help="also write surviving (cluster-root) content rows")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint root: resumable shard-manifest mode "
+                        "(re-runs skip completed signature shards)")
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("signatures", help="corpus → signature index parquet")
@@ -233,6 +261,8 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_incremental)
 
     args = ap.parse_args(argv)
+    if not args.out and not getattr(args, "ckpt", None):
+        ap.error("--out is required (unless dedup --ckpt)")
     try:
         return args.fn(args)
     finally:

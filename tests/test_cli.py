@@ -65,4 +65,16 @@ def test_cli_dedup_index_incremental(tmp_path):
     assert set(incr["id"]) == delta_ids
     # merges dir always glob-resolvable, even when empty
     con.sql(f"SELECT * FROM read_parquet('{tmp_path}/incr/merges/*.parquet')")
+
+    # resumable mode: first run writes shard manifests, second run resumes
+    # idempotently (same output path, same rows)
+    out1 = _run(["dedup", str(base_pq), "--ckpt", str(tmp_path / "ckpt"),
+                 "--num-cpus", "4"])
+    out2 = _run(["dedup", str(base_pq), "--ckpt", str(tmp_path / "ckpt"),
+                 "--num-cpus", "4"])
+    assert out1["resumable"] and out1["out"] == out2["out"]
+    n, nd = con.sql(
+        f"SELECT count(*), count(DISTINCT id) FROM read_parquet('{out1['out']}/*.parquet')"
+    ).fetchone()
+    assert (n, nd) == (800, 800)
     con.close()
