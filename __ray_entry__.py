@@ -676,6 +676,20 @@ def _q_token_counts(sf_dir: str):
     return docs.map_batches(token_counts, batch_format="pyarrow")
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII scrubbing (emails / IPv4 / phone-shaped digit runs → typed
+    placeholders). Engine and oracle both run RE2 (pyarrow
+    replace_substring_regex vs DuckDB regexp_replace 'g'), with the oracle
+    SQL generated from the same PII_PATTERNS list, so the redacted text is
+    bit-identical by construction."""
+    import ray.data
+
+    from raydedup.textstats import redact_pii
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(redact_pii, batch_format="pyarrow")
+
+
 def _q_lang_id(sf_dir: str):
     import ray.data
 
@@ -1016,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
+        "redact_pii": _q_redact_pii,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "top_dup_repos": _q_top_dup_repos,
@@ -1052,6 +1067,20 @@ shing AS (
   FROM toks0 WHERE len(toks) > 0 AND toks[1] != ''
 )
 """
+
+
+def _redact_pii_sql() -> str:
+    """DuckDB mirror of raydedup.textstats.redact_pii — generated from the
+    same PII_PATTERNS list (both sides RE2), so the two can never drift."""
+    from raydedup.textstats import PII_PATTERNS
+
+    expr = "coalesce(text, '')"
+    for pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return (
+        f"SELECT doc_id, {expr} AS redacted, "
+        f"({expr} != coalesce(text, '')) AS has_pii FROM documents"
+    )
 
 
 def _lang_id_sql() -> str:
@@ -1323,6 +1352,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
 FROM events GROUP BY 1, 2
 """,
         "lang_id": _lang_id_sql(),
+        "redact_pii": _redact_pii_sql(),
         "quality_scores": r"""
 WITH s AS (
   SELECT doc_id,

@@ -185,3 +185,35 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     cols["ws_tokens"] = pc.cast(ws, pa.int64())
     cols["bpe_tokens"] = pc.cast(bpe, pa.int64())
     return pa.table(cols)
+
+
+# PII patterns (RE2 on both sides: pyarrow replace_substring_regex and
+# DuckDB regexp_replace(..., 'g') — same engine, so redaction is exactly
+# SQL-oracle-able). Applied in declaration order; order matters (an email
+# must be redacted before the phone pattern could eat its digit runs).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\+\d{9,15}\b", "<PHONE>"),
+]
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII scrubbing for training corpora: replace emails, IPv4 addresses
+    and phone-shaped digit runs with typed placeholder tokens, entirely in
+    Arrow's RE2 kernels (one replace_substring_regex pass per pattern, no
+    per-row Python). Emits the redacted text plus ``has_pii`` (anything
+    changed) — the pre-training hygiene pass every large text pipeline
+    runs before tokenization."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    original = pc.fill_null(text, "")
+    redacted = original
+    for pattern, token in PII_PATTERNS:
+        redacted = pc.replace_substring_regex(redacted, pattern, token)
+    cols = {name: batch.column(name) for name in batch.column_names if name != text_col}
+    cols["redacted"] = redacted
+    cols["has_pii"] = pc.invert(pc.equal(redacted, original))
+    return pa.table(cols)
