@@ -471,6 +471,71 @@ def _q_tuple_jaccard_priorities(sf_dir: str):
     )
 
 
+def _q_theta_rollup_regions(sf_dir: str):
+    """Sketch-warehouse pattern (theta/package-info.java:20-26 — the
+    reference's primary production use): per-nation theta sketches of
+    distinct customers are MATERIALIZED to parquet once, then a query-time
+    pass reads the stored sketch cells back and unions them per region
+    (theta/Union.java over persisted images) without touching the raw
+    table. k=2^15 >> distinct customers keeps the whole chain exact."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from raydedup.aggregates import theta_sketch_agg, theta_union_sketches
+
+    k = 1 << 15
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    warehouse = os.path.join(
+        tempfile.gettempdir(), "raydedup", "sketch_warehouse",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    # build + persist the per-nation sketch table (the amortized half);
+    # clear prior runs — write_parquet appends, and the union must read
+    # exactly this build's cells
+    import shutil
+
+    shutil.rmtree(warehouse, ignore_errors=True)
+    cust.groupby("c_nationkey").aggregate(
+        theta_sketch_agg("c_custkey", k=k, name="sk")
+    ).write_parquet(warehouse)
+
+    # query-time half: stored sketches → region rollup (dimension table is
+    # tiny — broadcast the nation→region map instead of a join shuffle)
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    n2r = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist())
+    )
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        regions = [n2r[n] for n in batch.column("c_nationkey").to_pylist()]
+        return batch.append_column("region_key", pa.array(regions, pa.int64()))
+
+    rows = (
+        ray.data.read_parquet(warehouse)
+        .map_batches(add_region, batch_format="pyarrow")
+        .groupby("region_key")
+        .aggregate(theta_union_sketches("sk", k=k, name="distinct_customers"))
+    )
+    out = rows.take_all()
+    out.sort(key=lambda r: r["region_key"])
+    return pa.table(
+        {
+            "region_key": pa.array([r["region_key"] for r in out], pa.int64()),
+            "distinct_customers": pa.array(
+                [r["distinct_customers"] for r in out], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_varopt_qty_by_flag(sf_dir: str):
     """VarOpt subset-sum (sampling/VarOptItemsSketch.java:59-71 +
     estimateSubsetSum:636-675): one variance-optimal weighted sample of
@@ -1020,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_price_by_returnflag": _q_ks_price_by_returnflag,
         "hllmap_event_types_by_user": _q_hllmap_event_types_by_user,
         "tuple_jaccard_priorities": _q_tuple_jaccard_priorities,
+        "theta_rollup_regions": _q_theta_rollup_regions,
         "varopt_qty_by_flag": _q_varopt_qty_by_flag,
         "reservoir_events_by_type": _q_reservoir_events_by_type,
         "doubles_quantiles_discount": _q_doubles_quantiles_discount,
@@ -1285,6 +1351,12 @@ FROM d JOIN n na ON na.flag = d.fa JOIN n nb ON nb.flag = d.fb
         "hllmap_event_types_by_user": """
 SELECT user_id, CAST(count(DISTINCT event_type) AS DOUBLE) AS uniques
 FROM events GROUP BY user_id
+""",
+        "theta_rollup_regions": """
+SELECT n.n_regionkey AS region_key,
+       CAST(count(DISTINCT c.c_custkey) AS DOUBLE) AS distinct_customers
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY 1
 """,
         "varopt_qty_by_flag": """
 SELECT l_returnflag AS flag,

@@ -664,3 +664,67 @@ def tuple_sketch(
         finalize=lambda s: s if s else pickle.dumps(TupleSketch.empty(k, 1, mode)),
         name=name or f"tuple_sketch({key_col})",
     )
+
+
+def theta_sketch_agg(
+    col: str, k: int = 4096, seed: int = 9001, name: str | None = None
+) -> AggregateFn:
+    """Theta aggregate finalizing to the SERIALIZED SKETCH rather than the
+    estimate — the sketch-warehouse pattern (theta/package-info.java:20-26:
+    store per-partition sketches, merge at query time). The finalized bytes
+    are a Parquet binary cell; re-aggregate stored cells with
+    theta_union_sketches."""
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        sk = KmvSketch.deserialize(state) if state else empty_sketch(k)
+        h = _column_theta_hashes(block, col, seed)
+        return union_many([sk, build_sketch(h, k)], k).serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or empty_sketch(k).serialize()
+        if not b:
+            return a
+        return union_many(
+            [KmvSketch.deserialize(a), KmvSketch.deserialize(b)], k
+        ).serialize()
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: s if s else empty_sketch(k).serialize(),
+        name=name or f"theta_sketch_agg({col})",
+    )
+
+
+def theta_union_sketches(col: str, k: int = 4096, name: str | None = None) -> AggregateFn:
+    """Union a column of STORED serialized theta sketches (theta/Union.java
+    over persisted images — the query-time half of the sketch warehouse).
+    Finalizes to the merged sketch's distinct estimate."""
+
+    def acc(state: bytes | None, block: pa.Table) -> bytes:
+        cells = block.column(col).to_pylist()
+        sks = [KmvSketch.deserialize(c) for c in cells if c]
+        if state:
+            sks.append(KmvSketch.deserialize(state))
+        if not sks:
+            return empty_sketch(k).serialize()
+        return union_many(sks, k).serialize()
+
+    def merge(a: bytes | None, b: bytes | None) -> bytes:
+        if not a:
+            return b or empty_sketch(k).serialize()
+        if not b:
+            return a
+        return union_many(
+            [KmvSketch.deserialize(a), KmvSketch.deserialize(b)], k
+        ).serialize()
+
+    return AggregateFn(
+        init=lambda key: None,
+        merge=merge,
+        accumulate_block=acc,
+        finalize=lambda s: KmvSketch.deserialize(s).estimate() if s else 0.0,
+        name=name or f"theta_union_sketches({col})",
+    )
