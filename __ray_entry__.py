@@ -915,6 +915,21 @@ def _q_fdt_supplier_parts(sf_dir: str):
     )
 
 
+def _q_sessionize_events(sf_dir: str):
+    """Per-user sessionization (30-min inactivity gap): one hash-partition
+    shuffle on user_id, vectorized gap scan per partition block —
+    session_id = event_id of the session's first event (ties broken by
+    event_id, so the assignment is deterministic and SQL-mirrorable)."""
+    import ray.data
+
+    from raydedup.sessions import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ev, gap_s=1800)
+
+
 def _q_windowed_events(sf_dir: str):
     """Tumbling 1-hour window: event counts + distinct users per type."""
     import pyarrow.compute as pc
@@ -1105,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_setops_orders": _q_theta_setops_orders,
         "tuple_parts_qty": _q_tuple_parts_qty,
         "fdt_supplier_parts": _q_fdt_supplier_parts,
+        "sessionize_events": _q_sessionize_events,
         "windowed_events": _q_windowed_events,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "quality_scores": _q_quality_scores,
@@ -1415,6 +1431,26 @@ FROM lineitem GROUP BY l_returnflag
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
 FROM lineitem GROUP BY l_suppkey
 ORDER BY distinct_parts DESC, l_suppkey ASC LIMIT 10
+""",
+        "sessionize_events": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_id, user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT event_id, user_id,
+       first_value(event_id) OVER (PARTITION BY user_id, sid
+                                   ORDER BY ts, event_id) AS session_id
+FROM s
 """,
         "windowed_events": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
