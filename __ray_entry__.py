@@ -915,6 +915,55 @@ def _q_fdt_supplier_parts(sf_dir: str):
     )
 
 
+def _q_asof_purchase_attribution(sf_dir: str):
+    """As-of join (attribution): every purchase event matched to the most
+    recent view event of the same user at-or-before its timestamp, carrying
+    the view's value — oracle is DuckDB's native ASOF JOIN. Right-side
+    (user, ts) duplicates are deduped to the greatest event_id on BOTH
+    sides, making the match deterministic."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raydedup.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def split(kind: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("event_type"), kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return f
+
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    views = ev.map_batches(split("view"), batch_format="pyarrow")
+    out = asof_join(
+        purchases, views, by="user_id", on="ts",
+        left_id="event_id", right_id="event_id", value_col="value",
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(
+            ["event_id", "user_id", "view_event_id", "view_value"]
+        )
+        # driver hash-compare is NULL/NaN-hostile: sentinel-fill unmatched
+        # rows on BOTH sides (the operator itself returns honest NULLs)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "view_event_id": pc.fill_null(b.column("view_event_id"), -1),
+                "view_value": pc.fill_null(b.column("view_value"), -1.0),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_sessionize_events(sf_dir: str):
     """Per-user sessionization (30-min inactivity gap): one hash-partition
     shuffle on user_id, vectorized gap scan per partition block —
@@ -1120,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_setops_orders": _q_theta_setops_orders,
         "tuple_parts_qty": _q_tuple_parts_qty,
         "fdt_supplier_parts": _q_fdt_supplier_parts,
+        "asof_purchase_attribution": _q_asof_purchase_attribution,
         "sessionize_events": _q_sessionize_events,
         "windowed_events": _q_windowed_events,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
@@ -1431,6 +1481,23 @@ FROM lineitem GROUP BY l_returnflag
 SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
 FROM lineitem GROUP BY l_suppkey
 ORDER BY distinct_parts DESC, l_suppkey ASC LIMIT 10
+""",
+        "asof_purchase_attribution": """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+),
+vd AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1)
+SELECT p.event_id, p.user_id,
+       coalesce(vd.event_id, -1) AS view_event_id,
+       coalesce(vd.value, -1.0) AS view_value
+FROM p ASOF LEFT JOIN vd
+  ON p.user_id = vd.user_id AND vd.ts <= p.ts
 """,
         "sessionize_events": """
 WITH o AS (
