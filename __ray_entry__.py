@@ -979,6 +979,21 @@ def _q_sessionize_events(sf_dir: str):
     return sessionize(ev, gap_s=1800)
 
 
+def _q_sliding_window_counts(sf_dir: str):
+    """Sliding (trailing 5-min) per-user event counts — a range self-join /
+    RANGE-frame windowed aggregate: one hash-partition shuffle, then two
+    vectorized searchsorted passes over per-partition monotonized
+    timestamps. Oracle is the exact SQL RANGE frame (peers included)."""
+    import ray.data
+
+    from raydedup.sessions import sliding_window_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sliding_window_count(ev, window_s=300)
+
+
 def _q_windowed_events(sf_dir: str):
     """Tumbling 1-hour window: event counts + distinct users per type."""
     import pyarrow.compute as pc
@@ -1171,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fdt_supplier_parts": _q_fdt_supplier_parts,
         "asof_purchase_attribution": _q_asof_purchase_attribution,
         "sessionize_events": _q_sessionize_events,
+        "sliding_window_counts": _q_sliding_window_counts,
         "windowed_events": _q_windowed_events,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "quality_scores": _q_quality_scores,
@@ -1518,6 +1534,13 @@ SELECT event_id, user_id,
        first_value(event_id) OVER (PARTITION BY user_id, sid
                                    ORDER BY ts, event_id) AS session_id
 FROM s
+""",
+        "sliding_window_counts": """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                      AND CURRENT ROW) AS n_window
+FROM events
 """,
         "windowed_events": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,

@@ -72,3 +72,64 @@ def sessionize(
     return grouped_blocks(
         ds, user_col, _session_block(user_col, ts_col, id_col, gap_s * 1_000_000)
     )
+
+
+def _window_count_block(user_col: str, ts_col: str, id_col: str, gap_us: int):
+    def f(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], pa.int64()),
+                    "n_window": pa.array([], pa.int64()),
+                }
+            )
+        users = block.column(user_col).to_numpy()
+        ts = block.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts_us = ts.view(np.int64)
+        ids = block.column(id_col).to_numpy()
+        order = np.lexsort((ids, ts_us, users))
+        users, ts_us, ids = users[order], ts_us[order], ids[order]
+        # make timestamps globally monotonic while (a) preserving intra-user
+        # differences exactly and (b) separating users by > gap, so ONE
+        # searchsorted pair answers every row's range query without any
+        # per-user python. Offsets are exact in int64 for any realistic
+        # partition (sum of user ts-spans + n_users*gap << 2^63).
+        seg_start = np.concatenate([[True], users[1:] != users[:-1]])
+        starts = np.flatnonzero(seg_start)
+        ends = np.concatenate([starts[1:], [n]])
+        spans = ts_us[ends - 1] - ts_us[starts]
+        base = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            base[1:] = np.cumsum(spans[:-1] + gap_us + 1)
+        seg_id = np.cumsum(seg_start) - 1
+        adj = ts_us - ts_us[starts][seg_id] + base[seg_id]
+        lo = np.searchsorted(adj, adj - gap_us, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                user_col: pa.array(users),
+                "n_window": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return f
+
+
+def sliding_window_count(
+    events: "object",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 300,
+) -> "object":
+    """Per-event trailing-window event count: for every event, the number
+    of events of the same key with ts in [ts - window, ts] — RANGE-frame
+    semantics (all timestamp peers included), a range self-join expressed
+    as one hash-partition shuffle + two vectorized searchsorted passes."""
+    ds = events.select_columns([id_col, user_col, ts_col])
+    return grouped_blocks(
+        ds, user_col, _window_count_block(user_col, ts_col, id_col, window_s * 1_000_000)
+    )

@@ -74,3 +74,28 @@ def test_sessionize_oracle_parity(ray_session, tmp_path):
     assert sorted(got.columns) == sorted(want.columns)
     for c in ["event_id", "user_id", "session_id"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_sliding_window_count_planted(ray_session):
+    import ray.data
+
+    from raydedup.sessions import sliding_window_count
+
+    us = 1_000_000
+    # user 1: events at 0s, 240s, 300s (exact window edge — included),
+    # 601s (300s window from 601 starts at 301 — excludes 240 and 300);
+    # user 2: two events at the SAME ts (RANGE peers: both count both).
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([0, 240, 300, 601, 50, 50], np.int64) * us
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    out = (
+        sliding_window_count(ray.data.from_arrow(t), window_s=300)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert out["n_window"].tolist() == [1, 2, 3, 1, 2, 2]
