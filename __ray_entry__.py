@@ -351,6 +351,47 @@ def _q_frequent_part_types(sf_dir: str):
     )
 
 
+def _q_top_tokens(sf_dir: str):
+    """Vocabulary heavy hitters: generic frequencies sketch over the
+    exploded token stream (frequencies/ItemsSketch.java over text — the
+    vocabulary-stats pass of a training pipeline). Exact regime: distinct
+    tokens << map size, so counts are exact and the top-25 cut (count desc,
+    token asc) is SQL-mirrorable."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raydedup.aggregates import frequent_items_generic
+    from raydedup.sketches.freq import FrequentItemsSketch
+    from raydedup.textstats import _ASCII_WS
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(pc.fill_null(text, ""), _ASCII_WS), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.invert(pc.equal(flat, "")))
+        return pa.table({"token": flat})
+
+    res = docs.map_batches(explode, batch_format="pyarrow").aggregate(
+        frequent_items_generic("token", max_map_size=1 << 15, name="fi")
+    )
+    sk = FrequentItemsSketch.deserialize(res["fi"])
+    items = sorted(sk.get_frequent_items(0), key=lambda t: (-t[1], t[0]))[:25]
+    return pa.table(
+        {
+            "token": pa.array([k for k, _ in items], pa.string()),
+            "est_count": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
 def _q_kll_quantiles_price(sf_dir: str):
     """KLL quantiles of l_extendedprice (exact regime at correctness sf)."""
     import ray.data
@@ -1158,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alpha_distinct_parts": _q_alpha_distinct_parts,
         "frequent_suppliers": _q_frequent_suppliers,
         "frequent_part_types": _q_frequent_part_types,
+        "top_tokens": _q_top_tokens,
         "hll_distinct_orders_by_priority": _q_hll_distinct_orders_by_priority,
         "req_quantiles_qty": _q_req_quantiles_qty,
         "kll_quantiles_price": _q_kll_quantiles_price,
@@ -1345,6 +1387,18 @@ WITH n AS (SELECT count(*) c FROM part)
 SELECT p_type, CAST(count(*) AS BIGINT) AS est_count
 FROM part GROUP BY p_type
 HAVING count(*) > greatest(1, (SELECT c FROM n) // 20)
+""",
+        "top_tokens": r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(
+           trim(coalesce(text, ''),
+                ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+           '\s+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS est_count
+FROM toks WHERE token != ''
+GROUP BY token ORDER BY est_count DESC, token LIMIT 25
 """,
         "cpc_distinct_customers": """
 SELECT c_nationkey, CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_customers
