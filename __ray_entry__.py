@@ -519,7 +519,6 @@ def _q_theta_rollup_regions(sf_dir: str):
     pass reads the stored sketch cells back and unions them per region
     (theta/Union.java over persisted images) without touching the raw
     table. k=2^15 >> distinct customers keeps the whole chain exact."""
-    import os
     import tempfile
 
     import ray.data
@@ -530,16 +529,11 @@ def _q_theta_rollup_regions(sf_dir: str):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    warehouse = os.path.join(
-        tempfile.gettempdir(), "raydedup", "sketch_warehouse",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    # build + persist the per-nation sketch table (the amortized half);
-    # clear prior runs — write_parquet appends, and the union must read
-    # exactly this build's cells
-    import shutil
-
-    shutil.rmtree(warehouse, ignore_errors=True)
+    # per-invocation warehouse dir: a fixed shared path would let two
+    # concurrent runs against same-basename sf dirs delete each other's
+    # partial writes, and a node-local /tmp path isn't cluster-visible —
+    # mkdtemp gives each run its own namespace (cleaned up at the end)
+    warehouse = tempfile.mkdtemp(prefix="raydedup_sketch_warehouse_")
     cust.groupby("c_nationkey").aggregate(
         theta_sketch_agg("c_custkey", k=k, name="sk")
     ).write_parquet(warehouse)
@@ -559,13 +553,18 @@ def _q_theta_rollup_regions(sf_dir: str):
         regions = [n2r[n] for n in batch.column("c_nationkey").to_pylist()]
         return batch.append_column("region_key", pa.array(regions, pa.int64()))
 
-    rows = (
-        ray.data.read_parquet(warehouse)
-        .map_batches(add_region, batch_format="pyarrow")
-        .groupby("region_key")
-        .aggregate(theta_union_sketches("sk", k=k, name="distinct_customers"))
-    )
-    out = rows.take_all()
+    import shutil
+
+    try:
+        rows = (
+            ray.data.read_parquet(warehouse)
+            .map_batches(add_region, batch_format="pyarrow")
+            .groupby("region_key")
+            .aggregate(theta_union_sketches("sk", k=k, name="distinct_customers"))
+        )
+        out = rows.take_all()
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
     out.sort(key=lambda r: r["region_key"])
     return pa.table(
         {
@@ -617,9 +616,10 @@ def _q_varopt_qty_by_flag(sf_dir: str):
 def _q_reservoir_events_by_type(sf_dir: str):
     """ReservoirItemsSketch + Union (sampling/ReservoirItemsSketch.java,
     ReservoirItemsUnion.java roles): per-event-type uniform sample of event
-    ids via the partial+final reservoir aggregate. k=4096 >= every group
-    (~2k rows/type at correctness sf), so the merged reservoir holds the
-    whole group exactly and (n_seen, sample_sum) are exact."""
+    ids via the partial+final reservoir aggregate. n_seen is the sketch's
+    true stream count (ReservoirItemsSketch.getN() contract) at any scale;
+    sample_sum is exact here because k=4096 >= every group (~2k rows/type
+    at correctness sf), so the merged reservoir holds the whole group."""
     import ray.data
 
     from raydedup.aggregates import reservoir_sample
@@ -634,9 +634,9 @@ def _q_reservoir_events_by_type(sf_dir: str):
     return pa.table(
         {
             "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
-            "n_seen": pa.array([len(r["s"]) for r in rows], pa.int64()),
+            "n_seen": pa.array([int(r["s"]["n"]) for r in rows], pa.int64()),
             "sample_sum": pa.array(
-                [int(sum(r["s"])) for r in rows], pa.int64()
+                [int(sum(r["s"]["samples"])) for r in rows], pa.int64()
             ),
         }
     )

@@ -88,7 +88,9 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     if args.ckpt:
         # resumable mode: shard-checkpointed signatures + manifests; the
         # unit of replay is one input file (manifest.run_dedup_job). Input
-        # column names must already be (id, content) in this mode.
+        # column names must already be (id, content) in this mode, and the
+        # manifest path has no survivors stage — incompatible flag
+        # combinations are rejected up front in main().
         import glob as _glob
 
         from .manifest import run_dedup_job
@@ -263,6 +265,16 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if not args.out and not getattr(args, "ckpt", None):
         ap.error("--out is required (unless dedup --ckpt)")
+    if getattr(args, "ckpt", None):
+        # the resumable manifest path has no survivors stage and reads
+        # shards with fixed (id, content) column names — reject flags it
+        # would otherwise silently ignore
+        if getattr(args, "survivors", False):
+            ap.error("--ckpt does not support --survivors "
+                     "(resumable output is assignments-only)")
+        if args.id_col != "id" or args.content_col != "content":
+            ap.error("--ckpt requires input columns named (id, content); "
+                     "--id-col/--content-col are not applied in resumable mode")
     try:
         return args.fn(args)
     finally:

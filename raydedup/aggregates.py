@@ -313,8 +313,12 @@ def reservoir_sample(col: str, k: int = 64, seed: int = 0, name: str | None = No
         return pickle.dumps(pickle.loads(a).merge(pickle.loads(b)))
 
     def fin(state: bytes | None):
+        # Keep the true stream count (ReservoirItemsSketch.getN() contract,
+        # sampling/ReservoirItemsSketch.java:~200) alongside the sample —
+        # discarding it here would silently cap n at k once a group exceeds
+        # the reservoir size.
         sk = pickle.loads(state) if state else ReservoirSketch(k, seed)
-        return sk.samples
+        return {"n": sk.n, "samples": sk.samples}
 
     return AggregateFn(
         init=lambda key: None, merge=merge, accumulate_block=acc,

@@ -21,22 +21,25 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .pipeline import grouped_blocks
+from .pipeline import grouped_blocks, key_codes
 
 
 def _asof_block(by: str, on: str, left_id: str, right_id: str, value_col: str | None):
     def f(block: pa.Table) -> pa.Table:
         n = len(block)
+        # empty-block schema mirrors the input: `by` keeps its real arrow
+        # type (string keys included), ids are the documented int64
         out_cols = {
             left_id: pa.array([], pa.int64()),
-            by: pa.array([], pa.int64()),
+            by: pa.array([], block.schema.field(by).type),
             f"matched_{right_id}": pa.array([], pa.int64()),
         }
         if value_col:
             out_cols[f"matched_{value_col}"] = pa.array([], pa.float64())
         if n == 0:
             return pa.table(out_cols)
-        keys = block.column(by).to_numpy()
+        by_col = block.column(by)
+        keys = key_codes(by_col)  # string keys factorize to int codes
         on_v = block.column(on).to_numpy(zero_copy_only=False)
         if np.issubdtype(on_v.dtype, np.datetime64):
             on_v = on_v.astype("datetime64[us]").view(np.int64)
@@ -61,9 +64,12 @@ def _asof_block(by: str, on: str, left_id: str, right_id: str, value_col: str | 
         lpos = pos[is_left]
         valid = (lpos >= 0) & (keys[np.maximum(lpos, 0)] == keys[is_left])
         matched = np.where(valid, ids[np.maximum(lpos, 0)], 0)
+        sorted_by = (
+            by_col.combine_chunks() if isinstance(by_col, pa.ChunkedArray) else by_col
+        ).take(pa.array(order[is_left]))  # original dtype, left rows only
         out = {
             left_id: pa.array(ids[is_left]),
-            by: pa.array(keys[is_left]),
+            by: sorted_by,
             f"matched_{right_id}": pa.array(
                 np.ma.masked_array(matched, mask=~valid).astype(np.int64),
                 type=pa.int64(),

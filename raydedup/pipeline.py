@@ -91,6 +91,18 @@ def grouped_blocks(
     )
 
 
+def key_codes(col) -> np.ndarray:
+    """Int64-sortable codes for a key column of any dtype: integer columns
+    pass through zero-copy; string/float/other columns are factorized with
+    np.unique so lexsort/equality inside a grouped_blocks block fn work for
+    non-numeric keys (codes preserve equality and a total order within the
+    block — sufficient for grouping, not a global collation)."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind in "iu":
+        return arr
+    return np.unique(arr, return_inverse=True)[1]
+
+
 def _exact_block_edges(block: pa.Table) -> pa.Table:
     """Star edges for every sha run in a partition block, vectorized."""
     n = len(block)

@@ -20,22 +20,29 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .pipeline import grouped_blocks
+from .pipeline import grouped_blocks, key_codes
+
+
+def _take_sorted(col, order: np.ndarray):
+    """Original-dtype column values in sorted order (string keys included)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.take(pa.array(order))
 
 
 def _session_block(user_col: str, ts_col: str, id_col: str, gap_us: int):
     def f(block: pa.Table) -> pa.Table:
         n = len(block)
-        empty = pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                user_col: pa.array([], pa.int64()),
-                "session_id": pa.array([], pa.int64()),
-            }
-        )
         if n == 0:
-            return empty
-        users = block.column(user_col).to_numpy()
+            # empty-block schema mirrors the input's real key type
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], block.schema.field(user_col).type),
+                    "session_id": pa.array([], pa.int64()),
+                }
+            )
+        user_arr = block.column(user_col)
+        users = key_codes(user_arr)  # string keys factorize to int codes
         ts = block.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]")
         ts_us = ts.view(np.int64)
         ids = block.column(id_col).to_numpy()
@@ -52,7 +59,7 @@ def _session_block(user_col: str, ts_col: str, id_col: str, gap_us: int):
         return pa.table(
             {
                 id_col: pa.array(ids),
-                user_col: pa.array(users),
+                user_col: _take_sorted(user_arr, order),
                 "session_id": pa.array(session_id),
             }
         )
@@ -81,11 +88,12 @@ def _window_count_block(user_col: str, ts_col: str, id_col: str, gap_us: int):
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
-                    user_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], block.schema.field(user_col).type),
                     "n_window": pa.array([], pa.int64()),
                 }
             )
-        users = block.column(user_col).to_numpy()
+        user_arr = block.column(user_col)
+        users = key_codes(user_arr)  # string keys factorize to int codes
         ts = block.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]")
         ts_us = ts.view(np.int64)
         ids = block.column(id_col).to_numpy()
@@ -110,7 +118,7 @@ def _window_count_block(user_col: str, ts_col: str, id_col: str, gap_us: int):
         return pa.table(
             {
                 id_col: pa.array(ids),
-                user_col: pa.array(users),
+                user_col: _take_sorted(user_arr, order),
                 "n_window": pa.array((hi - lo).astype(np.int64)),
             }
         )

@@ -206,7 +206,8 @@ def test_sampling_aggregates(ray_session):
         pa.table({"k": pa.array(keys), "w": pa.array(weights)})
     )
     res = ds.aggregate(reservoir_sample("k", k=50, name="r"))
-    samples = res["r"]
+    assert res["r"]["n"] == n  # true stream count survives finalize
+    samples = res["r"]["samples"]
     assert len(samples) == 50
     assert all(0 <= s < n for s in samples)
 
