@@ -142,6 +142,36 @@ def _q_dedup_clusters(sf_dir: str):
     return dedup_clusters(_corpus_ds(sf_dir), _cfg())
 
 
+def _q_dedup_clusters_oracle(sf_dir: str):
+    """Flagship clustering under a full value-hash oracle: the three
+    SQL-expressible edge tiers (sha256 equality ∪ exact n-gram Jaccard >=
+    0.7 ∪ verified containment — each independently hash-green) are closed
+    into components by the SAME cluster_edges + assign_clusters path the
+    flagship uses, and compared bit-for-bit against a DuckDB recursive-CTE
+    min-label fixpoint over the identical edge set. This bit-checks the
+    union-find + assignment half of dedup_clusters; the MinHash near tier
+    keeps its recall audit because it is approximate by design."""
+    from raydedup.njaccard import ngram_jaccard_pairs
+    from raydedup.pipeline import (
+        assign_clusters,
+        containment_pairs,
+        exact_edges,
+        signatures,
+    )
+    from raydedup.unionfind import cluster_edges
+
+    corpus = _corpus_ds(sf_dir)
+    cfg = _cfg()
+    sigs = signatures(corpus, cfg).materialize()
+    e_exact = exact_edges(sigs)
+    e_ngram = ngram_jaccard_pairs(corpus, cfg, threshold=0.7).select_columns(
+        ["src", "dst"]
+    )
+    e_cont = containment_pairs(corpus, cfg).select_columns(["src", "dst"])
+    edges = e_exact.union(e_ngram).union(e_cont)
+    return assign_clusters(sigs, cluster_edges(edges))
+
+
 def _q_minhash_signatures(sf_dir: str):
     from raydedup.pipeline import signatures
 
@@ -1192,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "minhash_signatures": _q_minhash_signatures,
         "theta_distinct_orders": _q_theta_distinct_orders,
         "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
@@ -1362,6 +1393,40 @@ SELECT a.id src, b.id dst
 FROM t a JOIN t b ON a.id < b.id
 WHERE (a.nt >= 24 AND contains(b.content, a.content))
    OR (b.nt >= 24 AND contains(a.content, b.content))
+""",
+        # connected components over the exact three edge tiers (each CTE is
+        # the already-hash-green per-tier oracle verbatim) via min-label
+        # propagation to fixpoint: reach(id,label) accumulates every label
+        # reachable from id along undirected edges; min(label) over an
+        # undirected component = the component-minimum id — the engine's
+        # cluster_id convention (unionfind.py module contract)
+        "dedup_clusters_oracle": f"""
+WITH RECURSIVE {corpus}, {_SHINGLES_CTE},
+ex AS (
+  SELECT a, b FROM (
+    SELECT min(id) OVER (PARTITION BY content) a, id b FROM corpus)
+  WHERE a <> b),
+eg AS (SELECT id, unnest(sh) g FROM shing),
+cand AS (SELECT DISTINCT x.id a, y.id b FROM eg x JOIN eg y ON x.g = y.g AND x.id < y.id),
+ng AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) j
+    FROM cand JOIN shing sa ON sa.id = cand.a JOIN shing sb ON sb.id = cand.b)
+  WHERE j >= 0.7),
+t AS (SELECT id, content, len(string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) nt FROM corpus),
+ct AS (
+  SELECT x.id a, y.id b FROM t x JOIN t y ON x.id < y.id
+  WHERE (x.nt >= 24 AND contains(y.content, x.content))
+     OR (y.nt >= 24 AND contains(x.content, y.content))),
+pairs AS (SELECT a, b FROM ex UNION SELECT a, b FROM ng UNION SELECT a, b FROM ct),
+e AS (SELECT a s, b d FROM pairs UNION SELECT b s, a d FROM pairs),
+reach(id, label) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.d, reach.label FROM reach JOIN e ON e.s = reach.id)
+SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """,
         "theta_distinct_orders": """
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
