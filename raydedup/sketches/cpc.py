@@ -34,6 +34,7 @@ import numpy as np
 MIN_LG_K = 4
 MAX_LG_K = 26
 ICON_ERROR_CONSTANT = math.log(2.0)  # CpcConfidence.java:35
+HIP_ERROR_CONSTANT = math.sqrt(math.log(2.0) / 2.0)  # CpcConfidence.java:36
 
 
 def _clz64(h: np.ndarray) -> np.ndarray:
@@ -53,25 +54,43 @@ class CpcSketch:
         self.lg_k = lg_k
         self.k = 1 << lg_k
         self.matrix = np.zeros(self.k, dtype=np.uint64)
-        # Wire/HIP state (CpcSketch.java:138-141): engine-built sketches are
-        # merge-semantics (mergeFlag=true, ICON estimator); sketches read from
-        # reference images may carry a HIP accumulator, which getEstimate
-        # prefers. We do not maintain HIP on update — only carry it through.
-        self.merge_flag = True
+        # HIP state (CpcSketch.java:84-85, 578-585): a freshly built sketch
+        # is an "updated" sketch (mergeFlag=false) whose HIP accumulator is
+        # maintained on every NOVEL coupon and preferred by estimate();
+        # merged/union results fall back to ICON (mergeFlag=true), exactly
+        # the reference's getEstimate() rule (CpcSketch.java:138-141).
+        self.merge_flag = False
         self.fi_col = 0
         self.kxp = float(self.k)
         self.hip_est_accum = 0.0
 
     def update_hash_pairs(self, hash0: np.ndarray, hash1: np.ndarray) -> None:
         """Vectorized coupon insertion from two independent uniform uint64
-        hash words per item (CpcSketch.hashUpdate semantics)."""
+        hash words per item (CpcSketch.hashUpdate semantics). HIP is
+        accumulated over the batch's novel coupons in stream order with one
+        prefix-sum pass — the sequential updateHIP recurrence
+        (CpcSketch.java:578-585: hip += k/kxp; kxp -= 2^-(col+1)) has the
+        closed form kxp_i = kxp_0 - prefix(2^-(col+1)), so no Python loop."""
         h0 = np.asarray(hash0, dtype=np.uint64)
         h1 = np.asarray(hash1, dtype=np.uint64)
         if len(h0) == 0:
             return
         col = np.minimum(_clz64(h1), 63).astype(np.uint64)
         row = (h0 & np.uint64(self.k - 1)).astype(np.int64)
-        np.bitwise_or.at(self.matrix, row, np.uint64(1) << col)
+        bit = np.uint64(1) << col
+        # novel coupons in stream order: not already in the matrix, first
+        # occurrence within this batch
+        known = (self.matrix[row] & bit) != 0
+        rowcol = (row.astype(np.uint64) << np.uint64(6)) | col
+        first = np.zeros(len(rowcol), dtype=bool)
+        first[np.unique(rowcol, return_index=True)[1]] = True
+        novel = np.flatnonzero(first & ~known)
+        if len(novel):
+            inv = np.ldexp(1.0, -(col[novel].astype(np.int64) + 1))
+            kxp_before = self.kxp - np.concatenate([[0.0], np.cumsum(inv[:-1])])
+            self.hip_est_accum += float((self.k / kxp_before).sum())
+            self.kxp -= float(inv.sum())
+        np.bitwise_or.at(self.matrix, row, bit)
 
     def update_hashes(self, hashes: np.ndarray) -> None:
         """ENGINE-INTERNAL single-word convenience (derives the second word
@@ -104,12 +123,16 @@ class CpcSketch:
         return float((k * -np.expm1(n * np.log1p(-p / k))).sum())
 
     def estimate(self) -> float:
-        """Best estimate (CpcSketch.java:138-141): the HIP accumulator when
-        the sketch carries one (read from a reference HIP image), else ICON:
-        n̂ = E[C]^{-1}(observed C), solved by bisection (E[C] is strictly
-        increasing in n)."""
+        """Best estimate (CpcSketch.java:138-141): the HIP accumulator for
+        never-merged sketches (maintained during update, RSE ≈ 0.589/√k),
+        else ICON: n̂ = E[C]^{-1}(observed C), solved by bisection (E[C] is
+        strictly increasing in n; RSE ≈ 0.693/√k)."""
         if not self.merge_flag:
             return self.hip_est_accum
+        return self.icon_estimate()
+
+    def icon_estimate(self) -> float:
+        """ICON estimate regardless of merge state (IconEstimator role)."""
         c = self.num_coupons
         if c == 0:
             return 0.0
@@ -128,8 +151,11 @@ class CpcSketch:
 
     @property
     def rse(self) -> float:
-        """Documented ICON relative standard error (CpcConfidence.java:35)."""
-        return ICON_ERROR_CONSTANT / math.sqrt(self.k)
+        """Documented relative standard error (CpcConfidence.java:34-36):
+        HIP (0.589/√k) for never-merged sketches, ICON (0.693/√k) after a
+        merge."""
+        const = ICON_ERROR_CONSTANT if self.merge_flag else HIP_ERROR_CONSTANT
+        return const / math.sqrt(self.k)
 
     def lower_bound(self, num_std_dev: float = 2.0) -> float:
         return self.estimate() / (1.0 + num_std_dev * self.rse)
@@ -143,6 +169,8 @@ class CpcSketch:
         """Union (CpcUnion semantics): bitwise OR; mixed lgK downsamples to
         the smaller (row = low lgK bits → fold rows sharing low bits)."""
         self.merge_flag = True  # union results are merge-semantics (no HIP)
+        self.hip_est_accum = 0.0
+        self.kxp = float(self.k)
         if other.lg_k != self.lg_k:
             a, b = (self, other) if self.lg_k <= other.lg_k else (other, self)
             folded = np.bitwise_or.reduce(b.matrix.reshape(-1, a.k), axis=0)
@@ -158,12 +186,23 @@ class CpcSketch:
     # -- serde --------------------------------------------------------------
 
     def serialize(self) -> bytes:
-        return bytes([self.lg_k]) + self.matrix.astype("<u8").tobytes()
+        """Engine-internal serde (the reference wire format lives in
+        interop_cpc). Carries the HIP state so accumulate→serialize→
+        deserialize chains (the Ray aggregate hot path) keep a valid HIP."""
+        import struct
+
+        head = bytes([self.lg_k, 1 if self.merge_flag else 0])
+        head += struct.pack("<2d", self.kxp, self.hip_est_accum)
+        return head + self.matrix.astype("<u8").tobytes()
 
     @staticmethod
     def deserialize(buf: bytes) -> "CpcSketch":
+        import struct
+
         sk = CpcSketch(buf[0])
-        sk.matrix = np.frombuffer(buf[1:], dtype="<u8").astype(np.uint64)
+        sk.merge_flag = bool(buf[1])
+        sk.kxp, sk.hip_est_accum = struct.unpack_from("<2d", buf, 2)
+        sk.matrix = np.frombuffer(buf[18:], dtype="<u8").astype(np.uint64)
         return sk
 
 

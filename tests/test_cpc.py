@@ -34,6 +34,43 @@ class TestCpcStreaming:
             assert errs.std() < 2.0 * rse, (n, errs.std())
             assert np.abs(errs).max() < 4.0 * rse, (n, errs)
 
+    def test_hip_rse_beats_icon(self):
+        """StreamingValidation-style trials (CpcSketch.java:138-141 HIP
+        preference; CpcConfidence.java:34-36 constants): across independent
+        streams the HIP estimator's empirical RSE must sit in the
+        0.589/sqrt(k) family — measurably below ICON's 0.693/sqrt(k)."""
+        lg_k = 10
+        k = 1 << lg_k
+        hip_rse = np.sqrt(np.log(2.0) / 2.0) / np.sqrt(k)   # ≈ 1.84%
+        icon_rse = np.log(2.0) / np.sqrt(k)                 # ≈ 2.17%
+        n = 30_000
+        hip_errs, icon_errs = [], []
+        for t in range(150):
+            sk = CpcSketch(lg_k)
+            sk.update_hashes(_hashes(n, salt=100 + t))
+            assert not sk.merge_flag  # never merged → HIP preferred
+            hip_errs.append((sk.estimate() - n) / n)
+            icon_errs.append((sk.icon_estimate() - n) / n)
+        hip_sd = float(np.std(hip_errs))
+        icon_sd = float(np.std(icon_errs))
+        assert 0.75 * hip_rse < hip_sd < 1.25 * hip_rse, (hip_sd, hip_rse)
+        assert hip_sd < icon_sd, (hip_sd, icon_sd)  # HIP strictly tighter
+        assert abs(float(np.mean(hip_errs))) < 4 * hip_rse / np.sqrt(150)
+
+    def test_hip_survives_engine_serde_chain(self):
+        """The Ray aggregate round-trips state through serialize() between
+        blocks; a chained build must equal one uninterrupted build exactly."""
+        h = _hashes(12_000)
+        whole = CpcSketch(11)
+        whole.update_hashes(h)
+        chained = CpcSketch(11)
+        for part in np.array_split(h, 5):
+            chained.update_hashes(part)
+            chained = CpcSketch.deserialize(chained.serialize())
+        assert not chained.merge_flag
+        assert chained.estimate() == whole.estimate()
+        assert chained.kxp == whole.kxp
+
     def test_small_range_near_exact(self):
         sk = CpcSketch(14)
         sk.update_hashes(_hashes(100))
@@ -62,7 +99,11 @@ class TestCpcUnion:
         a.merge(b)
         c = CpcSketch(11)
         c.update_hashes(np.concatenate([_hashes(20_000), _hashes(20_000, salt=1)]))
-        assert a.estimate() == c.estimate()
+        # identical coupon matrices → identical ICON estimates; the merged
+        # sketch is ICON while the single stream prefers HIP (reference
+        # getEstimate rule), so compare on the ICON surface
+        assert np.array_equal(a.matrix, c.matrix)
+        assert a.estimate() == c.icon_estimate()
 
     def test_overlap_no_double_count(self):
         h = _hashes(25_000)
