@@ -751,6 +751,40 @@ def _q_ann_topk_ivf(sf_dir: str):
     return out
 
 
+def _q_ann_topk_ivf_indexed(sf_dir: str):
+    """PERSISTED IVF index path (write_ivf_index + ann_topk_ivf_indexed):
+    the corpus is partitioned by centroid list once, then the query batch
+    reads ONLY its probed list partitions. Run at nprobe == n_lists so
+    every list is probed and the result is bit-identical to brute force —
+    sharing ann_topk's DuckDB oracle value-hash-checks the whole persisted
+    path (index build, partitioned write, probed-partition read, scoring).
+    The pruned-read property (nprobe < n_lists reads fewer files) is
+    asserted in tests/test_ivf_index.py."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from raydedup.embed import ann_topk_ivf_indexed, write_ivf_index
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.stack(first["embedding"].to_numpy())
+    idx_dir = tempfile.mkdtemp(prefix="raydedup_ivf_")
+    try:
+        write_ivf_index(
+            ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            idx_dir,
+            n_lists=16,
+        )
+        out = ann_topk_ivf_indexed(
+            idx_dir, queries, first["vec_id"].to_numpy(), k=10, nprobe=16
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     import ray.data
 
@@ -1244,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_part_names": _q_kll_quantiles_part_names,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_ivf_indexed": _q_ann_topk_ivf_indexed,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "text_stats": _q_text_stats,
@@ -1350,6 +1385,9 @@ def oracle_sql() -> dict[str, str]:
     # exact-mode IVF (nprobe == n_lists) is bit-identical to brute force,
     # so it shares ann_topk's oracle — see _q_ann_topk_ivf.
     sql["ann_topk_ivf"] = sql["ann_topk"]
+    # indexed IVF at nprobe == n_lists reads every list partition and is
+    # bit-identical to brute force — same oracle
+    sql["ann_topk_ivf_indexed"] = sql["ann_topk"]
     return sql
 
 

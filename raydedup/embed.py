@@ -61,6 +61,16 @@ def quantized_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return dots / (na[:, None] * nb[None, :])
 
 
+def _runs(sorted_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run starts, run ends) over a sorted array."""
+    if len(sorted_arr) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    new = np.concatenate([[True], sorted_arr[1:] != sorted_arr[:-1]])
+    starts = np.flatnonzero(new)
+    return starts, np.append(starts[1:], len(sorted_arr))
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
@@ -87,18 +97,22 @@ class AnnScorer:
         vec_ids = batch.column("vec_id").to_numpy()
         nq = cos.shape[1]
         kk = min(self.k, len(vec_ids))
-        out_q, out_v, out_c = [], [], []
-        for qi in range(nq):
-            # ties at the k boundary must cut exactly like the final merge
-            order = np.lexsort((vec_ids, -cos[:, qi]))[:kk]
-            out_q.append(np.full(kk, self.query_ids[qi], dtype=np.int64))
-            out_v.append(vec_ids[order])
-            out_c.append(cos[order, qi])
+        # one stable column-wise argsort cuts EVERY query's top-k at once:
+        # rows are pre-ordered by vec_id, so stability resolves cosine ties
+        # by vec_id asc — exactly the final merge's (cosine desc, vec_id
+        # asc) rule, with no Python loop over queries
+        row_order = np.argsort(vec_ids)
+        vec_s = vec_ids[row_order]
+        cos_s = cos[row_order]
+        top = np.argsort(-cos_s, axis=0, kind="stable")[:kk]  # (kk, nq)
+        out_v = vec_s[top].T.ravel()
+        out_c = np.take_along_axis(cos_s, top, axis=0).T.ravel()
+        out_q = np.repeat(self.query_ids, kk)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "cosine": pa.array(np.concatenate(out_c)),
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_v),
+                "cosine": pa.array(out_c),
             }
         )
 
@@ -274,18 +288,24 @@ class AnnIvfScorer:
         qm = quantize(m)
         vnorm = np.sqrt((qm * qm).sum(axis=1))
         vnorm[vnorm == 0] = 1.0
-        out_q, out_v, out_c = [], [], []
-        for qi in range(len(self.q)):
-            rows = np.flatnonzero(self.probe_mask[list_id, qi])
-            if not len(rows):
+        # one BLAS matmul per NON-EMPTY LIST (bounded by n_lists, not nq):
+        # each list's rows are scored only against the queries probing it —
+        # the nprobe/n_lists compute saving survives, with no per-query loop
+        order = np.argsort(list_id, kind="stable")
+        ls, le = _runs(list_id[order])
+        cand_q, cand_v, cand_c = [], [], []
+        for s, e in zip(ls, le):
+            rows = order[s:e]
+            qs = np.flatnonzero(self.probe_mask[list_id[rows[0]]])
+            if not len(qs):
                 continue
-            cos = (qm[rows] @ self.qq[qi]) / (vnorm[rows] * self.q_norm[qi])
-            kk = min(self.k, len(rows))
-            order = np.lexsort((vec_ids[rows], -cos))[:kk]
-            out_q.append(np.full(kk, self.query_ids[qi], dtype=np.int64))
-            out_v.append(vec_ids[rows][order])
-            out_c.append(cos[order])
-        if not out_q:
+            cos = (qm[rows] @ self.qq[qs].T) / (
+                vnorm[rows, None] * self.q_norm[qs][None, :]
+            )  # (rows, probing queries)
+            cand_q.append(np.tile(qs, len(rows)))
+            cand_v.append(np.repeat(vec_ids[rows], len(qs)))
+            cand_c.append(cos.ravel())
+        if not cand_q:
             return pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),
@@ -293,11 +313,24 @@ class AnnIvfScorer:
                     "cosine": pa.array([], pa.float64()),
                 }
             )
+        q_idx = np.concatenate(cand_q)
+        v_cat = np.concatenate(cand_v)
+        c_cat = np.concatenate(cand_c)
+        # per-query top-k over all candidates in ONE grouped lexsort:
+        # (query, cosine desc, vec_id asc), then keep each query-run's
+        # first k rows by rank-within-run
+        so = np.lexsort((v_cat, -c_cat, q_idx))
+        q_s, v_s, c_s = q_idx[so], v_cat[so], c_cat[so]
+        new_run = np.concatenate([[True], q_s[1:] != q_s[:-1]])
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(q_s)) - starts[run_id]
+        keep = rank < self.k
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "cosine": pa.array(np.concatenate(out_c)),
+                "query_id": pa.array(self.query_ids[q_s[keep]]),
+                "vec_id": pa.array(v_s[keep]),
+                "cosine": pa.array(c_s[keep]),
             }
         )
 
@@ -324,11 +357,12 @@ def ann_topk_ivf(
     Final cut is the same combiner-tree AggregateFn as ``ann_topk`` — no
     Sort all-to-all anywhere.
 
-    At 100 TB you would additionally persist the list assignment and
-    partition the corpus by list id once, amortizing the index across query
-    batches; the per-batch assignment here costs one (batch × n_lists)
-    matvec, negligible next to scoring. ``nprobe == n_lists`` degrades to
-    exact brute force (bit-identical to ``ann_topk``)."""
+    For the amortized path use ``write_ivf_index`` +
+    ``ann_topk_ivf_indexed``: the corpus is partitioned by list id once and
+    each query batch reads only its probed list partitions. This inline
+    variant re-assigns per batch (one (batch × n_lists) matvec, negligible
+    next to scoring) for one-shot searches. ``nprobe == n_lists`` degrades
+    to exact brute force (bit-identical to ``ann_topk``)."""
     sample = embeddings.take_batch(sample_size, batch_format="pyarrow")
     cent = kmeans_centroids(
         _batch_matrix(sample, "embedding"), n_lists, seed=seed
@@ -337,6 +371,144 @@ def ann_topk_ivf(
     c_ref = ray.put(cent)
 
     scored = embeddings.map_batches(
+        AnnIvfScorer,
+        fn_constructor_kwargs={
+            "queries_ref": q_ref,
+            "query_ids": query_ids,
+            "k": k,
+            "centroids_ref": c_ref,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+    return _final_topk(scored, k)
+
+
+def _assign_list_part(batch: pa.Table, ref) -> pa.Table:
+    """Task-side list assignment against the broadcast centroid matrix."""
+    cent = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    m = _batch_matrix(batch, "embedding")
+    part = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+    return batch.append_column("part", pa.array(part))
+
+
+def write_ivf_index(
+    embeddings: "ray.data.Dataset",
+    path: str,
+    n_lists: int = 16,
+    sample_size: int = 4096,
+    seed: int = 9001,
+    n_iter: int = 10,
+) -> dict:
+    """Persist the IVF index under ``path``: ``centroids.parquet`` (tiny)
+    plus ``lists/part-<list_id>.parquet`` — the corpus partitioned by
+    nearest-centroid list, written idempotently one file per list (the
+    ``write_dedup_index`` pattern from incremental.py). Build cost = one
+    bounded driver-side k-means sample + one assignment pass + one
+    partition shuffle, paid once and amortized over every query batch —
+    the 100 TB shape ``ann_topk_ivf``'s docstring promises."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .incremental import _write_parts
+
+    sample = embeddings.take_batch(sample_size, batch_format="pyarrow")
+    cent = kmeans_centroids(
+        _batch_matrix(sample, "embedding"), n_lists, n_iter=n_iter, seed=seed
+    )
+    os.makedirs(path, exist_ok=True)
+    cent_tbl = pa.table(
+        {
+            "list_id": pa.array(np.arange(len(cent)), pa.int64()),
+            "centroid": pa.array(
+                [row.tolist() for row in cent], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    tmp = os.path.join(path, f"centroids.parquet.tmp{os.getpid()}")
+    pq.write_table(cent_tbl, tmp)
+    os.replace(tmp, os.path.join(path, "centroids.parquet"))
+
+    c_ref = ray.put(cent)
+    rows = embeddings.map_batches(
+        _assign_list_part, fn_args=(c_ref,), batch_format="pyarrow"
+    )
+    n = _write_parts(rows, os.path.join(path, "lists"), len(cent))
+    meta = {
+        "n_lists": int(len(cent)),
+        "dim": int(cent.shape[1]),
+        "rows": int(n),
+        "seed": seed,
+    }
+    tmp = os.path.join(path, f"meta.json.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    return meta
+
+
+def read_ivf_centroids(path: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(path, "centroids.parquet"))
+    return _batch_matrix(tbl, "centroid")
+
+
+def probed_list_files(
+    path: str, queries: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, list[str]]:
+    """(probed list ids, their existing part files) for a query batch —
+    the union over queries of each query's ``nprobe`` closest lists."""
+    import os
+
+    cent = read_ivf_centroids(path)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    aff = cent @ (q / qn[:, None]).T  # (n_lists, nq)
+    nprobe = min(nprobe, len(cent))
+    probed = np.unique(np.argsort(-aff, axis=0, kind="stable")[:nprobe])
+    files = [
+        os.path.join(path, "lists", f"part-{int(l):05d}.parquet")
+        for l in probed
+        if os.path.exists(os.path.join(path, "lists", f"part-{int(l):05d}.parquet"))
+    ]
+    return probed, files
+
+
+def ann_topk_ivf_indexed(
+    path: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """IVF top-k against a PERSISTED index: only the ``nprobe`` probed list
+    partitions are read from storage (pruning at the read — unprobed rows
+    never leave parquet), then the same scorer + combiner-tree cut as
+    ``ann_topk_ivf``. With ``nprobe == n_lists`` this reads every list and
+    is bit-identical to brute force; with ``nprobe < n_lists`` both I/O and
+    compute drop to ~``nprobe / n_lists``."""
+    cent = read_ivf_centroids(path)
+    _, files = probed_list_files(path, queries, nprobe)
+    if not files:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    ds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    c_ref = ray.put(cent)
+    scored = ds.map_batches(
         AnnIvfScorer,
         fn_constructor_kwargs={
             "queries_ref": q_ref,
