@@ -817,7 +817,11 @@ def containment_pairs(
     )
     verified = j2.map_batches(
         LcsVerifier,
-        fn_constructor_kwargs={"cfg": cfg},
+        # exact_lcs=False: containment is decided by the vectorized
+        # rolling-hash run search; the downstream filter drops
+        # non-contained rows, so their exact-LCS diagnostic (the only
+        # automaton consumer) is never observable here
+        fn_constructor_kwargs={"cfg": cfg, "exact_lcs": False},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=512,

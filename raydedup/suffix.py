@@ -80,6 +80,39 @@ class _SuffixAutomaton:
         return best
 
 
+_P = np.uint64(0x9E3779B97F4A7C15)  # odd → multiplication is a bijection mod 2^64
+
+
+def find_token_run(small: np.ndarray, big: np.ndarray) -> int:
+    """Vectorized verbatim-run search: index of the first occurrence of
+    ``small`` as a contiguous run inside ``big``, or -1.
+
+    Rolling polynomial hash in wrapping uint64 arithmetic: with
+    T[t] = Σ_{j<t} big[j]·P^j, window i equals
+    (T[i+m] − T[i]) == H(small)·P^i, and because P is odd the P^i factor is
+    a bijection mod 2^64 — no inverse powers needed, no false negatives.
+    Hash-equal positions (64-bit collisions aside, ~never) are confirmed
+    with one exact array compare. O(len(big)) numpy, no Python per token —
+    this replaces the suffix-automaton build for containment checks
+    (VERDICT r02 item 5)."""
+    m, n = len(small), len(big)
+    if m == 0 or m > n:
+        return -1
+    pw = np.empty(n, dtype=np.uint64)
+    pw[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _P, dtype=np.uint64), out=pw[1:])
+    t = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(big * pw, out=t[1:])
+    hs = np.sum(small * pw[:m], dtype=np.uint64)
+    win = t[m:] - t[: n - m + 1]
+    target = hs * pw[: n - m + 1]
+    for i in np.flatnonzero(win == target):
+        if np.array_equal(big[i : i + m], small):
+            return int(i)
+    return -1
+
+
 def _seq_key(seq: np.ndarray) -> bytes:
     from .hashing import xxh64_bytes
 
@@ -92,14 +125,27 @@ class LcsVerifier:
     (src, dst, lcs_tokens, contained).
 
     ``contained`` is True iff the smaller document appears verbatim (as a
-    token run) inside the larger. Automata are LRU-cached per actor: hot
-    documents (one doc in many candidate pairs) build their automaton once.
+    token run) inside the larger — decided by the vectorized rolling-hash
+    run search (``find_token_run``), no automaton and no Python per token.
+
+    ``exact_lcs`` controls the lcs_tokens column for NON-contained pairs:
+    True (default) computes the exact longest common run with an LRU-cached
+    suffix automaton (the diagnostic contract); False emits 0 for them —
+    the right mode for ``containment_pairs``, whose downstream filter drops
+    non-contained rows anyway, so the automaton never builds in the
+    pipeline hot path. Contained pairs always report lcs == len(small).
     """
 
-    def __init__(self, cfg: SigConfig = DEFAULT_CONFIG, cache_size: int = 256):
+    def __init__(
+        self,
+        cfg: SigConfig = DEFAULT_CONFIG,
+        cache_size: int = 256,
+        exact_lcs: bool = True,
+    ):
         self.cfg = cfg
         self.cache: OrderedDict[bytes, _SuffixAutomaton] = OrderedDict()
         self.cache_size = cache_size
+        self.exact_lcs = exact_lcs
 
     def _automaton(self, key: bytes, seq: np.ndarray) -> _SuffixAutomaton:
         a = self.cache.get(key)
@@ -127,10 +173,12 @@ class LcsVerifier:
             if len(a) == 0 or len(b) == 0:
                 continue
             small, big = (a, b) if len(a) <= len(b) else (b, a)
-            auto = self._automaton(_seq_key(big), big)
-            l = auto.lcs_len(small)
-            lcs[i] = l
-            contained[i] = l == len(small)
+            if find_token_run(small, big) >= 0:
+                lcs[i] = len(small)
+                contained[i] = True
+            elif self.exact_lcs:
+                auto = self._automaton(_seq_key(big), big)
+                lcs[i] = auto.lcs_len(small)
         return pa.table(
             {
                 "src": pa.array(src),
