@@ -1160,44 +1160,69 @@ def _q_quality_scores(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media table → actor-pool decode stub."""
+    """REAL multimodal decode (raydedup/codecs.py): deterministic PNG/WAV
+    payloads with closed-form contents → per-format actor-pool DecodeStage
+    → decoded geometry + exact value sums. The DuckDB oracle recomputes
+    width/height/duration/n_values/sum_value from media_id alone, so a
+    decoder bug (wrong unfilter, stride, chunk walk) breaks the hash."""
     import ray.data
 
-    from raydedup.multimodal import DecodeStage, synth_media_table
+    from raydedup.multimodal import DecodeStage, synth_real_media_table
 
-    media = ray.data.from_arrow(synth_media_table(64))
-    return media.map_batches(
-        DecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
-    )
+    media = ray.data.from_arrow(synth_real_media_table(48))
+    cols = ["media_id", "kind", "width", "height", "duration_ms",
+            "n_values", "sum_value"]
+    png = media.filter(expr="format == 'png'").map_batches(
+        DecodeStage, fn_constructor_kwargs={"codec": "png"},
+        batch_format="pyarrow", concurrency=1, batch_size=16,
+    ).select_columns(cols)
+    wav = media.filter(expr="format == 'wav'").map_batches(
+        DecodeStage, fn_constructor_kwargs={"codec": "wav"},
+        batch_format="pyarrow", concurrency=1, batch_size=16,
+    ).select_columns(cols)
+    return png.union(wav)
 
 
 def _q_media_dup_pairs(sf_dir: str):
-    """End-to-end multimodal dedup composition: media payloads →
-    actor-pool feature extraction (DecodeStage) → hyperplane-LSH
-    near-duplicate pairs over the feature vectors. Deterministic fake
-    codec; planted duplicates share payload bytes so features collide."""
+    """End-to-end multimodal dedup over REAL decodes: PNG/WAV payloads →
+    per-format actor-pool DecodeStage (features computed from DECODED
+    pixels/samples, raydedup/codecs.py) → hyperplane-LSH near-duplicate
+    pairs. Planted duplicates share payload bytes, so their decoded
+    features collide exactly (cosine == 1)."""
     import ray.data
 
     from raydedup.embed import embedding_dup_pairs
-    from raydedup.multimodal import DecodeStage, synth_media_table
+    from raydedup.multimodal import DecodeStage, synth_real_media_table
 
-    base = synth_media_table(64)
-    # plant exact payload duplicates under new ids (feature cosine == 1)
+    base = synth_real_media_table(48)
+    # plant exact payload duplicates under new ids (8 PNG + 8 WAV)
     dup = base.slice(0, 16).set_column(
         0, "media_id", pa.array(np.arange(1000, 1016, dtype=np.int64))
     )
     media = ray.data.from_arrow(pa.concat_tables([base, dup]))
-    feats = media.map_batches(
-        DecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
-    ).map_batches(
-        lambda b: pa.table(
+
+    def to_vec(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "vec_id": b.column("media_id"),
                 "embedding": pc_cast_list(b.column("feature")),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    feats = None
+    for fmt in ("png", "wav"):
+        part = media.filter(expr=f"format == '{fmt}'").map_batches(
+            DecodeStage, fn_constructor_kwargs={"codec": fmt},
+            # concurrency=1 per branch: two parallel pools at 2 actors each
+            # would reserve every CPU on a 4-CPU session and starve the
+            # upstream filter tasks (actor-pool deadlock)
+            batch_format="pyarrow", concurrency=1, batch_size=16,
+        ).map_batches(to_vec, batch_format="pyarrow")
+        feats = part if feats is None else feats.union(part)
+    # checkpoint the (tiny) feature table so the decode actor pools release
+    # before the LSH stage's own pools start — the two pool generations
+    # otherwise contend for actor slots on small-CPU sessions
+    feats = feats.materialize()
     return embedding_dup_pairs(feats, threshold=0.999, n_bits=4, n_tables=8, dim=40)
 
 
@@ -1752,6 +1777,35 @@ rp AS (
 SELECT repo, CAST(count(DISTINCT partner) AS BIGINT) AS distinct_partner_repos
 FROM rp GROUP BY repo
 ORDER BY distinct_partner_repos DESC, repo ASC LIMIT 10
+""",
+        # closed-form recomputation of the synth_real_media_table fixture:
+        # the engine decodes actual PNG/WAV bytes; the oracle derives every
+        # decoded quantity from media_id alone (see synth_real_media_table)
+        "media_features": """
+WITH m AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(0, 48) t(i)),
+png AS (
+  SELECT m.i AS media_id, 'image' AS kind,
+         16 + (m.i % 8) AS width, 8 + (m.i % 5) * 4 AS height,
+         CAST(0 AS BIGINT) AS duration_ms,
+         (16 + (m.i % 8)) * (8 + (m.i % 5) * 4) AS n_values,
+         (SELECT CAST(SUM((xx.x * 3 + yy.y * 5 + m.i) % 256) AS BIGINT)
+            FROM range(0, 23) xx(x), range(0, 24) yy(y)
+           WHERE xx.x < 16 + (m.i % 8) AND yy.y < 8 + (m.i % 5) * 4) AS sum_value
+  FROM m WHERE m.i % 2 = 0),
+wav AS (
+  SELECT m.i AS media_id, 'audio' AS kind,
+         CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+         (800 + 16 * m.i) // 8 AS duration_ms,
+         800 + 16 * m.i AS n_values,
+         (SELECT CAST(SUM(((tt.t * 7 + m.i * 13) % 2001) - 1000) AS BIGINT)
+            FROM range(0, 1552) tt(t)
+           WHERE tt.t < 800 + 16 * m.i) AS sum_value
+  FROM m WHERE m.i % 2 = 1)
+SELECT media_id, kind, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height, duration_ms,
+       CAST(n_values AS BIGINT) AS n_values, sum_value
+FROM (SELECT * FROM png UNION ALL SELECT * FROM wav)
+ORDER BY media_id
 """,
         "token_counts": r"""
 SELECT doc_id,

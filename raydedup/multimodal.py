@@ -1,12 +1,14 @@
-"""Multimodal (image/audio/video) column plumbing — decode stubs.
+"""Multimodal (image/audio/video) column plumbing.
 
 Binary payloads travel as opaque ``large_binary`` cells with typed metadata
-columns; decode / feature-extract stages are actor-pool map_batches classes
-whose Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) is real and tested, while the codec call itself is stubbed: the
-container ships no image/audio libraries, so ``DecodeStage`` uses a
-deterministic fake decoder by default and raises ``NotImplementedError``
-when asked for a real codec.
+columns; decode / feature-extract stages are actor-pool map_batches classes.
+``DecodeStage`` supports REAL pure-stdlib codecs (``codec="png"|"wav"`` via
+raydedup/codecs.py: zlib inflate + unfilter, RIFF/PCM parse) alongside the
+deterministic ``"fake"`` byte-level features; video decode remains stubbed
+behind ``NotImplementedError`` (no video codec is implementable from the
+stdlib). Real decodes emit the decoded geometry (width/height/duration) and
+exact value sums, which is what lets ``media_features`` carry a value-hash
+DuckDB oracle over a closed-form fixture.
 """
 
 from __future__ import annotations
@@ -47,10 +49,11 @@ class DecodeStage:
     FEATURE_DIM = 40
 
     def __init__(self, codec: str = "fake"):
-        if codec != "fake":
+        if codec not in ("fake", "png", "wav"):
             raise NotImplementedError(
-                f"codec {codec!r}: media libraries are not available in this "
-                "container; plug a real decoder here"
+                f"codec {codec!r}: only png/wav are decodable from the "
+                "stdlib in this container (raydedup/codecs.py); video needs "
+                "a real codec library"
             )
         self.codec = codec
 
@@ -75,15 +78,75 @@ class DecodeStage:
         proj = rng.standard_normal(self.FEATURE_DIM - 36) * 0.2
         return np.concatenate([hist, moments, proj])
 
+    def _real_decode(self, payload: bytes) -> tuple[int, int, int, int, int, np.ndarray]:
+        """(width, height, duration_ms, n_values, sum_value, flat values)."""
+        from . import codecs
+
+        if self.codec == "png":
+            img = codecs.decode_png(payload)
+            h, w = img.shape[:2]
+            flat = img.reshape(-1).astype(np.int64)
+            return w, h, 0, int(flat.size), int(flat.sum()), flat
+        samples, rate = codecs.decode_wav(payload)
+        flat = samples.reshape(-1).astype(np.int64)
+        dur = int(round(1000.0 * len(samples) / rate))
+        return 0, 0, dur, int(flat.size), int(flat.sum()), flat
+
+    def _real_features(self, flat: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        """Feature over DECODED values (not payload bytes): 32-bin histogram
+        + moments + content-hash projection — identical decodes collide."""
+        v = flat.astype(np.float64)
+        hist, _ = np.histogram(v, bins=32, range=(lo, hi))
+        hist = hist.astype(np.float64) / max(len(v), 1)
+        span = hi - lo
+        moments = np.array(
+            [
+                (v.mean() - lo) / span if len(v) else 0.0,
+                v.std() / span if len(v) else 0.0,
+                min(float(len(v)) / 65536.0, 1.0),
+                float(xxh64_bytes(flat.tobytes()) % 1000) / 1000.0,
+            ]
+        )
+        rng = np.random.default_rng(xxh64_bytes(flat.tobytes()))
+        proj = rng.standard_normal(self.FEATURE_DIM - 36) * 0.2
+        return np.concatenate([hist, moments, proj])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([self._fake_features(p or b"") for p in payloads])
+        if self.codec == "fake":
+            feats = np.stack([self._fake_features(p or b"") for p in payloads])
+            return pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "kind": batch.column("kind"),
+                    "feature": pa.FixedSizeListArray.from_arrays(
+                        pa.array(feats.reshape(-1), type=pa.float32()),
+                        self.FEATURE_DIM,
+                    ),
+                }
+            )
+        lo, hi = (0.0, 256.0) if self.codec == "png" else (-32768.0, 32768.0)
+        w_, h_, d_, n_, s_, feats = [], [], [], [], [], []
+        for p in payloads:
+            w, h, dur, n, sm, flat = self._real_decode(p or b"")
+            w_.append(w)
+            h_.append(h)
+            d_.append(dur)
+            n_.append(n)
+            s_.append(sm)
+            feats.append(self._real_features(flat, lo, hi))
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "kind": batch.column("kind"),
+                "width": pa.array(w_, pa.int64()),
+                "height": pa.array(h_, pa.int64()),
+                "duration_ms": pa.array(d_, pa.int64()),
+                "n_values": pa.array(n_, pa.int64()),
+                "sum_value": pa.array(s_, pa.int64()),
                 "feature": pa.FixedSizeListArray.from_arrays(
-                    pa.array(feats.reshape(-1), type=pa.float32()), self.FEATURE_DIM
+                    pa.array(np.stack(feats).reshape(-1), type=pa.float32()),
+                    self.FEATURE_DIM,
                 ),
             }
         )
@@ -115,6 +178,57 @@ class FrameSampleStage:
                 "frame_ts_ms": pa.array(np.concatenate(out_ts) if out_ts else []),
             }
         )
+
+
+def synth_real_media_table(n: int = 48) -> pa.Table:
+    """Deterministic REAL media fixture with closed-form contents, so the
+    decoded geometry and value sums are SQL-computable from media_id alone:
+
+    * even ids → gray PNG, width 16+(i%8), height 8+(i%5)*4,
+      pixel(y,x) = (x*3 + y*5 + i) % 256 (encoder cycles all 5 filters);
+    * odd ids → mono 16-bit 8 kHz WAV, 800+16*i frames (always /8 → exact
+      duration_ms), sample(t) = ((t*7 + i*13) % 2001) - 1000.
+
+    A decoder bug (wrong unfilter, wrong stride, wrong chunk walk) breaks
+    the value-hash match; the payload bytes really are PNG/WAV."""
+    from . import codecs
+
+    ids, kinds, fmts, payloads, widths, heights, durs = [], [], [], [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 2 == 0:
+            w, h = 16 + (i % 8), 8 + (i % 5) * 4
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            img = ((x * 3 + y * 5 + i) % 256).astype(np.uint8)
+            payloads.append(codecs.encode_png(img))
+            kinds.append("image")
+            fmts.append("png")
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+        else:
+            frames = 800 + 16 * i
+            t = np.arange(frames, dtype=np.int64)
+            s = ((t * 7 + i * 13) % 2001 - 1000).astype(np.int16)
+            payloads.append(codecs.encode_wav(s, rate=8000, channels=1))
+            kinds.append("audio")
+            fmts.append("wav")
+            widths.append(0)
+            heights.append(0)
+            durs.append(frames // 8)
+    return pa.table(
+        {
+            "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "kind": pa.array(kinds),
+            "format": pa.array(fmts),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "width": pa.array(np.asarray(widths, dtype=np.int32)),
+            "height": pa.array(np.asarray(heights, dtype=np.int32)),
+            "duration_ms": pa.array(np.asarray(durs, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
