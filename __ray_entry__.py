@@ -1365,42 +1365,41 @@ def _redact_pii_sql() -> str:
 
 
 def _lang_id_sql() -> str:
-    """DuckDB mirror of raydedup.textstats.lang_id (same profiles, same
-    first-max-wins order, same IEEE-double ratio + floor quantization)."""
-    from raydedup.textstats import _LANG_PROFILES
+    """DuckDB mirror of raydedup.textstats.lang_id: the profile VALUES table
+    is generated from the SAME _trigram_profiles() expansion the engine
+    scores with, trigram positions come from substr over generate_series,
+    and the argmax tie-break is (score DESC, declaration order ASC) — so
+    prediction AND score are bit-identical by construction."""
+    from raydedup.textstats import LANG_MIN_RATIO, _trigram_profiles
 
-    langs = list(_LANG_PROFILES)
-    hit_cols = ",\n    ".join(
-        "len(list_filter(toks, x -> list_contains(["
-        + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
-        + f"], x))) AS h_{lang}"
-        for lang in langs
-    )
-    # first max in profile order wins (argmax-first semantics)
-    case_parts = []
-    for i, lang in enumerate(langs[:-1]):
-        conds = " AND ".join(f"h_{lang} >= h_{other}" for other in langs[i + 1 :])
-        case_parts.append(f"WHEN {conds} THEN '{lang}'")
-    best_case = "CASE " + " ".join(case_parts) + f" ELSE '{langs[-1]}' END"
-    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    rows = []
+    for ord_, (lang, grams) in enumerate(_trigram_profiles().items()):
+        for gram, w in grams.items():
+            g = gram.replace("'", "''")
+            rows.append(f"({ord_},'{lang}','{g}',{w})")
+    values = ",".join(rows)
+    trim_chars = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
     return rf"""
-WITH t AS (SELECT doc_id, lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS lt FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d),
-tk AS (
-  SELECT doc_id,
-         CASE WHEN lt = '' THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(lt, '\s+') END AS toks
-  FROM t),
-h AS (SELECT doc_id, len(toks) AS n,
-    {hit_cols}
-  FROM tk),
-b AS (SELECT doc_id, n, {greatest} AS best_hits, {best_case} AS best_lang FROM h)
-SELECT doc_id,
-  CASE WHEN n > 0 AND best_hits > 0
-            AND CAST(best_hits AS DOUBLE) / n >= 0.02
-       THEN best_lang ELSE 'und' END AS lang_pred,
-  CASE WHEN n = 0 THEN 0.0
-       ELSE floor(CAST(best_hits AS DOUBLE) / n * 1e6) / 1e6 END AS lang_score
-FROM b
+WITH prof(ord, lang, gram, w) AS (VALUES {values}),
+t AS (SELECT doc_id,
+             ' ' || regexp_replace(lower(trim(coalesce(text, ''), {trim_chars})), '\s+', ' ', 'g') || ' ' AS padded
+      FROM documents),
+p AS (SELECT doc_id, padded, length(padded) AS plen FROM t),
+g AS (SELECT doc_id,
+             substr(padded, unnest(generate_series(1, plen - 2)), 3) AS gram
+      FROM p),
+s AS (SELECT g.doc_id, prof.ord, prof.lang, SUM(prof.w) AS score
+      FROM g JOIN prof ON g.gram = prof.gram
+      GROUP BY g.doc_id, prof.ord, prof.lang),
+b AS (SELECT doc_id, lang AS best_lang, score AS best,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord ASC) AS rn
+      FROM s)
+SELECT p.doc_id,
+  CASE WHEN b.best > 0 AND CAST(b.best AS DOUBLE) / p.plen >= {LANG_MIN_RATIO}
+       THEN b.best_lang ELSE 'und' END AS lang_pred,
+  CASE WHEN b.best IS NULL THEN 0.0
+       ELSE floor(CAST(b.best AS DOUBLE) / p.plen * 1e6) / 1e6 END AS lang_score
+FROM p LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id)
 """
 
 

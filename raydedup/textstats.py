@@ -22,39 +22,66 @@ from .tokenize import _string_array_np, tokenize_hashes
 # trim(text, ' ' || chr(9) || ...)) makes the match exact by construction.
 _ASCII_WS = " \t\n\r\v\f"
 
-# per-language stopword profiles (public common-word lists). Declaration
-# order is the tie-break order (first max wins); the DuckDB oracle is
-# generated from this dict, so the two sides can never drift.
-_LANG_PROFILES: dict[str, set[str]] = {
-    "en": {
-        "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
-        "was", "with", "as", "his", "on", "be", "at", "by", "not", "this",
-    },
-    "de": {
-        "der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht",
-        "ein", "eine", "auf", "für", "im", "dem", "sich", "des", "auch", "es",
-    },
-    "fr": {
-        "le", "la", "les", "de", "et", "est", "un", "une", "que", "pour",
-        "dans", "qui", "au", "pas", "sur", "plus", "par", "il", "ne", "se",
-    },
-    "es": {
-        "el", "la", "los", "de", "y", "es", "un", "una", "que", "por",
-        "en", "no", "se", "del", "las", "con", "para", "su", "al", "lo",
-    },
-    "it": {
-        "il", "la", "di", "e", "che", "un", "una", "per", "non", "sono",
-        "in", "del", "si", "con", "le", "della", "dei", "più", "al", "anche",
-    },
-    "pt": {
-        "o", "a", "de", "e", "que", "do", "da", "em", "um", "uma",
-        "para", "com", "não", "os", "as", "dos", "se", "mais", "por", "como",
-    },
-    "nl": {
-        "de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
-        "zijn", "met", "voor", "niet", "aan", "er", "maar", "om", "ook", "als",
-    },
-}
+# Character-trigram language profiles, expanded deterministically from the
+# per-language common-word lists in raydedup/langdata.py (27 languages).
+# The DuckDB oracle is generated from the SAME expanded table, so the two
+# sides can never drift. Minimum score-per-character to call a language:
+LANG_MIN_RATIO = 1.0
+
+
+def _pack3(cps: np.ndarray) -> np.ndarray:
+    """Pack 3 consecutive code points into one uint64 key (cp < 2^21)."""
+    c = cps.astype(np.uint64)
+    return c[:-2] | (c[1:-1] << np.uint64(21)) | (c[2:] << np.uint64(42))
+
+
+def _trigram_profiles() -> dict[str, dict[str, int]]:
+    """lang → {trigram: weight}. Each rank-r word (space-padded) contributes
+    its trigrams at weight len(words)-r; a gram seen at several ranks keeps
+    the max weight, so every (lang, gram) row is unique — the SQL join and
+    the engine lookup count occurrences identically."""
+    from .langdata import LANG_WORDS
+
+    out: dict[str, dict[str, int]] = {}
+    for lang, words in LANG_WORDS.items():
+        grams: dict[str, int] = {}
+        k = len(words)
+        for r, w in enumerate(words):
+            padded = f" {w.lower()} "
+            for i in range(len(padded) - 2):
+                g = padded[i : i + 3]
+                grams[g] = max(grams.get(g, 0), k - r)
+        out[lang] = grams
+    return out
+
+
+def _combined_profile():
+    """Merged profile across ALL languages: (sorted unique packed gram keys,
+    CSR offsets, per-entry lang ids, per-entry weights, lang names in
+    declaration order). One searchsorted against this table classifies every
+    trigram position for all 27 languages at once; the CSR expansion feeds a
+    single bincount — no per-language pass over the position stream."""
+    profs = _trigram_profiles()
+    lang_names = np.array(list(profs))
+    entries: dict[int, list[tuple[int, int]]] = {}
+    for li, grams in enumerate(profs.values()):
+        for g, w in grams.items():
+            k = int(_pack3(np.frombuffer(g.encode("utf-32-le"), dtype=np.uint32))[0])
+            entries.setdefault(k, []).append((li, w))
+    keys = np.array(sorted(entries), dtype=np.uint64)
+    nnz = np.array([len(entries[int(k)]) for k in keys], dtype=np.int64)
+    off = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(nnz, out=off[1:])
+    lang_ids = np.array(
+        [li for k in keys for li, _ in entries[int(k)]], dtype=np.int64
+    )
+    weights = np.array(
+        [w for k in keys for _, w in entries[int(k)]], dtype=np.float64
+    )
+    return keys, off, lang_ids, weights, lang_names
+
+
+_COMBINED_PROFILE = None
 
 
 def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -101,42 +128,68 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-profile language ID with 'und' fallback.
+    """Character-trigram language ID over 27 languages with 'und' fallback.
 
-    Vectorized: one regex tokenize pass, then one ``pc.is_in`` membership
-    pass per language profile over the flattened token array with per-row
-    hit counts recovered from the list offsets — no per-row Python.
-    First-max-wins across profiles in declaration order, 2% minimum hit
-    ratio; mirrored exactly by the DuckDB oracle."""
+    Model: each language's profile is the trigram expansion of its most
+    frequent function words (raydedup/langdata.py), rank-weighted. Score =
+    Σ weight over every trigram POSITION of the normalized text (lowered,
+    whitespace-collapsed, space-padded); prediction = first-max language in
+    declaration order, 'und' when score/char < LANG_MIN_RATIO.
+
+    Vectorized: the batch's texts join into ONE code-point array (NUL×2
+    separators can never match a profile gram), trigrams pack into uint64
+    keys, ONE searchsorted against the merged all-language gram table tags
+    every position, and a CSR expansion + single bincount scores all 27
+    languages at once — no per-language pass, no Python per row."""
+    global _COMBINED_PROFILE
+    if _COMBINED_PROFILE is None:
+        _COMBINED_PROFILE = _combined_profile()
+    ukeys, off, p_lang, p_w, names = _COMBINED_PROFILE
+    n_lang = len(names)
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     lowered = pc.utf8_lower(pc.utf8_trim(pc.fill_null(text, ""), _ASCII_WS))
-    toks = pc.split_pattern_regex(lowered, r"\s+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.flatten()
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    n_rows = len(toks)
-    n_tok = (offsets[1:] - offsets[:-1]).astype(np.float64)
-    # empty/whitespace rows split to [''] — treat as zero real tokens
-    empty = pc.equal(lowered, "").to_numpy(zero_copy_only=False)
-    hits = np.zeros((len(_LANG_PROFILES), n_rows), dtype=np.int64)
-    for li, words in enumerate(_LANG_PROFILES.values()):
-        mask = pc.is_in(flat, value_set=pa.array(sorted(words))).to_numpy(
-            zero_copy_only=False
-        )
-        csum = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
-        hits[li] = csum[offsets[1:]] - csum[offsets[:-1]]
-    best_idx = np.argmax(hits, axis=0)  # first max wins = profile order
-    best_hits = hits[best_idx, np.arange(n_rows)].astype(np.float64)
-    ratio = np.where(n_tok > 0, best_hits / np.maximum(n_tok, 1.0), 0.0)
-    names = np.array(list(_LANG_PROFILES.keys()))
-    langs = np.where((best_hits > 0) & (ratio >= 0.02) & ~empty, names[best_idx], "und")
-    scores = np.where(empty, 0.0, np.floor(ratio * 1e6) / 1e6)
+    collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
+    padded_arr = pc.binary_join_element_wise(" ", collapsed, " ", "")
+    n_rows = len(padded_arr)
+    lens = pc.utf8_length(padded_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    joined = "\x00\x00".join(padded_arr.to_pylist())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    if n_rows > 1:
+        starts[1:] = np.cumsum(lens[:-1] + 2)
+    scores = np.zeros((n_lang, n_rows), dtype=np.int64)
+    if len(cps) >= 3:
+        keys = _pack3(cps)
+        idx = np.searchsorted(ukeys, keys)
+        idxc = np.minimum(idx, len(ukeys) - 1)
+        m = ukeys[idxc] == keys
+        if m.any():
+            mpos = np.nonzero(m)[0]
+            row = np.searchsorted(starts, mpos, side="right") - 1
+            gi = idxc[mpos]
+            cnt = off[gi + 1] - off[gi]
+            tot = int(cnt.sum())
+            if tot:
+                # CSR range gather: entry indices for each matched gram
+                rep = np.repeat(np.arange(len(gi)), cnt)
+                ent = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                ent += off[gi][rep]
+                flat = p_lang[ent] * n_rows + np.repeat(row, cnt)
+                scores = (
+                    np.bincount(flat, weights=p_w[ent], minlength=n_lang * n_rows)
+                    .reshape(n_lang, n_rows)
+                    .astype(np.int64)
+                )
+    best_idx = np.argmax(scores, axis=0)  # first max wins = declaration order
+    best = scores[best_idx, np.arange(n_rows)].astype(np.float64)
+    ratio = best / np.maximum(lens, 1).astype(np.float64)
+    langs = np.where((best > 0) & (ratio >= LANG_MIN_RATIO), names[best_idx], "und")
+    out_score = np.floor(ratio * 1e6) / 1e6
     cols = {name: batch.column(name) for name in batch.column_names if name != text_col}
     cols["lang_pred"] = pa.array(langs.tolist(), type=pa.string())
-    cols["lang_score"] = pa.array(scores, type=pa.float64())
+    cols["lang_score"] = pa.array(out_score, type=pa.float64())
     return pa.table(cols)
 
 

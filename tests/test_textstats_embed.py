@@ -52,6 +52,35 @@ def test_lang_id():
     assert out.column("lang_pred").to_pylist() == ["en", "de", "und"]
 
 
+def test_lang_id_mixed_language_quality():
+    """Quality check on a 12-language fixture: every natural-language snippet
+    must be identified as its own language, gibberish and empty as 'und'."""
+    fixtures = [
+        ("en", "the cat and the dog were in the house but it was not for them"),
+        ("de", "der hund und die katze sind nicht mit dem kind auf der straße"),
+        ("fr", "le chien et le chat sont dans la maison avec les enfants"),
+        ("es", "el perro y el gato están en la casa con los niños para jugar"),
+        ("it", "il cane e il gatto sono nella casa con i bambini per giocare"),
+        ("pt", "o cachorro e o gato não estão em casa com as crianças"),
+        ("nl", "de hond en de kat zijn niet in het huis met de kinderen"),
+        ("sv", "hunden och katten är inte i huset med barnen för att leka"),
+        ("pl", "pies i kot nie są w domu z dziećmi ale to jest dobrze"),
+        ("ru", "собака и кошка не в доме с детьми но это хорошо и так"),
+        ("tr", "köpek ve kedi evde çocuklarla değil ama bu çok iyi bir şey"),
+        ("el", "ο σκύλος και η γάτα δεν είναι στο σπίτι με τα παιδιά"),
+        ("und", "zzz qqq www xkcd foobar"),
+        ("und", ""),
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(fixtures)), pa.int64()),
+            "text": pa.array([t for _, t in fixtures]),
+        }
+    )
+    out = lang_id(batch)
+    assert out.column("lang_pred").to_pylist() == [lang for lang, _ in fixtures]
+
+
 def test_fingerprint_whitespace_stable():
     batch = pa.table(
         {
