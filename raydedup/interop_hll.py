@@ -187,17 +187,23 @@ def hll_to_reference_bytes(sk: HllSketch, tgt: str = "hll8", compact: bool = Tru
 
     Sparse-tier sketches are densified into registers first (the engine's
     sparse tier stores raw hashes, not reference coupons, so LIST/SET
-    images are never emitted). The OUT_OF_ORDER flag is set and hipAccum
-    written as 0 — reference readers then use their composite estimator,
-    which is the correct behavior for merged register state.
+    images are never emitted). A never-merged sketch writes its live
+    hipAccum with the OUT_OF_ORDER flag clear, so reference readers use
+    the HIP estimator exactly as they would for their own in-order state;
+    merged register state sets the flag and writes hipAccum 0, sending
+    readers to their composite estimator.
     """
     tgt_type = _TGT_NAMES[tgt]
     if sk.sparse is not None:
         dense = HllSketch.deserialize(sk.serialize())
         dense._densify()
         regs = dense.regs
+        hip = dense.hip_accum
+        ooo = dense.out_of_order or hip is None
     else:
         regs = sk.regs
+        hip = sk.hip_accum
+        ooo = sk.out_of_order or hip is None
     k = 1 << sk.lg_k
     if int(regs.max(initial=0)) > 63:
         raise HllFormatError("register value exceeds the 6-bit wire range")
@@ -235,13 +241,17 @@ def hll_to_reference_bytes(sk: HllSketch, tgt: str = "hll8", compact: bool = Tru
         aux_bytes = 0
 
     out = bytearray(40 + len(body) + aux_bytes)
-    flags = _OOO_FLAG | (_COMPACT_FLAG if compact else 0) | (_EMPTY_FLAG if empty else 0)
+    flags = (
+        (_OOO_FLAG if ooo else 0)
+        | (_COMPACT_FLAG if compact else 0)
+        | (_EMPTY_FLAG if empty else 0)
+    )
     mode = 2 | (tgt_type << 2)
     struct.pack_into(
         "<8B", out, 0, _HLL_PREINTS, HLL_SER_VER, HLL_FAMILY_ID, sk.lg_k,
         lg_aux if tgt_type == TGT_HLL_4 else 0, flags, cur_min, mode,
     )
-    struct.pack_into("<3d", out, 8, 0.0, kxq0, kxq1)
+    struct.pack_into("<3d", out, 8, 0.0 if ooo else hip, kxq0, kxq1)
     struct.pack_into("<2i", out, 32, num_at_cur_min, len(aux_pairs))
     out[40 : 40 + len(body)] = body
     if tgt_type == TGT_HLL_4 and len(aux_pairs):

@@ -16,8 +16,20 @@ Index and rho come from lgK-INDEPENDENT bit fields (index = low lg_k bits,
 rho = clz of the top 32 bits + 1, like the reference's coupon layout in
 hll/HllUtil.java), so cross-lgK register folding is an exact downsample.
 lgK range 4..21 mirrors hll/HllUtil.java:48-49. Merge = register-wise max
-(hll/Union.java:49-302); sparse inputs replay. Estimator: standard
-Flajolet et al. HLL with linear-counting small-range correction.
+(hll/Union.java:49-302); sparse inputs replay.
+
+Estimators, preferred in the reference's order (hll/HllSketch.getEstimate →
+hll/HllEstimators.java): a HIP accumulator maintained DURING dense updates
+(hipAccum += m/kxq on every accepted register increase, then kxq adjusted —
+AbstractHllArray.hipAndKxQIncrementalUpdate) serves never-merged sketches
+at RSE ≈ 0.836/√m; merged (out-of-order) register state falls back to the
+standard Flajolet et al. estimate with linear-counting small-range
+correction (the reference's composite-interpolation refinement of that
+fallback is skipped — documented deviation). The sequential HIP recurrence
+vectorizes like CPC's: accepted updates are the per-slot strictly-rising
+running-max subsequence (slot-sorted prefix max), and kxq_before each
+accepted update has the closed form kxq_0 + exclusive-prefix-sum(Δ) in
+stream order — no Python loop.
 """
 
 from __future__ import annotations
@@ -48,12 +60,15 @@ class HllSketch:
         self.m = 1 << lg_k
         self.sparse: set[int] | None = set()  # None once dense
         self.regs: np.ndarray | None = None
-        # Wire state (interop_hll): reference HLL-mode images carry a HIP
-        # accumulator that getEstimate prefers when the sketch is not
-        # out-of-order (hll/HllEstimators.java). Engine-built sketches never
-        # set it; merges clear it.
-        self.out_of_order = True
+        # HIP state (hll/HllEstimators.java): hip_accum is maintained during
+        # dense updates and preferred by estimate() while the sketch has
+        # never been merged (not out_of_order). It starts at densify (the
+        # sparse tier is exact and replays through the HIP update, exactly
+        # like the reference's coupon→HLL promotion). kxq = Σ 2^-reg,
+        # tracked incrementally; None until dense.
+        self.out_of_order = False
         self.hip_accum: float | None = None
+        self.kxq: float | None = None
 
     @property
     def is_sparse(self) -> bool:
@@ -66,9 +81,20 @@ class HllSketch:
     def _densify(self) -> None:
         assert self.sparse is not None
         self.regs = np.zeros(self.m, dtype=np.uint8)
-        if self.sparse:
-            self._dense_update(np.fromiter(self.sparse, dtype=np.uint64))
+        pending = self.sparse
         self.sparse = None
+        if not self.out_of_order:
+            self.hip_accum = 0.0
+            self.kxq = float(self.m)
+        if pending:
+            self._dense_update(np.fromiter(pending, dtype=np.uint64))
+
+    def _kxq(self) -> float:
+        """Incremental Σ 2^-reg; recomputed from registers on first need
+        (wire-read in-order images carry hip but not the engine field)."""
+        if self.kxq is None:
+            self.kxq = float(np.ldexp(1.0, -self.regs.astype(np.int64)).sum())
+        return self.kxq
 
     def _dense_update(self, h: np.ndarray) -> None:
         idx = (h & np.uint64(self.m - 1)).astype(np.int64)
@@ -76,7 +102,37 @@ class HllSketch:
         # bit_length of a 32-bit value via float64 exponent (exact <= 2^53)
         bl = np.frexp(hi.astype(np.float64))[1]  # 0 when hi == 0
         rho = (33 - bl).astype(np.uint8)  # clz32(hi) + 1, in [1, 33]
+        if self.hip_accum is not None and not self.out_of_order:
+            self._hip_update(idx, rho.astype(np.int64))
         np.maximum.at(self.regs, idx, rho)
+
+    def _hip_update(self, idx: np.ndarray, rho: np.ndarray) -> None:
+        """Accumulate HIP over this batch's accepted register increases in
+        stream order. Accepted updates per slot form the strictly-rising
+        running-max subsequence: slot-sort (stable), take the exclusive
+        prefix max with a 64·slot offset so np.maximum.accumulate cannot
+        leak across slot groups (cur_reg ≥ 0 makes each group's seed
+        64·slot + cur exceed every earlier group's ceiling 64·slot − 1)."""
+        order = np.argsort(idx, kind="stable")
+        s_idx = idx[order]
+        base = s_idx * 64
+        comb = base + rho[order]
+        bound = np.empty_like(comb)
+        bound[0] = -1
+        np.maximum.accumulate(comb[:-1], out=bound[1:])
+        np.maximum(bound, base + self.regs[s_idx].astype(np.int64), out=bound)
+        acc = np.flatnonzero(comb > bound)
+        if not len(acc):
+            return
+        old_v = bound[acc] - base[acc]
+        new_v = comb[acc] - base[acc]
+        delta = np.ldexp(1.0, -new_v) - np.ldexp(1.0, -old_v)  # Δkxq < 0
+        # the recurrence (hip += m/kxq; kxq += Δ) runs in STREAM order
+        delta = delta[np.argsort(order[acc])]
+        kxq0 = self._kxq()
+        kxq_before = kxq0 + np.concatenate([[0.0], np.cumsum(delta[:-1])])
+        self.hip_accum += float((self.m / kxq_before).sum())
+        self.kxq = kxq0 + float(delta.sum())
 
     def update_hashes(self, hashes: np.ndarray) -> None:
         """Vectorized update from uniform uint64 hash values."""
@@ -93,6 +149,7 @@ class HllSketch:
     def merge(self, other: "HllSketch") -> "HllSketch":
         self.out_of_order = True  # merged state: HIP no longer valid
         self.hip_accum = None
+        self.kxq = None
         if other.sparse is not None:
             # replay other's raw hashes (works across any lg_k)
             if other.sparse:
@@ -124,10 +181,10 @@ class HllSketch:
         return self
 
     def estimate(self) -> float:
-        if self.hip_accum is not None and not self.out_of_order:
-            return self.hip_accum  # in-order wire image: HIP is the best estimate
         if self.sparse is not None:
             return float(len(self.sparse))  # exact in the small-range regime
+        if self.hip_accum is not None and not self.out_of_order:
+            return self.hip_accum  # never-merged: HIP is the best estimate
         m = self.m
         inv = np.power(2.0, -self.regs.astype(np.float64))
         raw = _alpha(m) * m * m / inv.sum()
@@ -140,6 +197,8 @@ class HllSketch:
     def rse(self) -> float:
         if self.sparse is not None:
             return 0.0  # exact
+        if self.hip_accum is not None and not self.out_of_order:
+            return 0.8326 / math.sqrt(self.m)  # HIP, √(ln 2 / (1 − n/m)) → √ln2
         return 1.04 / math.sqrt(self.m)
 
     def serialize(self) -> bytes:
@@ -159,26 +218,43 @@ class HllSketch:
         packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8)
         slots = np.nonzero(exc)[0]
         pairs = (self.regs[slots].astype(np.uint32) << np.uint32(26)) | slots.astype(np.uint32)
-        return (
-            bytes([self.lg_k, 2, cur_min]) + packed.tobytes() + pairs.astype("<u4").tobytes()
-        )
+        in_order = self.hip_accum is not None and not self.out_of_order
+        import struct as _struct
+
+        head = bytes([self.lg_k, 3, cur_min, 1 if in_order else 0])
+        head += _struct.pack("<2d", self.hip_accum if in_order else 0.0,
+                             self._kxq() if in_order else 0.0)
+        return head + packed.tobytes() + pairs.astype("<u4").tobytes()
 
     @staticmethod
     def deserialize(buf: bytes) -> "HllSketch":
+        import struct as _struct
+
         sk = HllSketch(buf[0])
         if buf[1] == 1:
             sk.sparse = set(np.frombuffer(buf[2:], dtype="<u8").tolist())
             sk.regs = None
-        elif buf[1] == 2:
+        elif buf[1] in (2, 3):
             sk.sparse = None
             cur_min = buf[2]
+            if buf[1] == 3:
+                in_order = bool(buf[3])
+                hip, kxq = _struct.unpack_from("<2d", buf, 4)
+                if in_order:
+                    sk.hip_accum, sk.kxq = hip, kxq
+                else:
+                    sk.out_of_order = True
+                body = 20
+            else:  # v2: pre-HIP dense image, merge-grade state only
+                sk.out_of_order = True
+                body = 3
             half = sk.m >> 1
-            packed = np.frombuffer(buf, dtype=np.uint8, count=half, offset=3)
+            packed = np.frombuffer(buf, dtype=np.uint8, count=half, offset=body)
             nibs = np.empty(sk.m, dtype=np.uint8)
             nibs[0::2] = packed & 0xF
             nibs[1::2] = packed >> 4
             sk.regs = nibs + np.uint8(cur_min)
-            pairs = np.frombuffer(buf, dtype="<u4", offset=3 + half)
+            pairs = np.frombuffer(buf, dtype="<u4", offset=body + half)
             if len(pairs):
                 sk.regs[(pairs & np.uint32((1 << 26) - 1)).astype(np.intp)] = (
                     pairs >> np.uint32(26)
