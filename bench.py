@@ -205,6 +205,14 @@ def run_scaling() -> dict:
     thr_hi = results[hi]["files_per_sec"]
     factor = hi / lo
     eff = (thr_hi / thr_lo) / factor
+    # median-of-interleaved alongside best-of: best-of strips additive load
+    # noise (the headline), median shows the typical run so the two can be
+    # compared — a large gap between them flags a noisy measurement session
+    import statistics
+
+    med_lo = statistics.median(all_times[lo])
+    med_hi = statistics.median(all_times[hi])
+    median_eff = (med_lo / med_hi) / factor
     return {
         "metric": f"scaling efficiency ({lo} → {hi} cpus, fresh processes)",
         "value": round(eff, 3),
@@ -215,6 +223,9 @@ def run_scaling() -> dict:
         },
         f"throughput_{lo}cpu_files_per_sec": thr_lo,
         f"throughput_{hi}cpu_files_per_sec": thr_hi,
+        "median_efficiency": round(median_eff, 3),
+        f"median_sec_{lo}cpu": med_lo,
+        f"median_sec_{hi}cpu": med_hi,
         "all_samples_sec": all_times,
         "sf": _sf_tag(SF_DIR),
         "num_cpus": hi,
