@@ -22,10 +22,12 @@ Estimators, preferred in the reference's order (hll/HllSketch.getEstimate →
 hll/HllEstimators.java): a HIP accumulator maintained DURING dense updates
 (hipAccum += m/kxq on every accepted register increase, then kxq adjusted —
 AbstractHllArray.hipAndKxQIncrementalUpdate) serves never-merged sketches
-at RSE ≈ 0.836/√m; merged (out-of-order) register state falls back to the
-standard Flajolet et al. estimate with linear-counting small-range
-correction (the reference's composite-interpolation refinement of that
-fallback is skipped — documented deviation). The sequential HIP recurrence
+at RSE ≈ 0.836/√m; merged (out-of-order) register state uses the composite
+estimator (hll/HllEstimators.hllCompositeEstimate): the raw Flajolet
+harmonic-mean estimate corrected by cubic interpolation through the
+published (rawEst → trueN) anchor tables, pasted with a harmonic-number
+bitmap (linear-counting) estimator in the small range via the reference's
+averaged-crossover rule. The sequential HIP recurrence
 vectorizes like CPC's: accepted updates are the per-slot strictly-rising
 running-max subsequence (slot-sorted prefix max), and kxq_before each
 accepted update has the closed form kxq_0 + exclusive-prefix-sum(Δ) in
@@ -50,6 +52,92 @@ def _alpha(m: int) -> float:
     if m == 64:
         return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
+
+
+# -- composite estimator helpers (hll/HllEstimators.java semantics) ----------
+
+_EULER_MASCHERONI = 0.577215664901532860606512090082
+
+
+def _harmonic_number(n: int) -> float:
+    """H_n: exact partial sums below 25, Euler-Maclaurin expansion above
+    (hll/HarmonicNumbers.java — same series truncation, so the two agree
+    to double precision)."""
+    if n < 25:
+        return math.fsum(1.0 / k for k in range(1, n + 1))
+    x = float(n)
+    inv_sq = 1.0 / (x * x)
+    s = math.log(x) + _EULER_MASCHERONI + 1.0 / (2.0 * x)
+    p = inv_sq
+    s -= p / 12.0
+    p *= inv_sq
+    s += p / 120.0
+    p *= inv_sq
+    s -= p / 252.0
+    p *= inv_sq
+    s += p / 240.0
+    return s
+
+
+def _bitmap_estimate(k: int, num_hit: int) -> float:
+    """Coupon-collector estimate for a k-bit random-access bitmap with
+    num_hit bits set: k·(H_k − H_{k−num_hit})."""
+    return k * (_harmonic_number(k) - _harmonic_number(k - num_hit))
+
+
+def _cubic_x_arr_y_stride(x_arr: np.ndarray, y_stride: float, x: float) -> float:
+    """Lagrange cubic through four consecutive anchors of (x_arr[i],
+    i·y_stride), window chosen as the reference does (CubicInterpolation.
+    usingXArrAndYStride: straddle index shifted one left, clamped at both
+    table ends)."""
+    n = len(x_arr)
+    if x == x_arr[n - 1]:
+        return y_stride * (n - 1)
+    straddle = int(np.searchsorted(x_arr, x, side="right")) - 1
+    if straddle == 0:
+        off = 0
+    elif straddle == n - 2:
+        off = n - 4
+    else:
+        off = straddle - 1
+    xs = x_arr[off : off + 4]
+    ys = y_stride * np.arange(off, off + 4, dtype=np.float64)
+    total = 0.0
+    for j in range(4):
+        num = 1.0
+        den = 1.0
+        for i in range(4):
+            if i != j:
+                num *= x - xs[i]
+                den *= xs[j] - xs[i]
+        total += ys[j] * num / den
+    return total
+
+
+def _composite_estimate(lg_k: int, kxq: float, cur_min: int, num_at_cur_min: int) -> float:
+    """The reference's non-HIP "composite" estimator for merged register
+    state: interpolation-corrected raw estimate, pasted with the bitmap
+    estimator in the small range via the averaged-crossover rule."""
+    from raydedup._hll_tables import X_ARRS, Y_STRIDES
+
+    k = 1 << lg_k
+    raw = _alpha(k) * k * k / kxq
+    x_arr = X_ARRS[lg_k - MIN_LG_K]
+    y_stride = float(Y_STRIDES[lg_k - MIN_LG_K])
+    if raw < x_arr[0]:
+        return 0.0
+    if raw > x_arr[-1]:
+        return raw * (y_stride * (len(x_arr) - 1) / x_arr[-1])
+    adj = _cubic_x_arr_y_stride(x_arr, y_stride, raw)
+    if adj > 3.0 * k:
+        return adj
+    num_unhit = num_at_cur_min if cur_min == 0 else 0
+    if num_unhit == 0:
+        lin = k * math.log(k / 0.5)
+    else:
+        lin = _bitmap_estimate(k, k - num_unhit)
+    cross = 0.718 if lg_k == 4 else (0.672 if lg_k == 5 else 0.64)
+    return adj if (adj + lin) / 2.0 > cross * k else lin
 
 
 class HllSketch:
@@ -185,13 +273,9 @@ class HllSketch:
             return float(len(self.sparse))  # exact in the small-range regime
         if self.hip_accum is not None and not self.out_of_order:
             return self.hip_accum  # never-merged: HIP is the best estimate
-        m = self.m
-        inv = np.power(2.0, -self.regs.astype(np.float64))
-        raw = _alpha(m) * m * m / inv.sum()
-        zeros = int(np.count_nonzero(self.regs == 0))
-        if raw <= 2.5 * m and zeros > 0:
-            return m * math.log(m / zeros)
-        return raw
+        cur_min = int(self.regs.min())
+        n_at_min = int(np.count_nonzero(self.regs == cur_min))
+        return _composite_estimate(self.lg_k, self._kxq(), cur_min, n_at_min)
 
     @property
     def rse(self) -> float:

@@ -34,7 +34,14 @@ class TestHll:
         a.merge(b)
         c = HllSketch(12)
         c.update_hashes(np.concatenate([_hashes(50_000), _hashes(50_000, salt=1)]))
-        assert a.estimate() == c.estimate()
+        # merged register state is identical to the single-stream build; the
+        # ESTIMATES legitimately differ (merged = out-of-order -> composite,
+        # never-merged -> HIP, like the reference's Union-vs-sketch results)
+        np.testing.assert_array_equal(a.regs, c.regs)
+        c_ooo = HllSketch(12)
+        c_ooo.sparse, c_ooo.regs, c_ooo.out_of_order = None, c.regs.copy(), True
+        assert a.estimate() == c_ooo.estimate()
+        assert a.estimate() == pytest.approx(c.estimate(), rel=4 * a.rse)
 
     def test_merge_mixed_k_downsamples(self):
         a, b = HllSketch(10), HllSketch(12)
@@ -548,11 +555,19 @@ class TestHllSparseTier:
         a.merge(sp)
         want = HllSketch(12)
         want.update_hashes(np.concatenate([_hashes(50_000, salt=1), _hashes(200)]))
-        assert a.estimate() == want.estimate()
+        # register parity; estimates go through the out-of-order composite
+        # path for merges vs HIP for the single stream (reference semantics)
+        np.testing.assert_array_equal(a.regs, want.regs)
+        want_ooo = HllSketch(12)
+        want_ooo.sparse, want_ooo.out_of_order = None, True
+        want_ooo.regs = want.regs.copy()
+        assert a.estimate() == want_ooo.estimate()
+        assert a.estimate() == pytest.approx(want.estimate(), rel=4 * a.rse)
         # sparse.merge(dense): adopt dense then replay own hashes
         b = HllSketch.deserialize(sp.serialize())
         b.merge(dn)
-        assert b.estimate() == want.estimate()
+        np.testing.assert_array_equal(b.regs, want.regs)
+        assert b.estimate() == want_ooo.estimate()
         # sparse.merge(sparse): stays exact while under the limit
         c = HllSketch(14)
         c.update_hashes(_hashes(100))
