@@ -1188,7 +1188,12 @@ def _q_media_dup_pairs(sf_dir: str):
     per-format actor-pool DecodeStage (features computed from DECODED
     pixels/samples, raydedup/codecs.py) → hyperplane-LSH near-duplicate
     pairs. Planted duplicates share payload bytes, so their decoded
-    features collide exactly (cosine == 1)."""
+    features collide exactly (cosine == 1) — which makes the pair SET
+    closed-form: exactly {(i, 1000+i) : i < 16} and nothing else (the 48
+    deterministic base items are mutually far at threshold 0.999). The
+    float cosine is dropped from the output so the DuckDB oracle can check
+    the full pipeline — decode parity, LSH bucketing across 8 tables, and
+    false-positive-free verification — by value hash."""
     import ray.data
 
     from raydedup.embed import embedding_dup_pairs
@@ -1223,7 +1228,8 @@ def _q_media_dup_pairs(sf_dir: str):
     # before the LSH stage's own pools start — the two pool generations
     # otherwise contend for actor slots on small-CPU sessions
     feats = feats.materialize()
-    return embedding_dup_pairs(feats, threshold=0.999, n_bits=4, n_tables=8, dim=40)
+    pairs = embedding_dup_pairs(feats, threshold=0.999, n_bits=4, n_tables=8, dim=40)
+    return pairs.select_columns(["src", "dst"])
 
 
 def pc_cast_list(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -1780,6 +1786,14 @@ ORDER BY distinct_partner_repos DESC, repo ASC LIMIT 10
         # closed-form recomputation of the synth_real_media_table fixture:
         # the engine decodes actual PNG/WAV bytes; the oracle derives every
         # decoded quantity from media_id alone (see synth_real_media_table)
+        # the planted-duplicate construction lives in the query itself
+        # (ids i<16 re-planted as 1000+i with byte-identical payloads), so
+        # the correct pair set is closed-form; any decode drift, LSH miss,
+        # or false positive at threshold 0.999 breaks rows/hash
+        "media_dup_pairs": """
+SELECT CAST(t.i AS BIGINT) AS src, CAST(t.i + 1000 AS BIGINT) AS dst
+FROM range(0, 16) t(i)
+""",
         "media_features": """
 WITH m AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(0, 48) t(i)),
 png AS (
