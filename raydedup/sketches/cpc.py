@@ -9,10 +9,12 @@ Even More Nearly Optimal Cardinality Estimation Algorithm", 2017):
   ``col = min(clz(hash1), 63)`` — P(col = j) = 2^-(j+1) (j < 63),
   P(col = 63) = 2^-63;
 * state = the k×64 coupon bit matrix (row i stored as one uint64 mask).
-  We keep the matrix uncompressed — the reference's sliding-window pair
-  table + arithmetic coding (CpcCompression.java) is a storage-size
-  optimization that does not change estimator semantics; serialized size
-  here is 8·k bytes instead of ~0.6·k (documented trade-off);
+  The IN-MEMORY matrix stays uncompressed — the reference's sliding-window
+  pair table (CpcCompression.java) is a storage-size optimization that does
+  not change estimator semantics — but every SERIALIZED form (what actually
+  moves through Ray's combiner tree and the object store) is the reference's
+  compressed wire image via interop_cpc, so shuffle bytes match the
+  reference's ~1.3·k-bit entropy-coded size;
 * union = bitwise OR of matrices with the reference's lgK-min downsampling
   rule (CpcUnion.java:89-142); row folding is exact because row bits are
   the LOW lgK bits and col is lgK-independent;
@@ -186,24 +188,22 @@ class CpcSketch:
     # -- serde --------------------------------------------------------------
 
     def serialize(self) -> bytes:
-        """Engine-internal serde (the reference wire format lives in
-        interop_cpc). Carries the HIP state so accumulate→serialize→
-        deserialize chains (the Ray aggregate hot path) keep a valid HIP."""
-        import struct
+        """Serde used by the Ray aggregate hot path: the reference's
+        COMPRESSED wire image (interop_cpc) — lossless for the coupon
+        matrix, HIP state (kxp/hipEstAccum/fiCol) and merge flag, and
+        13–180× smaller than the raw 8·k-byte matrix, so combiner-tree
+        partials shuffle at the reference's entropy-coded size
+        (cpc/CpcCompression.java role). In-memory state stays the
+        uncompressed matrix (documented trade-off in the module docstring)."""
+        from raydedup.interop_cpc import cpc_to_reference_bytes
 
-        head = bytes([self.lg_k, 1 if self.merge_flag else 0])
-        head += struct.pack("<2d", self.kxp, self.hip_est_accum)
-        return head + self.matrix.astype("<u8").tobytes()
+        return cpc_to_reference_bytes(self)
 
     @staticmethod
     def deserialize(buf: bytes) -> "CpcSketch":
-        import struct
+        from raydedup.interop_cpc import cpc_from_reference_bytes
 
-        sk = CpcSketch(buf[0])
-        sk.merge_flag = bool(buf[1])
-        sk.kxp, sk.hip_est_accum = struct.unpack_from("<2d", buf, 2)
-        sk.matrix = np.frombuffer(buf[18:], dtype="<u8").astype(np.uint64)
-        return sk
+        return cpc_from_reference_bytes(buf)
 
 
 def cpc_union(sketches: list[CpcSketch]) -> CpcSketch:
