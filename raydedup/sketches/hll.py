@@ -114,30 +114,97 @@ def _cubic_x_arr_y_stride(x_arr: np.ndarray, y_stride: float, x: float) -> float
     return total
 
 
+_H_EXACT = np.array([_harmonic_number(i) for i in range(25)])
+
+
+def _harmonic_rows(n: np.ndarray) -> np.ndarray:
+    """Vectorized H_n over an int array (same split as _harmonic_number)."""
+    n = np.asarray(n, dtype=np.int64)
+    out = np.empty(len(n), dtype=np.float64)
+    small = n < 25
+    if small.any():
+        out[small] = _H_EXACT[n[small]]
+    big = ~small
+    if big.any():
+        x = n[big].astype(np.float64)
+        inv_sq = 1.0 / (x * x)
+        s = np.log(x) + _EULER_MASCHERONI + 1.0 / (2.0 * x)
+        p = inv_sq.copy()
+        s -= p / 12.0
+        p *= inv_sq
+        s += p / 120.0
+        p *= inv_sq
+        s -= p / 252.0
+        p *= inv_sq
+        s += p / 240.0
+        out[big] = s
+    return out
+
+
+def _composite_estimate_rows(
+    lg_k: int, kxq: np.ndarray, cur_min: np.ndarray, num_at_cur_min: np.ndarray
+) -> np.ndarray:
+    """Vectorized composite estimator over many register rows at once (the
+    hllmap register-bank path: one pass for every hot key, no Python step
+    per key). Row semantics identical to the reference scalar algorithm."""
+    from raydedup._hll_tables import X_ARRS, Y_STRIDES
+
+    k = 1 << lg_k
+    kxq = np.asarray(kxq, dtype=np.float64)
+    raw = _alpha(k) * k * k / kxq
+    x_arr = X_ARRS[lg_k - MIN_LG_K]
+    y_stride = float(Y_STRIDES[lg_k - MIN_LG_K])
+    n = len(x_arr)
+    out = np.zeros(len(raw), dtype=np.float64)
+
+    above = raw > x_arr[-1]
+    out[above] = raw[above] * (y_stride * (n - 1) / x_arr[-1])
+    at_top = raw == x_arr[-1]
+    out[at_top] = y_stride * (n - 1)
+    mid = (raw >= x_arr[0]) & ~above & ~at_top
+    if mid.any():
+        xm = raw[mid]
+        straddle = np.searchsorted(x_arr, xm, side="right") - 1
+        off = np.where(
+            straddle == 0, 0, np.where(straddle == n - 2, n - 4, straddle - 1)
+        )
+        adj = np.zeros(len(xm), dtype=np.float64)
+        # Lagrange cubic over the 4-anchor window, all rows at once
+        xs = x_arr[off[:, None] + np.arange(4)]
+        ys = y_stride * (off[:, None] + np.arange(4)).astype(np.float64)
+        for j in range(4):
+            num = np.ones(len(xm))
+            den = np.ones(len(xm))
+            for i in range(4):
+                if i != j:
+                    num *= xm - xs[:, i]
+                    den *= xs[:, j] - xs[:, i]
+            adj += ys[:, j] * num / den
+        num_unhit = np.where(np.asarray(cur_min)[mid] == 0,
+                             np.asarray(num_at_cur_min)[mid], 0)
+        lin = np.where(
+            num_unhit == 0,
+            k * math.log(k / 0.5),
+            k * (_harmonic_number(k) - _harmonic_rows(num_unhit)),
+        )
+        cross = 0.718 if lg_k == 4 else (0.672 if lg_k == 5 else 0.64)
+        use_adj = (adj > 3.0 * k) | ((adj + lin) / 2.0 > cross * k)
+        out[mid] = np.where(use_adj, adj, lin)
+    return out
+
+
 def _composite_estimate(lg_k: int, kxq: float, cur_min: int, num_at_cur_min: int) -> float:
     """The reference's non-HIP "composite" estimator for merged register
     state: interpolation-corrected raw estimate, pasted with the bitmap
     estimator in the small range via the averaged-crossover rule."""
-    from raydedup._hll_tables import X_ARRS, Y_STRIDES
-
-    k = 1 << lg_k
-    raw = _alpha(k) * k * k / kxq
-    x_arr = X_ARRS[lg_k - MIN_LG_K]
-    y_stride = float(Y_STRIDES[lg_k - MIN_LG_K])
-    if raw < x_arr[0]:
-        return 0.0
-    if raw > x_arr[-1]:
-        return raw * (y_stride * (len(x_arr) - 1) / x_arr[-1])
-    adj = _cubic_x_arr_y_stride(x_arr, y_stride, raw)
-    if adj > 3.0 * k:
-        return adj
-    num_unhit = num_at_cur_min if cur_min == 0 else 0
-    if num_unhit == 0:
-        lin = k * math.log(k / 0.5)
-    else:
-        lin = _bitmap_estimate(k, k - num_unhit)
-    cross = 0.718 if lg_k == 4 else (0.672 if lg_k == 5 else 0.64)
-    return adj if (adj + lin) / 2.0 > cross * k else lin
+    return float(
+        _composite_estimate_rows(
+            lg_k,
+            np.array([kxq]),
+            np.array([cur_min]),
+            np.array([num_at_cur_min]),
+        )[0]
+    )
 
 
 class HllSketch:

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hll import _alpha
+from .hll import _composite_estimate_rows
 
 PROMOTE_AT = 16
 
@@ -193,14 +193,14 @@ class UniqueCountMap:
     # -- estimates --------------------------------------------------------
 
     def _est_rows(self, regs: np.ndarray) -> np.ndarray:
-        """Vectorized HLL estimate per register row (HllSketch.estimate
-        semantics: Flajolet raw + linear-counting small-range correction)."""
-        m = self.m
-        inv = np.power(2.0, -regs.astype(np.float64))
-        raw = _alpha(m) * m * m / inv.sum(axis=1)
-        zeros = (regs == 0).sum(axis=1)
-        lc = m * np.log(m / np.maximum(zeros, 1))
-        return np.where((raw <= 2.5 * m) & (zeros > 0), lc, raw)
+        """Vectorized HLL estimate per register row: the composite
+        estimator (HllSketch's merged-state path — interpolation-corrected
+        raw pasted with the bitmap estimator), one pass over the whole
+        register bank with no Python step per key."""
+        kxq = np.ldexp(1.0, -regs.astype(np.int64)).sum(axis=1)
+        cur_min = regs.min(axis=1).astype(np.int64)
+        n_at_min = (regs == cur_min[:, None]).sum(axis=1)
+        return _composite_estimate_rows(self.lg_k, kxq, cur_min, n_at_min)
 
     def estimate(self, key: int) -> float:
         i = int(np.searchsorted(self._hk, key))
