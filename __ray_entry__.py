@@ -846,6 +846,20 @@ def _q_token_counts(sf_dir: str):
     return docs.map_batches(token_counts, batch_format="pyarrow")
 
 
+def _q_pack_token_shards(sf_dir: str):
+    """Token-budget training-shard assignment: distributed exclusive
+    prefix-scan of BPE-ish token counts in doc_id order (raydedup/scan.py —
+    sort + per-block summaries + broadcast offsets; O(blocks) driver state),
+    shard_id = tokens-before-doc // 8192. The DuckDB window SUM mirrors the
+    scan bit-for-bit."""
+    import ray.data
+
+    from raydedup.scan import pack_token_shards
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_token_shards(docs, budget=8192)
+
+
 def _q_redact_pii(sf_dir: str):
     """PII scrubbing (emails / IPv4 / phone-shaped digit runs → typed
     placeholders). Engine and oracle both run RE2 (pyarrow
@@ -1314,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
+        "pack_token_shards": _q_pack_token_shards,
         "redact_pii": _q_redact_pii,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1819,6 +1834,18 @@ SELECT media_id, kind, CAST(width AS BIGINT) AS width,
        CAST(n_values AS BIGINT) AS n_values, sum_value
 FROM (SELECT * FROM png UNION ALL SELECT * FROM wav)
 ORDER BY media_id
+""",
+        "pack_token_shards": r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''),
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            // 8192 AS BIGINT) AS shard_id
+FROM t
 """,
         "token_counts": r"""
 SELECT doc_id,

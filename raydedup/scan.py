@@ -1,0 +1,121 @@
+"""Distributed ordered prefix-scan and token-budget shard packing.
+
+The missing wide primitive for training-data prep: a GLOBAL running total in
+a defined row order ("how many tokens precede this document?"), which Ray
+Data has no operator for. The classic two-pass exclusive-scan decomposition
+keeps it one-shuffle and driver-light:
+
+1. ``sort(order_col)`` — the single all-to-all; the sorted dataset is
+   materialized so both later passes observe the SAME block structure.
+2. Pass A reads one tiny summary row per block (first order key + block
+   sum); the driver folds those into per-block exclusive offsets — O(blocks)
+   driver state, never O(rows).
+3. Pass B re-maps each block: local vectorized cumsum + its broadcast
+   offset. Blocks never exchange data.
+
+At 100 TB the cost profile is exactly one sort plus two streaming map
+passes; the driver round trips kilobytes. The order key must be UNIQUE
+(offsets key on each block's first order value; ties that straddle blocks
+would be ambiguous) — doc ids satisfy this.
+
+``pack_token_shards`` applies the scan to training-shard assignment: docs
+ordered by id, shard_id = exclusive-token-cumsum // budget — i.e. the shard
+in which each document's token stream STARTS when the corpus is concatenated
+and cut at exact budget boundaries (the usual LLM pre-training layout).
+Token counts reuse textstats.token_counts' BPE-ish pre-tokenizer, so the
+whole operator is SQL-expressible: a window SUM mirrors the scan bit-for-bit
+(oracle in __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def ordered_prefix_sum(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_exclusive",
+) -> "ray.data.Dataset":
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order.
+
+    Appends ``out_col`` = sum of all STRICTLY EARLIER rows' values. The
+    order key must be unique across the dataset.
+    """
+    ds = ds.sort(order_col).materialize()
+
+    def _summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"first_key": pa.array([], b.schema.field(order_col).type),
+                 "total": pa.array([], pa.int64())}
+            )
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "first_key": [b.column(order_col)[0].as_py()],
+                "total": pa.array([int(vals.sum())], pa.int64()),
+            }
+        )
+
+    # one row per block; blocks of a sorted dataset are key ranges, so
+    # sorting the summaries by first_key reproduces block order without
+    # relying on take_all ordering
+    rows = ds.map_batches(_summary, batch_size=None, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["first_key"])
+    offsets: dict = {}
+    running = 0
+    for r in rows:
+        offsets[r["first_key"]] = running
+        running += r["total"]
+    off_ref = ray.put(offsets)
+
+    def _apply(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        off = ray.get(off_ref)[b.column(order_col)[0].as_py()]
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = off + np.cumsum(v) - v
+        return b.append_column(out_col, pa.array(cum, pa.int64()))
+
+    return ds.map_batches(_apply, batch_size=None, batch_format="pyarrow")
+
+
+def pack_token_shards(
+    docs: "ray.data.Dataset",
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_kind: str = "bpe_tokens",
+) -> "ray.data.Dataset":
+    """Assign each document to the training shard where its token stream
+    starts: shard_id = (tokens before this doc, in id order) // budget.
+
+    Returns (id_col, n_tokens, shard_id). ``token_kind`` picks the
+    textstats.token_counts convention ("bpe_tokens" or "ws_tokens").
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from raydedup.textstats import token_counts
+
+    toks = docs.map_batches(
+        lambda b: token_counts(b, text_col=text_col).select([id_col, token_kind]),
+        batch_format="pyarrow",
+    )
+    scanned = ordered_prefix_sum(toks, id_col, token_kind)
+
+    def _finish(b: pa.Table) -> pa.Table:
+        cum = b.column("cum_exclusive").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_tokens": b.column(token_kind),
+                "shard_id": pa.array(cum // budget, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(_finish, batch_format="pyarrow")
