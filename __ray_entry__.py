@@ -1173,6 +1173,34 @@ def _q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "quality"])
 
 
+def _q_quality_percentiles(sf_dir: str):
+    """Percentile-normalized quality scores: the vectorized quality kernel
+    chained into the distributed global-rank scan (raydedup/scan.py) —
+    exact SQL rank()/percent_rank() semantics including tie runs that span
+    block boundaries. The use case is corpus pruning by quality percentile
+    ("keep the top 30%") without materializing scores driver-side."""
+    import ray.data
+
+    from raydedup.scan import global_ranks
+    from raydedup.textstats import quality_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = docs.map_batches(quality_score, batch_format="pyarrow").select_columns(
+        ["doc_id", "quality"]
+    )
+    ranked = global_ranks(scored, "quality", "doc_id")
+
+    def _round(b: pa.Table) -> pa.Table:
+        pct = b.column("pct_rank").to_numpy(zero_copy_only=False)
+        return b.set_column(
+            b.schema.get_field_index("pct_rank"),
+            "pct_rank",
+            pa.array(np.floor(pct * 1e6) / 1e6, pa.float64()),
+        )
+
+    return ranked.map_batches(_round, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     """REAL multimodal decode (raydedup/codecs.py): deterministic PNG/WAV
     payloads with closed-form contents → per-format actor-pool DecodeStage
@@ -1344,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": _q_windowed_events,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "quality_scores": _q_quality_scores,
+        "quality_percentiles": _q_quality_percentiles,
         "incremental_exact_matches": _q_incremental_exact_matches,
         "incremental_dedup_assign": _q_incremental_dedup_assign,
     }
@@ -1433,6 +1462,15 @@ def oracle_sql() -> dict[str, str]:
     # indexed IVF at nprobe == n_lists reads every list partition and is
     # bit-identical to brute force — same oracle
     sql["ann_topk_ivf_indexed"] = sql["ann_topk"]
+    # percentile normalization wraps the quality_scores oracle verbatim, so
+    # the two can never drift
+    sql["quality_percentiles"] = f"""
+WITH q AS ({sql["quality_scores"]})
+SELECT doc_id, quality,
+       rank() OVER (ORDER BY quality) AS rank,
+       floor(percent_rank() OVER (ORDER BY quality) * 1e6) / 1e6 AS pct_rank
+FROM q
+"""
     return sql
 
 

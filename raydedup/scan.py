@@ -85,6 +85,95 @@ def ordered_prefix_sum(
     return ds.map_batches(_apply, batch_size=None, batch_format="pyarrow")
 
 
+def global_ranks(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    out_rank: str = "rank",
+    out_pct: str = "pct_rank",
+) -> "ray.data.Dataset":
+    """Exact SQL ``rank()`` / ``percent_rank()`` over the WHOLE dataset
+    (ORDER BY value_col): rank = 1 + count of strictly smaller values,
+    pct = (rank-1)/(n-1). The training-data use is percentile-normalizing a
+    quality score before thresholding.
+
+    Same two-pass scan shape as ordered_prefix_sum — one sort, O(blocks)
+    driver state — plus exact tie handling across block boundaries: rows
+    equal to a block's first value may continue a run from earlier blocks,
+    so each block reports its trailing-tie count and the driver chains runs
+    in block order (a tie run spanning whole blocks keeps accumulating).
+    """
+    sorted_ds = ds.sort([value_col, id_col]).materialize()
+    n_total = sorted_ds.count()
+
+    def _summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "first_val": pa.array([], b.schema.field(value_col).type),
+                    "first_id": pa.array([], b.schema.field(id_col).type),
+                    "last_val": pa.array([], b.schema.field(value_col).type),
+                    "count": pa.array([], pa.int64()),
+                    "n_tail": pa.array([], pa.int64()),
+                }
+            )
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        n_tail = int((v == v[-1]).sum())  # sorted: trailing run length
+        return pa.table(
+            {
+                "first_val": [b.column(value_col)[0].as_py()],
+                "first_id": [b.column(id_col)[0].as_py()],
+                "last_val": [b.column(value_col)[-1].as_py()],
+                "count": pa.array([b.num_rows], pa.int64()),
+                "n_tail": pa.array([n_tail], pa.int64()),
+            }
+        )
+
+    rows = sorted_ds.map_batches(
+        _summary, batch_size=None, batch_format="pyarrow"
+    ).take_all()
+    rows.sort(key=lambda r: (r["first_val"], r["first_id"]))
+    info: dict = {}
+    running = 0
+    tie_val = None
+    tie_run = 0
+    for r in rows:
+        eq_before = tie_run if (running and r["first_val"] == tie_val) else 0
+        info[(r["first_val"], r["first_id"])] = (running, eq_before)
+        homogeneous = r["first_val"] == r["last_val"]
+        if homogeneous and running and tie_val == r["first_val"]:
+            tie_run += r["count"]
+        else:
+            tie_run = r["n_tail"]
+        tie_val = r["last_val"]
+        running += r["count"]
+    info_ref = ray.put(info)
+
+    def _apply(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(out_rank, pa.array([], pa.int64())).append_column(
+                out_pct, pa.array([], pa.float64())
+            )
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        off, eq_before = ray.get(info_ref)[
+            (b.column(value_col)[0].as_py(), b.column(id_col)[0].as_py())
+        ]
+        local_less = np.searchsorted(v, v, side="left")
+        rank = off + local_less + 1
+        if eq_before:
+            rank = rank - np.where(v == v[0], eq_before, 0)
+        pct = (
+            (rank - 1) / (n_total - 1)
+            if n_total > 1
+            else np.zeros(len(v), dtype=np.float64)
+        )
+        return b.append_column(out_rank, pa.array(rank, pa.int64())).append_column(
+            out_pct, pa.array(np.asarray(pct, dtype=np.float64), pa.float64())
+        )
+
+    return sorted_ds.map_batches(_apply, batch_size=None, batch_format="pyarrow")
+
+
 def pack_token_shards(
     docs: "ray.data.Dataset",
     budget: int,

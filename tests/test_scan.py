@@ -73,6 +73,52 @@ def test_pack_token_shards_matches_window_semantics(ray_session):
     assert np.all(np.diff(s) >= 0)
 
 
+@pytest.mark.parametrize("n_blocks", [1, 7, 23])
+def test_global_ranks_matches_sql_rank_with_tie_runs(ray_session, n_blocks):
+    """Heavily quantized values (4 distinct over 3k rows) force tie runs
+    that span many blocks — rank()/percent_rank() must match DuckDB's
+    window functions exactly."""
+    import duckdb
+    import ray.data
+
+    from raydedup.scan import global_ranks
+
+    rng = np.random.default_rng(11)
+    n = 3_000
+    vals = rng.choice([0.25, 0.5, 0.5, 0.75, 1.0], n)  # skewed ties
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "score": vals})
+    ds = ray.data.from_arrow(t).repartition(n_blocks)
+    out = (
+        global_ranks(ds, "score", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT doc_id, rank() OVER (ORDER BY score) r, "
+        "percent_rank() OVER (ORDER BY score) p FROM t ORDER BY doc_id"
+    ).df()
+    np.testing.assert_array_equal(out["rank"].to_numpy(), want["r"].to_numpy())
+    np.testing.assert_array_equal(out["pct_rank"].to_numpy(), want["p"].to_numpy())
+
+
+def test_global_ranks_all_equal_and_single_row(ray_session):
+    import ray.data
+
+    from raydedup.scan import global_ranks
+
+    t = pa.table(
+        {"doc_id": np.arange(50, dtype=np.int64), "score": np.full(50, 3.0)}
+    )
+    out = global_ranks(
+        ray.data.from_arrow(t).repartition(9), "score", "doc_id"
+    ).to_pandas()
+    assert (out["rank"] == 1).all() and (out["pct_rank"] == 0.0).all()
+    one = pa.table({"doc_id": pa.array([7], pa.int64()), "score": pa.array([1.5])})
+    o1 = global_ranks(ray.data.from_arrow(one), "score", "doc_id").to_pandas()
+    assert o1["rank"].tolist() == [1] and o1["pct_rank"].tolist() == [0.0]
+
+
 def test_pack_token_shards_rejects_bad_budget(ray_session):
     import ray.data
 
