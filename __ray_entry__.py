@@ -1173,6 +1173,21 @@ def _q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "quality"])
 
 
+def _q_cap_docs_per_source(sf_dir: str):
+    """Corpus curation: keep at most 18 docs per source domain (smallest
+    doc_id wins). One hash-partition shuffle + vectorized run-rank filter
+    per partition (raydedup/curate.py) — the row_number() window oracle
+    mirrors it exactly."""
+    import ray.data
+
+    from raydedup.curate import cap_per_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return cap_per_key(docs, key="source", order_col="doc_id", k=18)
+
+
 def _q_quality_percentiles(sf_dir: str):
     """Percentile-normalized quality scores: the vectorized quality kernel
     chained into the distributed global-rank scan (raydedup/scan.py) —
@@ -1373,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "quality_scores": _q_quality_scores,
         "quality_percentiles": _q_quality_percentiles,
+        "cap_docs_per_source": _q_cap_docs_per_source,
         "incremental_exact_matches": _q_incremental_exact_matches,
         "incremental_dedup_assign": _q_incremental_dedup_assign,
     }
@@ -1872,6 +1888,13 @@ SELECT media_id, kind, CAST(width AS BIGINT) AS width,
        CAST(n_values AS BIGINT) AS n_values, sum_value
 FROM (SELECT * FROM png UNION ALL SELECT * FROM wav)
 ORDER BY media_id
+""",
+        "cap_docs_per_source": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 18
 """,
         "pack_token_shards": r"""
 WITH t AS (

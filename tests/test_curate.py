@@ -1,0 +1,59 @@
+"""Per-key cap curation operator (raydedup/curate.py) vs DuckDB
+row_number() semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_cap_per_key_matches_row_number(ray_session):
+    import duckdb
+    import ray.data
+
+    from raydedup.curate import cap_per_key
+
+    rng = np.random.default_rng(5)
+    n = 4_000
+    # zipf-ish skew: one huge key, many tiny ones
+    keys = np.concatenate(
+        [np.zeros(1500, np.int64), rng.integers(1, 400, n - 1500)]
+    )
+    ids = rng.permutation(n).astype(np.int64)  # unsorted arrival
+    t = pa.table({"doc_id": ids, "grp": keys[ids]})
+    out = (
+        cap_per_key(ray.data.from_arrow(t).repartition(9), "grp", "doc_id", k=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT doc_id, grp FROM (SELECT doc_id, grp, row_number() "
+            "OVER (PARTITION BY grp ORDER BY doc_id) rn FROM t) "
+            "WHERE rn <= 7 ORDER BY doc_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+    np.testing.assert_array_equal(out["grp"].to_numpy(), want["grp"].to_numpy())
+
+
+def test_cap_per_key_string_keys_and_bad_k(ray_session):
+    import ray.data
+
+    from raydedup.curate import cap_per_key
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10), pa.int64()),
+            "src": ["a", "b", "a", "a", "b", "c", "a", "c", "b", "a"],
+        }
+    )
+    out = cap_per_key(ray.data.from_arrow(t), "src", "doc_id", k=2).to_pandas()
+    got = set(zip(out["src"], out["doc_id"]))
+    assert got == {("a", 0), ("a", 2), ("b", 1), ("b", 4), ("c", 5), ("c", 7)}
+    with pytest.raises(ValueError):
+        cap_per_key(ray.data.from_arrow(t), "src", "doc_id", k=0)
