@@ -44,21 +44,28 @@ def ordered_prefix_sum(
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order.
 
     Appends ``out_col`` = sum of all STRICTLY EARLIER rows' values. The
-    order key must be unique across the dataset.
+    order key must be unique across the dataset. Integer value columns scan
+    in exact int64; float columns in float64 (the usual FP-associativity
+    caveat applies to the float path).
     """
     ds = ds.sort(order_col).materialize()
+
+    s = ds.schema()
+    val_type = dict(zip(s.names, s.types))[value_col]
+    sum_type = pa.int64() if pa.types.is_integer(val_type) else pa.float64()
 
     def _summary(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table(
                 {"first_key": pa.array([], b.schema.field(order_col).type),
-                 "total": pa.array([], pa.int64())}
+                 "total": pa.array([], sum_type)}
             )
         vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        total = int(vals.sum()) if sum_type == pa.int64() else float(vals.sum())
         return pa.table(
             {
                 "first_key": [b.column(order_col)[0].as_py()],
-                "total": pa.array([int(vals.sum())], pa.int64()),
+                "total": pa.array([total], sum_type),
             }
         )
 
@@ -76,11 +83,12 @@ def ordered_prefix_sum(
 
     def _apply(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return b.append_column(out_col, pa.array([], pa.int64()))
+            return b.append_column(out_col, pa.array([], sum_type))
         off = ray.get(off_ref)[b.column(order_col)[0].as_py()]
-        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        v = v.astype(np.int64 if sum_type == pa.int64() else np.float64)
         cum = off + np.cumsum(v) - v
-        return b.append_column(out_col, pa.array(cum, pa.int64()))
+        return b.append_column(out_col, pa.array(cum, sum_type))
 
     return ds.map_batches(_apply, batch_size=None, batch_format="pyarrow")
 
@@ -102,6 +110,8 @@ def global_ranks(
     equal to a block's first value may continue a run from earlier blocks,
     so each block reports its trailing-tie count and the driver chains runs
     in block order (a tie run spanning whole blocks keeps accumulating).
+    ``value_col`` must not contain NaN/NULL (NaN breaks both sort order and
+    the block-offset key equality).
     """
     sorted_ds = ds.sort([value_col, id_col]).materialize()
     n_total = sorted_ds.count()

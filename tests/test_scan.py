@@ -30,6 +30,25 @@ def test_ordered_prefix_sum_multiblock(ray_session):
     np.testing.assert_array_equal(out["doc_id"].to_numpy(), np.arange(n))
 
 
+def test_ordered_prefix_sum_float_values(ray_session):
+    import ray.data
+
+    from raydedup.scan import ordered_prefix_sum
+
+    rng = np.random.default_rng(2)
+    n = 1_000
+    vals = rng.uniform(0, 1, n)
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "v": vals})
+    out = (
+        ordered_prefix_sum(ray.data.from_arrow(t).repartition(7), "doc_id", "v")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    want = np.cumsum(vals) - vals
+    np.testing.assert_allclose(out["cum_exclusive"].to_numpy(), want, rtol=1e-9)
+    assert out["cum_exclusive"].dtype == np.float64
+
+
 def test_ordered_prefix_sum_single_row_and_empty_values(ray_session):
     import ray.data
 
