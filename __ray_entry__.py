@@ -1188,6 +1188,28 @@ def _q_cap_docs_per_source(sf_dir: str):
     return cap_per_key(docs, key="source", order_col="doc_id", k=18)
 
 
+def _q_curate_corpus(sf_dir: str):
+    """The composed curation pipeline over the documents table: quality
+    ≥ 0.8 → exact-dedup survivors (min doc_id per identical text) → at most
+    18 docs per source → 8192-token shard assignment. Four library operators
+    chained into ONE streaming Ray pipeline; the oracle mirrors each stage
+    as a CTE, so the whole composition is value-hash-checked."""
+    import ray.data
+
+    from raydedup.curate import curate_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return curate_corpus(
+        docs,
+        quality_threshold=0.8,
+        cap_key="source",
+        cap_k=18,
+        shard_budget=8192,
+    )
+
+
 def _q_quality_percentiles(sf_dir: str):
     """Percentile-normalized quality scores: the vectorized quality kernel
     chained into the distributed global-rank scan (raydedup/scan.py) —
@@ -1389,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
+        "curate_corpus": _q_curate_corpus,
         "incremental_exact_matches": _q_incremental_exact_matches,
         "incremental_dedup_assign": _q_incremental_dedup_assign,
     }
@@ -1487,6 +1510,33 @@ SELECT doc_id, quality,
        floor(percent_rank() OVER (ORDER BY quality) * 1e6) / 1e6 AS pct_rank
 FROM q
 """
+    # the composed curation pipeline: each engine stage mirrored as a CTE,
+    # the quality CTE reused verbatim so thresholds can never drift
+    sql["curate_corpus"] = (
+        f"WITH q AS ({sql['quality_scores']}),\n"
+        r"""keep AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= 0.8 AND d.text IS NOT NULL),
+surv AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY text),
+s2 AS (SELECT k.doc_id, k.text, k.source FROM keep k JOIN surv USING (doc_id)),
+cap AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn <= 18),
+t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''),
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens
+  FROM cap)
+SELECT doc_id, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            // 8192 AS BIGINT) AS shard_id
+FROM t
+"""
+    )
     return sql
 
 

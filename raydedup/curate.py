@@ -1,4 +1,6 @@
-"""Corpus-curation operators: per-key document caps.
+"""Corpus-curation operators: per-key document caps and the composed
+curation pipeline (quality filter → exact-dedup survivors → per-key cap →
+token-budget shard packing).
 
 ``cap_per_key`` keeps at most ``k`` rows per key (the "at most N documents
 per domain/repo" rule of web-corpus curation), preferring the smallest
@@ -44,3 +46,72 @@ def cap_per_key(
         return b.take(pa.array(keep, pa.int64()))
 
     return grouped_blocks(ds, key, block)
+
+
+def dedup_survivors_by_text(
+    ds: "ray.data.Dataset",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":  # noqa: F821
+    """Exact-duplicate survivors: the smallest-``id_col`` row of every
+    identical-``text_col`` group, all columns preserved. Same
+    hash-partitioned one-shuffle shape as the flagship's exact tier
+    (pipeline.grouped_blocks keyed on the text bytes)."""
+    from .pipeline import grouped_blocks, key_codes
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = key_codes(b.column(id_col))
+        tc = key_codes(b.column(text_col))
+        order = np.lexsort((ids, tc))
+        t_s = tc[order]
+        first = np.concatenate([[True], t_s[1:] != t_s[:-1]])
+        keep = np.sort(order[first])
+        return b.take(pa.array(keep, pa.int64()))
+
+    return grouped_blocks(ds, text_col, block)
+
+
+def curate_corpus(
+    docs: "ray.data.Dataset",  # noqa: F821
+    *,
+    quality_threshold: float,
+    cap_key: str,
+    cap_k: int,
+    shard_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":  # noqa: F821
+    """The end-to-end training-corpus curation pipeline, each stage the
+    library's own operator:
+
+    1. quality filter (textstats.quality_score ≥ threshold, vectorized);
+    2. exact-duplicate survivors (min-id per identical text, one
+       hash-partition shuffle);
+    3. at most ``cap_k`` docs per ``cap_key`` (one hash-partition shuffle);
+    4. token-budget shard assignment (ordered prefix scan; one sort).
+
+    Output: (id_col, n_tokens, shard_id). Every stage is SQL-mirrorable, so
+    the whole composition carries a DuckDB value-hash oracle
+    (__ray_entry__._q_curate_corpus).
+    """
+    import pyarrow.compute as pc
+
+    from .scan import pack_token_shards
+    from .textstats import quality_score
+
+    def qfilter(b: pa.Table) -> pa.Table:
+        q = quality_score(b, text_col=text_col).column("quality")
+        keep = pc.and_(
+            pc.greater_equal(q, pa.scalar(float(quality_threshold))),
+            pc.is_valid(b.column(text_col)),  # null text never survives
+        )
+        return b.filter(keep)
+
+    kept = docs.map_batches(qfilter, batch_format="pyarrow")
+    surv = dedup_survivors_by_text(kept, id_col=id_col, text_col=text_col)
+    capped = cap_per_key(surv, key=cap_key, order_col=id_col, k=cap_k)
+    return pack_token_shards(
+        capped, budget=shard_budget, id_col=id_col, text_col=text_col
+    )

@@ -41,6 +41,46 @@ def test_cap_per_key_matches_row_number(ray_session):
     np.testing.assert_array_equal(out["grp"].to_numpy(), want["grp"].to_numpy())
 
 
+def test_curate_corpus_stages(ray_session):
+    """Planted cases through the composed pipeline: null text dropped, the
+    exact duplicate loses to the smaller id, the cap keeps the 2 smallest
+    ids per source, shard ids follow the exclusive token cumsum."""
+    import ray.data
+
+    from raydedup.curate import curate_corpus
+    from raydedup.textstats import token_counts
+
+    good = "the quick brown fox jumps over the lazy dog again and again " * 8
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": [good, good, good + " unique tail", None,
+                     "!!!! ???? $$$$ %%%%", good + " other tail",
+                     good + " third tail"],
+            "source": ["a", "a", "a", "a", "b", "a", "a"],
+        }
+    )
+    out = (
+        curate_corpus(
+            ray.data.from_arrow(t),
+            quality_threshold=0.5,
+            cap_key="source",
+            cap_k=2,
+            shard_budget=120,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 (dup of 0) gone, doc 3 (null) gone, doc 4 (junk quality) gone,
+    # docs 5/6 capped out by source-a k=2 (0 and 2 are the smallest ids)
+    assert out["doc_id"].tolist() == [0, 2]
+    toks = token_counts(t.take(pa.array([0, 2])))["bpe_tokens"].to_numpy()
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), toks)
+    cum = np.cumsum(toks) - toks
+    np.testing.assert_array_equal(out["shard_id"].to_numpy(), cum // 120)
+
+
 def test_cap_per_key_string_keys_and_bad_k(ray_session):
     import ray.data
 
