@@ -299,12 +299,20 @@ class AnnIvfScorer:
             qs = np.flatnonzero(self.probe_mask[list_id[rows[0]]])
             if not len(qs):
                 continue
-            cos = (qm[rows] @ self.qq[qs].T) / (
-                vnorm[rows, None] * self.q_norm[qs][None, :]
+            # pre-cut to the per-(list, query) top-k BEFORE accumulating —
+            # candidate memory is O(k · probing queries) per list instead
+            # of O(rows · probing queries) across the whole batch. Rows are
+            # vec_id-sorted first so the stable column argsort resolves
+            # cosine ties by vec_id asc, the final merge's exact rule.
+            vo = rows[np.argsort(vec_ids[rows])]
+            cos = (qm[vo] @ self.qq[qs].T) / (
+                vnorm[vo, None] * self.q_norm[qs][None, :]
             )  # (rows, probing queries)
-            cand_q.append(np.tile(qs, len(rows)))
-            cand_v.append(np.repeat(vec_ids[rows], len(qs)))
-            cand_c.append(cos.ravel())
+            kk = min(self.k, len(vo))
+            top = np.argsort(-cos, axis=0, kind="stable")[:kk]  # (kk, nqp)
+            cand_q.append(np.tile(qs, kk))
+            cand_v.append(vec_ids[vo][top].ravel())
+            cand_c.append(np.take_along_axis(cos, top, axis=0).ravel())
         if not cand_q:
             return pa.table(
                 {
@@ -401,6 +409,7 @@ def write_ivf_index(
     sample_size: int = 4096,
     seed: int = 9001,
     n_iter: int = 10,
+    overwrite: bool = False,
 ) -> dict:
     """Persist the IVF index under ``path``: ``centroids.parquet`` (tiny)
     plus ``lists/part-<list_id>.parquet`` — the corpus partitioned by
@@ -408,30 +417,52 @@ def write_ivf_index(
     ``write_dedup_index`` pattern from incremental.py). Build cost = one
     bounded driver-side k-means sample + one assignment pass + one
     partition shuffle, paid once and amortized over every query batch —
-    the 100 TB shape ``ann_topk_ivf``'s docstring promises."""
+    the 100 TB shape ``ann_topk_ivf``'s docstring promises.
+
+    Consistency protocol: ``meta.json`` is the completion marker — if it
+    exists the index is complete and immutable (pass ``overwrite=True`` to
+    clear and rebuild, e.g. after the corpus changed). A resumed partial
+    build REUSES the persisted centroids rather than re-running k-means, so
+    list partitions written before a crash can never disagree with the
+    centroids they are read against."""
     import json
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
     from .incremental import _write_parts
 
-    sample = embeddings.take_batch(sample_size, batch_format="pyarrow")
-    cent = kmeans_centroids(
-        _batch_matrix(sample, "embedding"), n_lists, n_iter=n_iter, seed=seed
-    )
+    cent_path = os.path.join(path, "centroids.parquet")
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        if not overwrite:
+            raise FileExistsError(
+                f"IVF index already complete at {path}; pass overwrite=True "
+                "to rebuild (required when the corpus changed)"
+            )
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
-    cent_tbl = pa.table(
-        {
-            "list_id": pa.array(np.arange(len(cent)), pa.int64()),
-            "centroid": pa.array(
-                [row.tolist() for row in cent], type=pa.list_(pa.float64())
-            ),
-        }
-    )
-    tmp = os.path.join(path, f"centroids.parquet.tmp{os.getpid()}")
-    pq.write_table(cent_tbl, tmp)
-    os.replace(tmp, os.path.join(path, "centroids.parquet"))
+    if os.path.exists(cent_path):
+        # crashed previous build: resume under ITS centroids so already-
+        # written list partitions stay consistent
+        cent = _batch_matrix(pq.read_table(cent_path), "centroid")
+    else:
+        sample = embeddings.take_batch(sample_size, batch_format="pyarrow")
+        cent = kmeans_centroids(
+            _batch_matrix(sample, "embedding"), n_lists, n_iter=n_iter, seed=seed
+        )
+        cent_tbl = pa.table(
+            {
+                "list_id": pa.array(np.arange(len(cent)), pa.int64()),
+                "centroid": pa.array(
+                    [row.tolist() for row in cent], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+        tmp = os.path.join(path, f"centroids.parquet.tmp{os.getpid()}")
+        pq.write_table(cent_tbl, tmp)
+        os.replace(tmp, cent_path)
 
     c_ref = ray.put(cent)
     rows = embeddings.map_batches(

