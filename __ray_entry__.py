@@ -163,11 +163,18 @@ def _q_dedup_clusters_oracle(sf_dir: str):
     corpus = _corpus_ds(sf_dir)
     cfg = _cfg()
     sigs = signatures(corpus, cfg).materialize()
-    e_exact = exact_edges(sigs)
-    e_ngram = ngram_jaccard_pairs(corpus, cfg, threshold=0.7).select_columns(
-        ["src", "dst"]
+    # materialize each (tiny) edge tier SEQUENTIALLY: a lazy union would
+    # execute all three tiers' groupby aggregators + the verify actor pool
+    # concurrently, which can exceed a small session's CPU slots and
+    # deadlock (seen intermittently at num_cpus=4); sequential tiers keep
+    # every stage's resource demand within the session
+    e_exact = exact_edges(sigs).materialize()
+    e_ngram = (
+        ngram_jaccard_pairs(corpus, cfg, threshold=0.7)
+        .select_columns(["src", "dst"])
+        .materialize()
     )
-    e_cont = containment_pairs(corpus, cfg).select_columns(["src", "dst"])
+    e_cont = containment_pairs(corpus, cfg).select_columns(["src", "dst"]).materialize()
     edges = e_exact.union(e_ngram).union(e_cont)
     return assign_clusters(sigs, cluster_edges(edges))
 
@@ -1188,6 +1195,26 @@ def _q_cap_docs_per_source(sf_dir: str):
     return cap_per_key(docs, key="source", order_col="doc_id", k=18)
 
 
+def _q_split_train_val_test(sf_dir: str):
+    """Deterministic 80/10/10 split assignment (raydedup/curate.py
+    split_assign). Oracle mode = id-modulo bucketing, bit-wise
+    SQL-mirrorable; the production hash mode (splitmix64 buckets, stable
+    under corpus growth) carries a scalar-reference + uniformity pytest
+    instead (no splitmix64 in DuckDB)."""
+    import ray.data
+
+    from raydedup.curate import split_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split_assign(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        method="modulo",
+        buckets=100,
+    )
+
+
 def _q_curate_corpus(sf_dir: str):
     """The composed curation pipeline over the documents table: quality
     ≥ 0.8 → exact-dedup survivors (min doc_id per identical text) → at most
@@ -1412,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
+        "split_train_val_test": _q_split_train_val_test,
         "incremental_exact_matches": _q_incremental_exact_matches,
         "incremental_dedup_assign": _q_incremental_dedup_assign,
     }
@@ -1938,6 +1966,13 @@ SELECT media_id, kind, CAST(width AS BIGINT) AS width,
        CAST(n_values AS BIGINT) AS n_values, sum_value
 FROM (SELECT * FROM png UNION ALL SELECT * FROM wav)
 ORDER BY media_id
+""",
+        "split_train_val_test": """
+SELECT doc_id,
+       CASE WHEN doc_id % 100 < 80 THEN 'train'
+            WHEN doc_id % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """,
         "cap_docs_per_source": """
 SELECT doc_id, source FROM (

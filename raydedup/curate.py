@@ -73,6 +73,55 @@ def dedup_survivors_by_text(
     return grouped_blocks(ds, text_col, block)
 
 
+def split_assign(
+    ds: "ray.data.Dataset",  # noqa: F821
+    id_col: str,
+    fractions: dict[str, float],
+    method: str = "hash",
+    seed: int = 9001,
+    buckets: int = 1_000_000,
+) -> "ray.data.Dataset":  # noqa: F821
+    """Deterministic train/val/test split assignment: appends a ``split``
+    column chosen by bucketing each row's id.
+
+    * ``method="hash"`` — bucket = splitmix64(id ^ seed) % buckets: the
+      production mode (uniform regardless of id distribution, stable across
+      runs/machines, new rows never reshuffle old ones). Not
+      SQL-expressible; scalar-reference pytest covers it.
+    * ``method="modulo"`` — bucket = id % buckets: bit-wise SQL-mirrorable
+      (the driver oracle mode); uniform only if ids are dense.
+
+    Fractions are cut as cumulative boundaries in dict order (must sum to
+    ≤ 1; any remainder gets the LAST label). Embarrassingly parallel — one
+    stateless map_batches, no shuffle.
+    """
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("fractions must sum to <= 1")
+    if method not in ("hash", "modulo"):
+        raise ValueError(f"unknown method {method!r}")
+    labels = list(fractions)
+    cuts = np.cumsum([fractions[l] for l in labels]) * buckets
+    cuts = np.ceil(cuts[:-1]).astype(np.int64)  # last label takes the rest
+
+    def block(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if method == "hash":
+            from .hashing import splitmix64
+
+            u = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+            bucket = (u % np.uint64(buckets)).astype(np.int64)
+        else:
+            bucket = np.mod(ids, buckets)
+        pick = np.searchsorted(cuts, bucket, side="right")
+        return b.append_column(
+            "split", pa.array(np.asarray(labels, dtype=object)[pick])
+        )
+
+    return ds.map_batches(block, batch_format="pyarrow")
+
+
 def curate_corpus(
     docs: "ray.data.Dataset",  # noqa: F821
     *,

@@ -81,6 +81,68 @@ def test_curate_corpus_stages(ray_session):
     np.testing.assert_array_equal(out["shard_id"].to_numpy(), cum // 120)
 
 
+def test_split_assign_hash_mode(ray_session):
+    """Hash splits: scalar splitmix64 parity, fraction accuracy on 50k
+    ids, determinism across calls, and stability under corpus growth (old
+    ids keep their split when new ids arrive)."""
+    import ray.data
+
+    from raydedup.curate import split_assign
+
+    def scalar_splitmix64(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & (1 << 64) - 1
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (1 << 64) - 1
+        return z ^ (z >> 31)
+
+    n = 50_000
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64)})
+    out = (
+        split_assign(ray.data.from_arrow(t), "doc_id", fr, seed=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # scalar parity on a sample
+    cuts = np.ceil(np.cumsum([0.8, 0.1, 0.1]) * 1_000_000)[:-1]
+    for i in (0, 1, 999, 31337, 49999):
+        b = scalar_splitmix64(i ^ 7) % 1_000_000
+        want = "train" if b < cuts[0] else ("val" if b < cuts[1] else "test")
+        assert out["split"][i] == want, (i, b)
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.01
+    assert abs(frac["val"] - 0.1) < 0.005
+    assert abs(frac["test"] - 0.1) < 0.005
+    # growth stability: first n/2 ids get identical splits in a larger run
+    half = (
+        split_assign(
+            ray.data.from_arrow(t.slice(0, n // 2)), "doc_id", fr, seed=7
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (half["split"] == out["split"][: n // 2]).all()
+
+
+def test_split_assign_validation(ray_session):
+    import ray.data
+
+    import pytest as _pytest
+
+    from raydedup.curate import split_assign
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with _pytest.raises(ValueError):
+        split_assign(ds, "doc_id", {"a": 0.7, "b": 0.4})
+    with _pytest.raises(ValueError):
+        split_assign(ds, "doc_id", {})
+    with _pytest.raises(ValueError):
+        split_assign(ds, "doc_id", {"a": 1.0}, method="nope")
+
+
 def test_cap_per_key_string_keys_and_bad_k(ray_session):
     import ray.data
 
