@@ -129,6 +129,40 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_corpus_ds(sf_dir), _cfg(), threshold=0.7)
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher-style within-doc repetition quality signals
+    (raydedup/textstats.py repetition_signals): duplicate-line fraction and
+    duplicate-line character fraction per document. Stateless map_batches,
+    no shuffle."""
+    import ray.data
+
+    from raydedup.textstats import repetition_signals
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(repetition_signals, batch_format="pyarrow")
+
+
+def _q_decontam_pairs(sf_dir: str):
+    """Train/eval decontamination (raydedup/njaccard.py decontaminate_pairs):
+    exact shingle-overlap pairs between a train split (id % 10 != 0) and an
+    eval split (id % 10 == 0) of the corpus, min_overlap=3. The GPT-3-style
+    n-gram contamination pass as one bipartite posting shuffle."""
+    from raydedup.njaccard import decontaminate_pairs
+
+    corpus = _corpus_ds(sf_dir)
+
+    def split(want_eval: bool):
+        def block(b: pa.Table) -> pa.Table:
+            is_eval = (b.column("id").to_numpy() % 10) == 0
+            return b.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+        return corpus.map_batches(block, batch_format="pyarrow")
+
+    return decontaminate_pairs(split(False), split(True), _cfg(), min_overlap=3)
+
+
 def _q_containment_pairs(sf_dir: str):
     from raydedup.pipeline import containment_pairs
 
@@ -1391,6 +1425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _q_dedup_survivors,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "decontam_pairs": _q_decontam_pairs,
+        "repetition_signals": _q_repetition_signals,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
@@ -1600,6 +1636,37 @@ pj AS (
       / len(list_distinct(list_concat(sa.sh, sb.sh))) jaccard
   FROM cand JOIN shing sa ON sa.id = cand.src JOIN shing sb ON sb.id = cand.dst)
 SELECT src, dst, jaccard FROM pj WHERE jaccard >= 0.7
+""",
+        "repetition_signals": """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+  FROM documents
+),
+g AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+      FROM l WHERE line != '' GROUP BY doc_id, line),
+d AS (SELECT doc_id,
+             SUM(cnt) AS n_lines,
+             COUNT(*) AS n_distinct,
+             SUM(cnt * len) AS total_chars,
+             SUM((cnt - 1) * len) AS dup_chars
+      FROM g GROUP BY doc_id)
+SELECT doc_id,
+       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+       coalesce(floor((n_lines - n_distinct) / greatest(n_lines, 1) * 1e6)
+                / 1e6, 0.0) AS dup_line_frac,
+       coalesce(floor(dup_chars / greatest(total_chars, 1) * 1e6) / 1e6,
+                0.0) AS dup_char_frac
+FROM documents LEFT JOIN d USING (doc_id)
+""",
+        "decontam_pairs": f"""
+WITH {corpus}, {_SHINGLES_CTE},
+tr AS (SELECT id, unnest(sh) g FROM shing WHERE id % 10 != 0),
+ev AS (SELECT id, unnest(sh) g FROM shing WHERE id % 10 = 0)
+SELECT tr.id AS train_id, ev.id AS eval_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev ON tr.g = ev.g
+GROUP BY tr.id, ev.id
+HAVING count(*) >= 3
 """,
         "containment_pairs": f"""
 WITH {corpus},

@@ -28,10 +28,16 @@ from .tokenize import tokenize_hashes
 
 
 class ShingleExplode:
-    """corpus batch → (sh: uint64, id: int64, nsh: int32) posting rows."""
+    """corpus batch → (sh: uint64, id: int64, nsh: int32) posting rows.
 
-    def __init__(self, cfg: SigConfig):
+    ``side`` (when not None) appends a constant int8 side tag — the
+    bipartite marker for :func:`decontaminate_pairs` — and drops the
+    ``nsh`` count column (overlap counting doesn't need it; 4 fewer bytes
+    per posting through the shuffle)."""
+
+    def __init__(self, cfg: SigConfig, side: int | None = None):
         self.cfg = cfg
+        self.side = side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -41,13 +47,17 @@ class ShingleExplode:
         uniq, uniq_off = segment_unique(sh, sh_off)
         lens = np.diff(uniq_off)
         ids = batch.column("id").to_numpy()
-        return pa.table(
-            {
-                "sh": pa.array(uniq, type=pa.uint64()),
-                "id": pa.array(np.repeat(ids, lens), type=pa.int64()),
-                "nsh": pa.array(np.repeat(lens.astype(np.int32), lens)),
-            }
-        )
+        cols = {
+            "sh": pa.array(uniq, type=pa.uint64()),
+            "id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+        }
+        if self.side is None:
+            cols["nsh"] = pa.array(np.repeat(lens.astype(np.int32), lens))
+        else:
+            cols["side"] = pa.array(
+                np.full(int(lens.sum()), self.side, dtype=np.int8)
+            )
+        return pa.table(cols)
 
 
 def _pairs_block(max_posting: int | None):
@@ -103,6 +113,110 @@ def _pairs_block(max_posting: int | None):
         )
 
     return emit
+
+
+def _cross_pairs_block(max_posting: int | None):
+    """Bipartite pair emitter for ONE hash partition of side-tagged posting
+    lists: within each shingle run, every side-0 (train) posting pairs with
+    every side-1 (eval) posting — never train×train or eval×eval. Same
+    segmented-arange construction as :func:`_pairs_block`: sort by
+    (sh, side, id) so each run is [train block | eval block]; a train
+    element at run-local position < t gets e pairs, its dsts are the run's
+    eval block in order."""
+
+    def emit(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "train_id": pa.array([], pa.int64()),
+                "eval_id": pa.array([], pa.int64()),
+            }
+        )
+        n = len(block)
+        if n == 0:
+            return empty
+        sh = block.column("sh").to_numpy()
+        ids = block.column("id").to_numpy()
+        side = block.column("side").to_numpy()
+        order = np.lexsort((ids, side, sh))
+        sh, ids, side = sh[order], ids[order], side[order]
+        new_run = np.concatenate([[True], sh[1:] != sh[:-1]])
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        n_train = np.add.reduceat(
+            (side == 0).astype(np.int64), starts
+        )  # per-run train count; eval count = lens - n_train
+        n_eval = lens - n_train
+        # each train element pairs with all of its run's eval elements
+        cnt = np.where(side == 0, n_eval[run_id], 0)
+        if max_posting is not None:
+            cnt = np.where(lens[run_id] > max_posting, 0, cnt)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        src_idx = np.repeat(np.arange(n), cnt)
+        excl = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        pair_loc = np.arange(total) - np.repeat(excl, cnt)
+        eval_start = starts + n_train  # run-local eval block begins here
+        dst_idx = eval_start[run_id[src_idx]] + pair_loc
+        return pa.table(
+            {
+                "train_id": pa.array(ids[src_idx], type=pa.int64()),
+                "eval_id": pa.array(ids[dst_idx], type=pa.int64()),
+            }
+        )
+
+    return emit
+
+
+def decontaminate_pairs(
+    train: "ray.data.Dataset",
+    eval_ds: "ray.data.Dataset",
+    cfg: SigConfig = DEFAULT_CONFIG,
+    min_overlap: int = 1,
+    max_posting: int | None = None,
+) -> "ray.data.Dataset":
+    """Train/eval contamination detection: exact token-n-gram overlap
+    between two corpora (both ``(id, content)``).
+
+    → Dataset(train_id: int64, eval_id: int64, n_shared: int64) — one row
+    per (train doc, eval doc) sharing ≥ ``min_overlap`` distinct
+    ``cfg.shingle_k``-gram shingles. The standard pre-training hygiene pass
+    (strip benchmark/eval text from the training corpus; e.g. the 13-gram
+    overlap rule of GPT-3 appendix C — set ``cfg.shingle_k`` accordingly).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — postings
+    hash-partitioned by shingle, ONE all-to-all, vectorized cross-side pair
+    emission per partition, then a (train_id, eval_id) count aggregate. The
+    eval side is typically tiny, so per-shingle pair fan-out is bounded by
+    that side's posting length; ``max_posting`` additionally drops
+    boilerplate shingles (lists longer than the cap across BOTH sides).
+    """
+    p_train = train.select_columns(["id", "content"]).map_batches(
+        ShingleExplode(cfg, side=0), batch_format="pyarrow"
+    )
+    p_eval = eval_ds.select_columns(["id", "content"]).map_batches(
+        ShingleExplode(cfg, side=1), batch_format="pyarrow"
+    )
+    from .pipeline import grouped_blocks
+
+    pairs = grouped_blocks(
+        p_train.union(p_eval), "sh", _cross_pairs_block(max_posting)
+    )
+    agg = pairs.groupby(["train_id", "eval_id"]).aggregate(Count())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("count()").to_numpy()
+        keep = pa.array(c >= min_overlap)
+        return pa.table(
+            {
+                "train_id": batch.column("train_id").filter(keep),
+                "eval_id": batch.column("eval_id").filter(keep),
+                "n_shared": pa.array(c[c >= min_overlap], type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(

@@ -343,7 +343,10 @@ def verify_pairs(
 ) -> "ray.data.Dataset":
     """Join each unique candidate pair with both KMV sketches and verify
     once (theta Jaccard, JaccardSimilarity.java:55-96 semantics)."""
-    num_partitions = num_partitions or join_partitions()
+    # two JoinOperators share this plan: halve the per-join aggregator
+    # budget so the TOTAL stays ≤ CPUs (idle aggregator actors otherwise
+    # reserve every slot on small sessions — scheduling livelock)
+    num_partitions = num_partitions or max(1, join_partitions() // 2)
     kmv_tbl = sigs.select_columns(["id", "kmv_theta", "kmv"])
     j1 = pairs.join(
         kmv_tbl, "inner", num_partitions=num_partitions, on=("src",), right_on=("id",)
@@ -772,16 +775,24 @@ def containment_pairs(
     cfg: SigConfig = DEFAULT_CONFIG,
     *,
     num_partitions: int | None = None,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
 ) -> "ray.data.Dataset":
     """Verbatim-containment pairs: winnow candidates → content join →
     suffix-automaton LCS verify in an actor pool (the north_star's
     suffix-array stage). Returns (src, dst, lcs_tokens, contained) for pairs
     where the smaller doc (>= min_substring_tokens tokens) is a verbatim
-    token run inside the larger."""
+    token run inside the larger.
+
+    Resource shape: this ONE plan runs two JoinOperators concurrently, so
+    each join gets HALF the aggregator budget — total aggregator actors
+    must stay ≤ CPUs or the streaming executor livelocks on small sessions
+    (idle aggregators + a fixed-size verify pool can reserve every slot; a
+    4-CPU session with 2×4 aggregators + 2 LCS actors deadlocked
+    intermittently). The verify pool is autoscaling with min 1 for the
+    same reason."""
     from .suffix import LcsVerifier
 
-    num_partitions = num_partitions or join_partitions(16)
+    num_partitions = num_partitions or max(1, join_partitions(16) // 2)
     sigs = corpus.map_batches(SignatureStage(cfg), batch_format="pyarrow")
     cands = substring_edges(sigs, cfg)
     contents = corpus.select_columns(["id", "content"])

@@ -212,6 +212,62 @@ def fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_signals(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1): per doc, over its NON-EMPTY lines —
+
+    * ``n_lines``        — count of non-empty lines;
+    * ``dup_line_frac``  — fraction of lines that are repeats of an
+      earlier identical line, (n_lines − n_distinct) / n_lines;
+    * ``dup_char_frac``  — fraction of characters sitting in those repeat
+      occurrences, Σ(cnt−1)·len / Σ cnt·len.
+
+    Docs with no non-empty lines get (0, 0.0, 0.0). Fractions are
+    floor-quantized to 1e-6 (same convention as :func:`quality_score`) so
+    the DuckDB oracle compares bit-exactly. Fully vectorized: one split,
+    one xxh64 pass over the flat line buffer, one lexsort; line equality is
+    64-bit-hash equality (the repo-wide convention — collisions are
+    2^-64-scale and shared with the oracle's assumption)."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_docs = len(text)
+    lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat_lines = lines.flatten()
+    per_doc = pc.list_value_length(lines).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs), per_doc)
+    lens = pc.utf8_length(flat_lines).to_numpy(zero_copy_only=False)
+    fb, off = _string_array_np(flat_lines)
+    h = xxh64_flat(fb, off, seed=0)
+    keep = lens > 0
+    doc_idx, lens, h = doc_idx[keep], lens[keep].astype(np.int64), h[keep]
+    order = np.lexsort((h, doc_idx))
+    d, hh, ll = doc_idx[order], h[order], lens[order]
+    first = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    n_lines = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    n_distinct = np.bincount(d[first], minlength=n_docs).astype(np.int64)
+    total_chars = np.bincount(doc_idx, weights=lens, minlength=n_docs)
+    dup_chars = np.bincount(d[~first], weights=ll[~first], minlength=n_docs)
+    denom_l = np.maximum(n_lines, 1).astype(np.float64)
+    denom_c = np.maximum(total_chars, 1.0)
+    dup_line_frac = np.floor((n_lines - n_distinct) / denom_l * 1e6) / 1e6
+    dup_char_frac = np.floor(dup_chars / denom_c * 1e6) / 1e6
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "dup_char_frac": pa.array(dup_char_frac, pa.float64()),
+        }
+    )
+
+
 # BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits,
 # lookaheads removed so the pattern stays inside RE2 — the engine both
 # pyarrow's count_substring_regex and DuckDB's regexp_extract_all use,

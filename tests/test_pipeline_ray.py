@@ -327,3 +327,80 @@ def test_near_modes_agree(ray_session):
         sets[mode] = set(zip(out["src"], out["dst"]))
     assert sets["bucket"] == sets["hybrid"] == sets["broadcast"] == sets["join"]
     assert len(sets["bucket"]) > 50
+
+
+def test_decontaminate_pairs_matches_bruteforce(ray_session):
+    """Bipartite shingle-overlap vs brute force: split the mini corpus into
+    train (id % 3 != 0) and eval (id % 3 == 0); every cross-side pair's
+    shared-distinct-shingle count must match, at min_overlap 1 and 5."""
+    import ray.data
+
+    from raydedup.njaccard import decontaminate_pairs
+
+    tbl = _mini_corpus(n_base=30)
+    ids = tbl.column("id").to_pylist()
+    contents = tbl.column("content").to_pylist()
+    sh = {
+        i: shingle_set(c.split(), CFG.shingle_k, CFG.seed)
+        for i, c in zip(ids, contents)
+    }
+    train_ids = [i for i in ids if i % 3 != 0]
+    eval_ids = [i for i in ids if i % 3 == 0]
+    want = {}
+    for t in train_ids:
+        for e in eval_ids:
+            c = len(sh[t] & sh[e])
+            if c:
+                want[(t, e)] = c
+
+    def side(keep):
+        mask = pa.array([keep(i) for i in ids])
+        return ray.data.from_arrow(tbl.filter(mask))
+
+    for min_overlap in (1, 5):
+        got_df = decontaminate_pairs(
+            side(lambda i: i % 3 != 0),
+            side(lambda i: i % 3 == 0),
+            CFG,
+            min_overlap=min_overlap,
+        ).to_pandas()
+        got = {
+            (r.train_id, r.eval_id): r.n_shared for r in got_df.itertuples()
+        }
+        assert got == {k: v for k, v in want.items() if v >= min_overlap}
+
+
+def test_decontaminate_pairs_max_posting_drops_boilerplate(ray_session):
+    """A 20-doc shared header is a hot shingle run; max_posting below 20
+    must drop those shingles' pairs while body overlaps survive."""
+    import ray.data
+
+    from raydedup.njaccard import decontaminate_pairs
+
+    header = " ".join(f"lic{i}" for i in range(CFG.shingle_k + 3))
+    rows = []
+    for i in range(20):
+        body = " ".join(f"w{i}_{j}" for j in range(12))
+        rows.append((i, f"{header} {body}"))
+    # one genuine cross pair: doc 20 (train) shares doc 3's body (eval side)
+    rows.append((20, rows[3][1]))
+    tbl = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "content": pa.array([r[1] for r in rows]),
+        }
+    )
+
+    def side(keep):
+        mask = pa.array([keep(r[0]) for r in rows])
+        return ray.data.from_arrow(tbl.filter(mask))
+
+    train = side(lambda i: i % 2 == 0)  # includes 20
+    ev = side(lambda i: i % 2 == 1)  # includes 3
+    capped = decontaminate_pairs(
+        train, ev, CFG, min_overlap=1, max_posting=10
+    ).to_pandas()
+    # header shingles (21 docs) dropped; only the full-body dup pair remains
+    assert set(zip(capped.train_id, capped.eval_id)) == {(20, 3)}
+    uncapped = decontaminate_pairs(train, ev, CFG, min_overlap=1).to_pandas()
+    assert len(uncapped) == 10 * 11  # every cross pair shares the header

@@ -281,3 +281,42 @@ def test_token_counts_bpe_splits_contractions_and_numbers():
     out = token_counts(batch)
     # it|'s| a|12|b = 5 ; hello = 1
     assert out.column("bpe_tokens").to_pylist() == [5, 1]
+
+
+def test_repetition_signals_vs_bruteforce(ray_session):
+    """String-level brute force (collections.Counter over raw lines) vs the
+    vectorized hash-based kernel, including empty docs, whitespace-only
+    lines (NOT empty — kept), NULL text, and unicode lines."""
+    from collections import Counter
+
+    from raydedup.textstats import repetition_signals
+
+    docs = [
+        "a\nb\na\nc\na",          # 5 lines, 3 distinct
+        "x\n\n\nx\nx",            # empties dropped: 3 lines of 'x'
+        "",                        # no lines
+        None,                      # NULL
+        "solo",                    # 1 line
+        "é¼\né¼\nplain",          # unicode dup
+        " \n \nâ€‰",                 # whitespace lines are non-empty
+        "long line here\nlong line here\nshort",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    out = repetition_signals(batch)
+    for i, doc in enumerate(docs):
+        lines = [l for l in (doc or "").split("\n") if l != ""]
+        cnt = Counter(lines)
+        n = len(lines)
+        dup_line = (n - len(cnt)) / max(n, 1)
+        total = sum(len(l) for l in lines)
+        dup_chars = sum((c - 1) * len(l) for l, c in cnt.items())
+        assert out.column("n_lines")[i].as_py() == n
+        assert out.column("dup_line_frac")[i].as_py() == np.floor(dup_line * 1e6) / 1e6
+        assert out.column("dup_char_frac")[i].as_py() == np.floor(
+            dup_chars / max(total, 1) * 1e6
+        ) / 1e6
