@@ -163,6 +163,27 @@ def _q_decontam_pairs(sf_dir: str):
     return decontaminate_pairs(split(False), split(True), _cfg(), min_overlap=3)
 
 
+def _q_decontam_survivors(sf_dir: str):
+    """Decontamination end-stage (raydedup/njaccard.py drop_contaminated):
+    the train split minus every doc flagged by decontam_pairs — flagged ids
+    broadcast once via ray.put, membership filter map-side, no train-side
+    shuffle."""
+    from raydedup.njaccard import decontaminate_pairs, drop_contaminated
+
+    corpus = _corpus_ds(sf_dir)
+
+    def split(want_eval: bool):
+        def block(b: pa.Table) -> pa.Table:
+            is_eval = (b.column("id").to_numpy() % 10) == 0
+            return b.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+        return corpus.map_batches(block, batch_format="pyarrow")
+
+    train = split(False)
+    pairs = decontaminate_pairs(train, split(True), _cfg(), min_overlap=3)
+    return drop_contaminated(train, pairs).select_columns(["id"])
+
+
 def _q_containment_pairs(sf_dir: str):
     from raydedup.pipeline import containment_pairs
 
@@ -1427,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "decontam_pairs": _q_decontam_pairs,
         "repetition_signals": _q_repetition_signals,
+        "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
@@ -1667,6 +1689,17 @@ SELECT tr.id AS train_id, ev.id AS eval_id,
 FROM tr JOIN ev ON tr.g = ev.g
 GROUP BY tr.id, ev.id
 HAVING count(*) >= 3
+""",
+        "decontam_survivors": f"""
+WITH {corpus}, {_SHINGLES_CTE},
+tr AS (SELECT id, unnest(sh) g FROM shing WHERE id % 10 != 0),
+ev AS (SELECT id, unnest(sh) g FROM shing WHERE id % 10 = 0),
+flagged AS (
+  SELECT tr.id FROM tr JOIN ev ON tr.g = ev.g
+  GROUP BY tr.id, ev.id HAVING count(*) >= 3
+)
+SELECT id FROM corpus
+WHERE id % 10 != 0 AND id NOT IN (SELECT DISTINCT id FROM flagged)
 """,
         "containment_pairs": f"""
 WITH {corpus},

@@ -219,6 +219,66 @@ def decontaminate_pairs(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def drop_contaminated(
+    train: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "id",
+    broadcast_limit: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Filter a train corpus down to rows NOT flagged by
+    :func:`decontaminate_pairs` (the decontamination end-stage).
+
+    The flagged-id set is bounded by the eval corpus's match fan-out —
+    ordinarily tiny next to the train corpus — so it is collected once,
+    sorted, ``ray.put`` once, and applied map-side by every filter task
+    (searchsorted membership): no shuffle of the train side. Above
+    ``broadcast_limit`` flagged rows it falls back to a distributed
+    left-outer anti-join (same pattern as pipeline.assign_clusters)."""
+    from .pipeline import join_partitions
+
+    flagged = pairs.groupby("train_id").count().materialize()
+    n_flagged = flagged.count()
+    if n_flagged <= broadcast_limit:
+        tables = [t for t in ray.get(flagged.to_arrow_refs()) if t.num_rows]
+        bad = (
+            np.sort(
+                np.concatenate(
+                    [t.column("train_id").to_numpy() for t in tables]
+                )
+            )
+            if tables
+            else np.zeros(0, dtype=np.int64)
+        )
+        bad_ref = ray.put(bad)
+
+        def keep_clean(batch: pa.Table, ref) -> pa.Table:
+            bad_ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            ids = batch.column(id_col).to_numpy()
+            if len(bad_ids) == 0:
+                return batch
+            pos = np.clip(np.searchsorted(bad_ids, ids), 0, len(bad_ids) - 1)
+            return batch.filter(pa.array(bad_ids[pos] != ids))
+
+        return train.map_batches(
+            keep_clean, fn_args=(bad_ref,), batch_format="pyarrow"
+        )
+
+    joined = train.join(
+        flagged,
+        "left_outer",
+        num_partitions=join_partitions(),
+        on=(id_col,),
+        right_on=("train_id",),
+    )
+    drop = {"train_id", "count()"}
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("count()"))).select(
+            [c for c in b.column_names if c not in drop]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def ngram_jaccard_pairs(
     corpus: "ray.data.Dataset",
     cfg: SigConfig = DEFAULT_CONFIG,

@@ -404,3 +404,40 @@ def test_decontaminate_pairs_max_posting_drops_boilerplate(ray_session):
     assert set(zip(capped.train_id, capped.eval_id)) == {(20, 3)}
     uncapped = decontaminate_pairs(train, ev, CFG, min_overlap=1).to_pandas()
     assert len(uncapped) == 10 * 11  # every cross pair shares the header
+
+
+def test_drop_contaminated_broadcast_and_antijoin(ray_session):
+    """Both execution paths (broadcast membership filter and the
+    left-outer anti-join fallback) must drop exactly the flagged train ids
+    and keep every column of the survivors."""
+    import ray.data
+
+    from raydedup.njaccard import drop_contaminated
+
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "content": pa.array([f"doc {i}" for i in range(5)]),
+            }
+        )
+    )
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "train_id": pa.array([2, 2, 5], pa.int64()),
+                "eval_id": pa.array([10, 20, 10], pa.int64()),
+                "n_shared": pa.array([3, 4, 7], pa.int64()),
+            }
+        )
+    )
+    for limit in (50_000_000, 0):  # broadcast path, then anti-join path
+        out = (
+            drop_contaminated(train, pairs, broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert list(out["id"]) == [1, 3, 4], limit
+        assert list(out.columns) == ["id", "content"]
+        assert out["content"][1] == "doc 2"  # id 3 carries its content
