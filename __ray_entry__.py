@@ -129,6 +129,17 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_corpus_ds(sf_dir), _cfg(), threshold=0.7)
 
 
+def _mod10_split(corpus, want_eval: bool):
+    """The decontam queries' deterministic corpus split: eval = id % 10 == 0
+    (mirrored verbatim by both SQL oracles)."""
+
+    def block(b: pa.Table) -> pa.Table:
+        is_eval = (b.column("id").to_numpy() % 10) == 0
+        return b.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+    return corpus.map_batches(block, batch_format="pyarrow")
+
+
 def _q_repetition_signals(sf_dir: str):
     """Gopher-style within-doc repetition quality signals
     (raydedup/textstats.py repetition_signals): duplicate-line fraction and
@@ -152,15 +163,10 @@ def _q_decontam_pairs(sf_dir: str):
     from raydedup.njaccard import decontaminate_pairs
 
     corpus = _corpus_ds(sf_dir)
-
-    def split(want_eval: bool):
-        def block(b: pa.Table) -> pa.Table:
-            is_eval = (b.column("id").to_numpy() % 10) == 0
-            return b.filter(pa.array(is_eval if want_eval else ~is_eval))
-
-        return corpus.map_batches(block, batch_format="pyarrow")
-
-    return decontaminate_pairs(split(False), split(True), _cfg(), min_overlap=3)
+    return decontaminate_pairs(
+        _mod10_split(corpus, False), _mod10_split(corpus, True),
+        _cfg(), min_overlap=3,
+    )
 
 
 def _q_decontam_survivors(sf_dir: str):
@@ -171,16 +177,10 @@ def _q_decontam_survivors(sf_dir: str):
     from raydedup.njaccard import decontaminate_pairs, drop_contaminated
 
     corpus = _corpus_ds(sf_dir)
-
-    def split(want_eval: bool):
-        def block(b: pa.Table) -> pa.Table:
-            is_eval = (b.column("id").to_numpy() % 10) == 0
-            return b.filter(pa.array(is_eval if want_eval else ~is_eval))
-
-        return corpus.map_batches(block, batch_format="pyarrow")
-
-    train = split(False)
-    pairs = decontaminate_pairs(train, split(True), _cfg(), min_overlap=3)
+    train = _mod10_split(corpus, False)
+    pairs = decontaminate_pairs(
+        train, _mod10_split(corpus, True), _cfg(), min_overlap=3
+    )
     return drop_contaminated(train, pairs).select_columns(["id"])
 
 

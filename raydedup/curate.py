@@ -103,7 +103,12 @@ def split_assign(
         raise ValueError(f"unknown method {method!r}")
     labels = list(fractions)
     cuts = np.cumsum([fractions[l] for l in labels]) * buckets
-    cuts = np.ceil(cuts[:-1]).astype(np.int64)  # last label takes the rest
+    # ceil with a 1e-9 back-off: a cumulative fraction whose product is an
+    # INTENDED integer can land epsilon above it in floats (0.9+0.05 →
+    # 950000.0000000001 at 1e6 buckets), and plain ceil would shift the
+    # boundary bucket to the wrong label — breaking the documented SQL
+    # mirror `bucket < frac*buckets`. Genuine non-integers still ceil up.
+    cuts = np.ceil(cuts[:-1] - 1e-9).astype(np.int64)  # last label takes the rest
 
     def block(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -247,14 +247,17 @@ def detect_hot_band_keys(
 # ---------------------------------------------------------------------------
 
 
-def join_partitions(wanted: int = 32) -> int:
-    """Hash-join aggregator actors each need a CPU slot; requesting more
-    partitions than the cluster has CPUs deadlocks scheduling. Clamp."""
+def join_partitions(wanted: int = 32, joins: int = 1) -> int:
+    """Per-join partition count such that the plan's TOTAL aggregator
+    actors stay ≤ CPUs (idle aggregators otherwise reserve every slot and
+    the streaming executor livelocks). ``joins`` is how many JoinOperators
+    share the plan: the CPU clamp is divided among them, but a wide
+    session still gets the full ``wanted`` per join."""
     try:
         cpus = int(ray.available_resources().get("CPU", 1) or 1)
     except Exception:  # noqa: BLE001 — outside a Ray session
         cpus = 1
-    return max(1, min(wanted, cpus))
+    return max(1, min(wanted, cpus // max(1, joins)))
 
 
 def actor_pool(lo: int = 1) -> tuple[int, int]:
@@ -343,10 +346,9 @@ def verify_pairs(
 ) -> "ray.data.Dataset":
     """Join each unique candidate pair with both KMV sketches and verify
     once (theta Jaccard, JaccardSimilarity.java:55-96 semantics)."""
-    # two JoinOperators share this plan: halve the per-join aggregator
-    # budget so the TOTAL stays ≤ CPUs (idle aggregator actors otherwise
-    # reserve every slot on small sessions — scheduling livelock)
-    num_partitions = num_partitions or max(1, join_partitions() // 2)
+    # two JoinOperators share this plan → joins=2 keeps TOTAL aggregators
+    # ≤ CPUs on small sessions without halving wide-session parallelism
+    num_partitions = num_partitions or join_partitions(joins=2)
     kmv_tbl = sigs.select_columns(["id", "kmv_theta", "kmv"])
     j1 = pairs.join(
         kmv_tbl, "inner", num_partitions=num_partitions, on=("src",), right_on=("id",)
@@ -690,6 +692,12 @@ def dedup_clusters(
     # no (src,dst) dedup shuffle needed: the near tier's owner-band rule
     # makes its pairs unique, and union-find is idempotent under the few
     # cross-tier duplicates
+    #
+    # executing all three tiers as ONE lazy union is safe here (unlike
+    # containment_pairs/verify_pairs): these tiers shuffle via sort-based
+    # groupby/grouped_blocks — task pools, no long-lived aggregator ACTORS
+    # — so no actor-reservation livelock; only JoinOperator plans need the
+    # joins= aggregator budgeting
     edges = edges.materialize()  # edge checkpoint: tiny; avoids re-running
     # the whole DAG for the count() + clustering consumers
 
@@ -792,7 +800,7 @@ def containment_pairs(
     same reason."""
     from .suffix import LcsVerifier
 
-    num_partitions = num_partitions or max(1, join_partitions(16) // 2)
+    num_partitions = num_partitions or join_partitions(16, joins=2)
     sigs = corpus.map_batches(SignatureStage(cfg), batch_format="pyarrow")
     cands = substring_edges(sigs, cfg)
     contents = corpus.select_columns(["id", "content"])

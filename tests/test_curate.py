@@ -159,3 +159,28 @@ def test_cap_per_key_string_keys_and_bad_k(ray_session):
     assert got == {("a", 0), ("a", 2), ("b", 1), ("b", 4), ("c", 5), ("c", 7)}
     with pytest.raises(ValueError):
         cap_per_key(ray.data.from_arrow(t), "src", "doc_id", k=0)
+
+
+def test_split_assign_boundary_bucket_no_float_drift(ray_session):
+    """0.9/0.05/0.05 at 1e6 buckets: the 950000 cumulative cut lands
+    epsilon ABOVE the integer in floats; plain ceil shifted the boundary
+    bucket to the wrong label (regression). Modulo mode must match the
+    exact SQL semantics `bucket < frac*buckets` at every boundary."""
+    import ray.data
+
+    from raydedup.curate import split_assign
+
+    ids = np.array([899_999, 900_000, 949_999, 950_000], dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    out = (
+        split_assign(
+            ray.data.from_arrow(t),
+            "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            method="modulo",
+            buckets=1_000_000,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["split"]) == ["train", "val", "val", "test"]
