@@ -155,6 +155,22 @@ def _q_repetition_signals(sf_dir: str):
     return docs.map_batches(repetition_signals, batch_format="pyarrow")
 
 
+def _q_boilerplate_line_dedup(sf_dir: str):
+    """CCNet-style paragraph-level dedup (raydedup/paragraphs.py
+    dedup_paragraphs): drop every non-empty line occurring in >= 10
+    distinct pages of the synthesized multi-line pages view
+    (corpus.pages_sql — planted header/footer boilerplate), rebuild the
+    page text. Count pass = 16 B/(doc,line) shuffle + small broadcast;
+    rewrite pass = stateless map_batches."""
+    import ray.data
+
+    from raydedup.corpus import pages_parquet_path
+    from raydedup.paragraphs import dedup_paragraphs
+
+    pages = ray.data.read_parquet(pages_parquet_path(sf_dir))
+    return dedup_paragraphs(pages, text_col="text", id_col="page_id", min_docs=10)
+
+
 def _q_decontam_pairs(sf_dir: str):
     """Train/eval decontamination (raydedup/njaccard.py decontaminate_pairs):
     exact shingle-overlap pairs between a train split (id % 10 != 0) and an
@@ -1448,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "decontam_pairs": _q_decontam_pairs,
         "repetition_signals": _q_repetition_signals,
+        "boilerplate_line_dedup": _q_boilerplate_line_dedup,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1512,6 +1529,12 @@ def _corpus_cte() -> str:
     from raydedup.corpus import corpus_sql
 
     return f"corpus AS ({corpus_sql('documents')})"
+
+
+def _pages_cte_sql() -> str:
+    from raydedup.corpus import pages_sql
+
+    return pages_sql("documents")
 
 
 _SHINGLES_CTE = r"""
@@ -1679,6 +1702,38 @@ SELECT doc_id,
        coalesce(floor(dup_chars / greatest(total_chars, 1) * 1e6) / 1e6,
                 0.0) AS dup_char_frac
 FROM documents LEFT JOIN d USING (doc_id)
+""",
+        "boilerplate_line_dedup": f"""
+WITH pages AS ({_pages_cte_sql()}),
+l AS (
+  SELECT page_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS ord
+  FROM pages
+),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT page_id) AS nd
+    FROM l WHERE line != '' GROUP BY line
+  ) WHERE nd >= 10
+),
+kept AS (
+  SELECT page_id, line, ord FROM l
+  WHERE line = '' OR line NOT IN (SELECT line FROM freq)
+),
+agg AS (
+  SELECT page_id, string_agg(line, chr(10) ORDER BY ord) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY page_id
+),
+tot AS (SELECT page_id, count(*) AS n_lines FROM l GROUP BY page_id)
+SELECT p.page_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM pages p
+JOIN tot t USING (page_id)
+LEFT JOIN agg a USING (page_id)
 """,
         "decontam_pairs": f"""
 WITH {corpus}, {_SHINGLES_CTE},
