@@ -171,6 +171,23 @@ def _q_boilerplate_line_dedup(sf_dir: str):
     return dedup_paragraphs(pages, text_col="text", id_col="page_id", min_docs=10)
 
 
+def _q_oov_rate(sf_dir: str):
+    """OOV-rate quality scoring vs the corpus top-20 vocabulary
+    (raydedup/vocab.py): a combiner-tree token count (per-batch partials →
+    hash-partitioned sums with a lossless per-partition top-V pre-cut) picks
+    the vocabulary; one broadcast + a stateless map_batches scores every
+    document. The tie-break at the V boundary (count DESC, token ASC) is
+    mirrored bit-exactly by the oracle's row_number() window."""
+    import ray.data
+
+    from raydedup.vocab import oov_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return oov_stats(docs, v=20)
+
+
 def _q_decontam_pairs(sf_dir: str):
     """Train/eval decontamination (raydedup/njaccard.py decontaminate_pairs):
     exact shingle-overlap pairs between a train split (id % 10 != 0) and an
@@ -1465,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_pairs": _q_decontam_pairs,
         "repetition_signals": _q_repetition_signals,
         "boilerplate_line_dedup": _q_boilerplate_line_dedup,
+        "oov_rate": _q_oov_rate,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1734,6 +1752,32 @@ SELECT p.page_id,
 FROM pages p
 JOIN tot t USING (page_id)
 LEFT JOIN agg a USING (page_id)
+""",
+        "oov_rate": r"""
+WITH s AS (
+  SELECT doc_id,
+         trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS s
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(s, '\s+')) AS t FROM s WHERE s != ''
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS r FROM cnt
+  ) WHERE r <= 20
+),
+d AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+       coalesce(floor(n_oov / greatest(n_tokens, 1) * 1e6) / 1e6, 0.0) AS oov_frac
+FROM documents LEFT JOIN d USING (doc_id)
 """,
         "decontam_pairs": f"""
 WITH {corpus}, {_SHINGLES_CTE},
