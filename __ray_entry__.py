@@ -188,6 +188,22 @@ def _q_oov_rate(sf_dir: str):
     return oov_stats(docs, v=20)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-document keyword extraction: top-3 terms by tf-idf over the
+    corpus top-20 vocabulary (raydedup/vocab.py tfidf_top_terms). idf is the
+    raw n_docs/df ratio — integer arithmetic promoted to double identically
+    on both sides, no transcendental drift; ranking ties break (score DESC,
+    term ASC), mirrored by the oracle window."""
+    import ray.data
+
+    from raydedup.vocab import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, v=20, k=3)
+
+
 def _q_decontam_pairs(sf_dir: str):
     """Train/eval decontamination (raydedup/njaccard.py decontaminate_pairs):
     exact shingle-overlap pairs between a train split (id % 10 != 0) and an
@@ -1483,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "boilerplate_line_dedup": _q_boilerplate_line_dedup,
         "oov_rate": _q_oov_rate,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1778,6 +1795,39 @@ SELECT doc_id,
        CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
        coalesce(floor(n_oov / greatest(n_tokens, 1) * 1e6) / 1e6, 0.0) AS oov_frac
 FROM documents LEFT JOIN d USING (doc_id)
+""",
+        "tfidf_top_terms": r"""
+WITH s AS (
+  SELECT doc_id,
+         trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS s
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(s, '\s+')) AS t FROM s WHERE s != ''
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS r FROM cnt
+  ) WHERE r <= 20
+),
+vtok AS (SELECT doc_id, t FROM tok WHERE t IN (SELECT t FROM vocab)),
+df AS (SELECT t, count(DISTINCT doc_id) AS df FROM vtok GROUP BY t),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM vtok GROUP BY doc_id, t),
+n AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, t,
+         CAST(tf AS DOUBLE) * (SELECT nd FROM n) / df AS score
+  FROM tf JOIN df USING (t)
+),
+ranked AS (
+  SELECT doc_id, t, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, t AS term, CAST(rk AS BIGINT) AS rank,
+       floor(score * 1e6) / 1e6 AS score
+FROM ranked WHERE rk <= 3
 """,
         "decontam_pairs": f"""
 WITH {corpus}, {_SHINGLES_CTE},

@@ -152,6 +152,171 @@ def top_vocab(
     )
 
 
+def doc_freq(
+    ds: "ray.data.Dataset",  # noqa: F821
+    vocab_hashes: np.ndarray,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Document frequency (number of distinct documents containing the
+    token) for each vocabulary hash, aligned with ``vocab_hashes`` (which
+    must be sorted). One per-batch distinct-(doc, token) partial-count pass
+    + a hash-partitioned sum; the result is vocabulary-sized."""
+    import ray
+
+    from .pipeline import grouped_blocks
+
+    vocab_ref = ray.put(np.ascontiguousarray(vocab_hashes, dtype=np.uint64))
+    empty = pa.table(
+        {"h": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        flat, per_row = _ws_tokens(batch.column(text_col))
+        h, blen = _token_hashes(flat)
+        raw = np.maximum(per_row, 1)
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), raw)
+        if len(vocab) == 0 or len(h) == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(vocab, h), len(vocab) - 1)
+        keep = (vocab[pos] == h) & (blen > 0)
+        h, doc_idx = h[keep], doc_idx[keep]
+        if len(h) == 0:
+            return empty
+        order = np.lexsort((h, doc_idx))
+        d_s, h_s = doc_idx[order], h[order]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        hu, c = np.unique(h_s[first], return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hu.view(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def sums(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        h = block.column("h").to_numpy()
+        c = block.column("c").to_numpy()
+        order = np.argsort(h, kind="stable")
+        h_s, c_s = h[order], c[order]
+        starts = np.ones(len(h_s), dtype=bool)
+        starts[1:] = h_s[1:] != h_s[:-1]
+        idx = np.flatnonzero(starts)
+        return pa.table(
+            {
+                "h": pa.array(h_s[idx], pa.int64()),
+                "c": pa.array(np.add.reduceat(c_s, idx), pa.int64()),
+            }
+        )
+
+    totals = grouped_blocks(
+        ds.map_batches(partials, batch_format="pyarrow"), "h", sums
+    )
+    df = np.zeros(len(vocab_hashes), dtype=np.int64)
+    for b in totals.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        hh = b.column("h").to_numpy().view(np.uint64)
+        df[np.searchsorted(vocab_hashes, hh)] = b.column("c").to_numpy()
+    return df
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    v: int = 1000,
+    k: int = 3,
+) -> "ray.data.Dataset":  # noqa: F821
+    """Per-document top-``k`` terms by tf-idf over the corpus top-``v``
+    vocabulary: ``(id_col, term, rank, score)`` with
+    ``score = tf * n_docs / df`` (raw document-frequency idf — pure integer
+    ratio arithmetic, so both sides compute bit-identical doubles; no
+    transcendental log to drift). Ranking uses the UNQUANTIZED score with
+    (score DESC, term ASC) tie-break; the emitted score is floor-quantized
+    to 1e-6 for the value-hash oracle. Documents with zero in-vocabulary
+    tokens emit no rows.
+
+    Three streaming passes (vocabulary count, document frequency, score) —
+    each shuffles only per-batch vocabulary partials; the per-document
+    top-k runs vectorized inside one map_batches (run-rank cut, no window
+    shuffle).
+    """
+    import ray
+
+    n_docs = docs.count()
+    vocab_hashes, vocab_tbl = top_vocab(docs, text_col=text_col, v=v)
+    df = doc_freq(docs, vocab_hashes, text_col=text_col)
+    terms = vocab_tbl.column("token").to_numpy(zero_copy_only=False).astype(str)
+    if len(terms):
+        term_hash, _ = _token_hashes(pa.array(list(terms)))
+    else:
+        term_hash = np.array([], np.uint64)
+    # align term strings with the SORTED vocab_hashes order
+    align = np.searchsorted(vocab_hashes, term_hash)
+    terms_sorted = np.empty(len(vocab_hashes), dtype=terms.dtype if len(terms) else "U1")
+    terms_sorted[align] = terms
+    # tie-break helper: rank of each vocab entry in token-ASC order
+    term_rank = np.empty(len(terms_sorted), dtype=np.int64)
+    term_rank[np.argsort(terms_sorted, kind="stable")] = np.arange(len(terms_sorted))
+    bundle_ref = ray.put((vocab_hashes, terms_sorted, df, term_rank, int(n_docs)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, vterms, vdf, vrank, nd = ray.get(bundle_ref)
+        out_empty = pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "term": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if len(vocab) == 0 or batch.num_rows == 0:
+            return out_empty
+        flat, per_row = _ws_tokens(batch.column(text_col))
+        h, blen = _token_hashes(flat)
+        raw = np.maximum(per_row, 1)
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), raw)
+        pos = np.minimum(np.searchsorted(vocab, h), len(vocab) - 1)
+        keep = (vocab[pos] == h) & (blen > 0)
+        vidx, doc_idx = pos[keep], doc_idx[keep]
+        if len(vidx) == 0:
+            return out_empty
+        # tf per (doc, vocab term)
+        order = np.lexsort((vidx, doc_idx))
+        d_s, v_s = doc_idx[order], vidx[order]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(d_s)))
+        d_r, v_r = d_s[starts], v_s[starts]
+        sc = tf.astype(np.float64) * nd / vdf[v_r]
+        # per-doc top-k by (score DESC, term ASC)
+        o2 = np.lexsort((vrank[v_r], -sc, d_r))
+        d2 = d_r[o2]
+        idx = np.arange(len(d2))
+        new_doc = np.ones(len(d2), dtype=bool)
+        new_doc[1:] = d2[1:] != d2[:-1]
+        run_start = np.maximum.accumulate(np.where(new_doc, idx, 0))
+        rank = idx - run_start
+        cut = rank < k
+        sel = o2[cut]
+        ids = batch.column(id_col).take(pa.array(d_r[sel], pa.int64()))
+        return pa.table(
+            {
+                id_col: ids,
+                "term": pa.array(vterms[v_r[sel]].astype(object), pa.string()),
+                "rank": pa.array(rank[cut] + 1, pa.int64()),
+                "score": pa.array(np.floor(sc[sel] * 1e6) / 1e6, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def oov_stats(
     docs: "ray.data.Dataset",  # noqa: F821
     text_col: str = "text",
