@@ -283,6 +283,33 @@ def _q_dedup_clusters_oracle(sf_dir: str):
     return assign_clusters(sigs, cluster_edges(edges))
 
 
+def _q_cluster_size_histogram(sf_dir: str):
+    """Dup-cluster size distribution of the flagship clustering (at the
+    oracle edge config): cluster sizes via one pre-aggregable groupby
+    count, then a tiny histogram groupby. Oracled end-to-end through the
+    same recursive-CTE fixpoint as dedup_clusters_oracle."""
+    import pyarrow as pa
+
+    clusters = _q_dedup_clusters_oracle(sf_dir)
+    sizes = (
+        clusters.groupby("cluster_id")
+        .count()
+        .map_batches(
+            lambda b: pa.table({"cluster_size": b.column("count()")}),
+            batch_format="pyarrow",
+        )
+    )
+    return sizes.groupby("cluster_size").count().map_batches(
+        lambda b: pa.table(
+            {
+                "cluster_size": b.column("cluster_size"),
+                "n_clusters": b.column("count()"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_minhash_signatures(sf_dir: str):
     from raydedup.pipeline import signatures
 
@@ -1504,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
+        "cluster_size_histogram": _q_cluster_size_histogram,
         "minhash_signatures": _q_minhash_signatures,
         "theta_distinct_orders": _q_theta_distinct_orders,
         "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
@@ -1570,6 +1598,41 @@ def _pages_cte_sql() -> str:
     from raydedup.corpus import pages_sql
 
     return pages_sql("documents")
+
+
+def _clusters_fixpoint_sql(corpus: str) -> str:
+    """The flagship-clustering oracle: SQL-expressible edge tiers (sha ∪
+    exact n-gram Jaccard ∪ verified containment) closed into components by
+    a recursive-CTE min-label fixpoint. Shared by dedup_clusters_oracle and
+    cluster_size_histogram."""
+    return f"""
+WITH RECURSIVE {corpus}, {_SHINGLES_CTE},
+ex AS (
+  SELECT a, b FROM (
+    SELECT min(id) OVER (PARTITION BY content) a, id b FROM corpus)
+  WHERE a <> b),
+eg AS (SELECT id, unnest(sh) g FROM shing),
+cand AS (SELECT DISTINCT x.id a, y.id b FROM eg x JOIN eg y ON x.g = y.g AND x.id < y.id),
+ng AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) j
+    FROM cand JOIN shing sa ON sa.id = cand.a JOIN shing sb ON sb.id = cand.b)
+  WHERE j >= 0.7),
+t AS (SELECT id, content, len(string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) nt FROM corpus),
+ct AS (
+  SELECT x.id a, y.id b FROM t x JOIN t y ON x.id < y.id
+  WHERE (x.nt >= 24 AND contains(y.content, x.content))
+     OR (y.nt >= 24 AND contains(x.content, y.content))),
+pairs AS (SELECT a, b FROM ex UNION SELECT a, b FROM ng UNION SELECT a, b FROM ct),
+e AS (SELECT a s, b d FROM pairs UNION SELECT b s, a d FROM pairs),
+reach(id, label) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.d, reach.label FROM reach JOIN e ON e.s = reach.id)
+SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
 
 
 _SHINGLES_CTE = r"""
@@ -1864,33 +1927,13 @@ WHERE (a.nt >= 24 AND contains(b.content, a.content))
         # reachable from id along undirected edges; min(label) over an
         # undirected component = the component-minimum id — the engine's
         # cluster_id convention (unionfind.py module contract)
-        "dedup_clusters_oracle": f"""
-WITH RECURSIVE {corpus}, {_SHINGLES_CTE},
-ex AS (
-  SELECT a, b FROM (
-    SELECT min(id) OVER (PARTITION BY content) a, id b FROM corpus)
-  WHERE a <> b),
-eg AS (SELECT id, unnest(sh) g FROM shing),
-cand AS (SELECT DISTINCT x.id a, y.id b FROM eg x JOIN eg y ON x.g = y.g AND x.id < y.id),
-ng AS (
-  SELECT a, b FROM (
-    SELECT a, b,
-      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.sh, sb.sh))) j
-    FROM cand JOIN shing sa ON sa.id = cand.a JOIN shing sb ON sb.id = cand.b)
-  WHERE j >= 0.7),
-t AS (SELECT id, content, len(string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) nt FROM corpus),
-ct AS (
-  SELECT x.id a, y.id b FROM t x JOIN t y ON x.id < y.id
-  WHERE (x.nt >= 24 AND contains(y.content, x.content))
-     OR (y.nt >= 24 AND contains(x.content, y.content))),
-pairs AS (SELECT a, b FROM ex UNION SELECT a, b FROM ng UNION SELECT a, b FROM ct),
-e AS (SELECT a s, b d FROM pairs UNION SELECT b s, a d FROM pairs),
-reach(id, label) AS (
-  SELECT id, id FROM corpus
-  UNION
-  SELECT e.d, reach.label FROM reach JOIN e ON e.s = reach.id)
-SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+        "dedup_clusters_oracle": _clusters_fixpoint_sql(corpus),
+        "cluster_size_histogram": f"""
+WITH c AS ({_clusters_fixpoint_sql(corpus)}),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM c GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY sz
 """,
         "theta_distinct_orders": """
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
