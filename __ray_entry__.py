@@ -204,6 +204,49 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, v=20, k=3)
 
 
+# data-mix rebalance config shared by the sample_sources query and its
+# generated oracle (thresholds injected from the SAME integers the engine
+# compares against — curate.stratified_thresholds)
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_SAMPLE_DEFAULT = 0.2
+_SAMPLE_BUCKETS = 1000
+
+
+def _q_sample_sources(sf_dir: str):
+    """Deterministic per-source downsampling (raydedup/curate.py
+    sample_stratified): rebalance the source mix by keeping a configured
+    fraction of each stratum. Oracle mode = id-modulo bucketing; the
+    production splitmix64 mode carries uniformity pytests instead."""
+    import ray.data
+
+    from raydedup.curate import sample_stratified
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return sample_stratified(
+        docs,
+        key="source",
+        id_col="doc_id",
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+        method="modulo",
+        buckets=_SAMPLE_BUCKETS,
+    )
+
+
+def _sample_sources_sql() -> str:
+    from raydedup.curate import stratified_thresholds
+
+    thr = stratified_thresholds(_SAMPLE_RATES, _SAMPLE_DEFAULT, _SAMPLE_BUCKETS)
+    default_thr = thr.pop("__default__")
+    cases = " ".join(f"WHEN source = '{k}' THEN {v}" for k, v in thr.items())
+    return (
+        f"SELECT doc_id, source FROM documents "
+        f"WHERE doc_id % {_SAMPLE_BUCKETS} < (CASE {cases} ELSE {default_thr} END)"
+    )
+
+
 def _q_decontam_pairs(sf_dir: str):
     """Train/eval decontamination (raydedup/njaccard.py decontaminate_pairs):
     exact shingle-overlap pairs between a train split (id % 10 != 0) and an
@@ -1527,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_line_dedup": _q_boilerplate_line_dedup,
         "oov_rate": _q_oov_rate,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "sample_sources": _q_sample_sources,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1833,6 +1877,7 @@ FROM pages p
 JOIN tot t USING (page_id)
 LEFT JOIN agg a USING (page_id)
 """,
+        "sample_sources": _sample_sources_sql(),
         "oov_rate": r"""
 WITH s AS (
   SELECT doc_id,

@@ -127,6 +127,69 @@ def split_assign(
     return ds.map_batches(block, batch_format="pyarrow")
 
 
+def sample_stratified(
+    ds: "ray.data.Dataset",  # noqa: F821
+    key: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    method: str = "hash",
+    seed: int = 4242,
+    buckets: int = 1_000_000,
+) -> "ray.data.Dataset":  # noqa: F821
+    """Deterministic per-stratum downsampling — the "rebalance the data
+    mix" curation op (keep X% of each overrepresented source/domain/lang).
+
+    A row survives iff ``bucket(id) < thr[key]`` where ``thr`` is the
+    integer threshold :func:`stratified_thresholds` derives from the rate
+    (same 1e-9 ceil back-off as :func:`split_assign`, so intended-integer
+    boundaries never drift). ``method="hash"`` buckets by splitmix64
+    (production: uniform for any id distribution, stable under growth);
+    ``method="modulo"`` is the bit-wise SQL-mirrorable oracle mode.
+    Embarrassingly parallel — one stateless map_batches, no shuffle; the
+    rate table rides the closure (it is config, not data).
+    """
+    if method not in ("hash", "modulo"):
+        raise ValueError(f"unknown method {method!r}")
+    thr = stratified_thresholds(rates, default_rate, buckets)
+    default_thr = thr.pop("__default__")
+
+    def block(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if method == "hash":
+            from .hashing import splitmix64
+
+            u = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+            bucket = (u % np.uint64(buckets)).astype(np.int64)
+        else:
+            bucket = np.mod(ids, buckets)
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        per_uniq = np.array(
+            [thr.get(k, default_thr) for k in uniq.tolist()], dtype=np.int64
+        )
+        keep = bucket < per_uniq[inv]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(block, batch_format="pyarrow")
+
+
+def stratified_thresholds(
+    rates: dict[str, float], default_rate: float, buckets: int
+) -> dict[str, int]:
+    """Integer keep-thresholds per stratum (plus ``__default__``): row kept
+    iff bucket < threshold. Exposed so the SQL oracle can be generated from
+    the SAME integers the engine compares against."""
+    for k, r in list(rates.items()) + [("default", default_rate)]:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0, 1]")
+    out = {
+        k: int(np.ceil(r * buckets - 1e-9)) for k, r in rates.items()
+    }
+    out["__default__"] = int(np.ceil(default_rate * buckets - 1e-9))
+    return out
+
+
 def curate_corpus(
     docs: "ray.data.Dataset",  # noqa: F821
     *,
