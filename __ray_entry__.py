@@ -353,6 +353,31 @@ def _q_cluster_size_histogram(sf_dir: str):
     )
 
 
+def _q_cluster_best_survivors(sf_dir: str):
+    """Best-quality survivor per dup cluster (raydedup/curate.py
+    select_survivors): the flagship clustering (oracle edge config) joined
+    with per-file quality scores via the join-free tagged-union merge, then
+    a per-cluster argmax (quality DESC, id ASC). The 'keep the best copy'
+    curation policy, value-hash-checked end-to-end."""
+    import pyarrow as pa
+
+    from raydedup.curate import select_survivors
+    from raydedup.textstats import quality_score
+
+    clusters = _q_dedup_clusters_oracle(sf_dir)
+    scores = (
+        _corpus_ds(sf_dir)
+        .select_columns(["id", "content"])
+        .map_batches(
+            lambda b: quality_score(b, text_col="content").select(["id", "quality"]),
+            batch_format="pyarrow",
+        )
+    )
+    return select_survivors(
+        clusters, scores, id_col="id", cluster_col="cluster_id", score_col="quality"
+    )
+
+
 def _q_minhash_signatures(sf_dir: str):
     from raydedup.pipeline import signatures
 
@@ -1576,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
+        "cluster_best_survivors": _q_cluster_best_survivors,
         "minhash_signatures": _q_minhash_signatures,
         "theta_distinct_orders": _q_theta_distinct_orders,
         "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
@@ -1642,6 +1668,37 @@ def _pages_cte_sql() -> str:
     from raydedup.corpus import pages_sql
 
     return pages_sql("documents")
+
+
+def _quality_sql(rel: str, id_col: str, text_col: str) -> str:
+    """The quality_score heuristic as SQL over any (id, text) relation —
+    the identical fixed IEEE-double op sequence as textstats.quality_score,
+    floor-quantized to 1e-6. Used by quality_scores (over documents),
+    quality_percentiles (wrapping it), and cluster_best_survivors (over the
+    corpus content)."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return rf"""
+WITH s AS (
+  SELECT {id_col},
+         length(t) AS n_chars,
+         CASE WHEN trim(t, {ws}) = '' THEN 0
+              ELSE len(string_split_regex(trim(t, {ws}), '\s+')) END AS n_tokens,
+         length(regexp_replace(t, '[\w\s]', '', 'g')) AS punct_cnt,
+         length(regexp_replace(t, '[^0-9]', '', 'g')) AS digit_cnt
+  FROM (SELECT {id_col}, coalesce({text_col}, '') AS t FROM {rel}) d),
+r AS (
+  SELECT {id_col},
+         CAST(n_tokens AS DOUBLE) AS nt,
+         CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1) AS punct,
+         CAST(digit_cnt AS DOUBLE) / greatest(n_chars, 1) AS digit
+  FROM s)
+SELECT {id_col},
+  floor((0.6 * (least(greatest(nt / 50.0, 0.0), 1.0)
+                * least(greatest(2.0 - nt / 5000.0, 0.0), 1.0))
+       + 0.4 * least(greatest(1.0 - 3.0 * (punct + digit), 0.0), 1.0)) * 1e6)
+    / 1e6 AS quality
+FROM r
+"""
 
 
 def _clusters_fixpoint_sql(corpus: str) -> str:
@@ -1980,6 +2037,19 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY sz
 """,
+        "cluster_best_survivors": f"""
+WITH {corpus},
+c AS ({_clusters_fixpoint_sql(corpus)}),
+q AS ({_quality_sql("corpus", "id", "content")}),
+j AS (SELECT c.id, c.cluster_id, q.quality FROM c JOIN q USING (id)),
+r AS (
+  SELECT cluster_id, id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, id ASC) AS rk
+  FROM j)
+SELECT cluster_id, CAST(id AS BIGINT) AS survivor_id, quality
+FROM r WHERE rk = 1
+""",
         "theta_distinct_orders": """
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
 FROM lineitem GROUP BY l_returnflag
@@ -2222,28 +2292,7 @@ FROM events GROUP BY 1, 2
 """,
         "lang_id": _lang_id_sql(),
         "redact_pii": _redact_pii_sql(),
-        "quality_scores": r"""
-WITH s AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
-              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS n_tokens,
-         length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_cnt,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt
-  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d),
-r AS (
-  SELECT doc_id,
-         CAST(n_tokens AS DOUBLE) AS nt,
-         CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1) AS punct,
-         CAST(digit_cnt AS DOUBLE) / greatest(n_chars, 1) AS digit
-  FROM s)
-SELECT doc_id,
-  floor((0.6 * (least(greatest(nt / 50.0, 0.0), 1.0)
-                * least(greatest(2.0 - nt / 5000.0, 0.0), 1.0))
-       + 0.4 * least(greatest(1.0 - 3.0 * (punct + digit), 0.0), 1.0)) * 1e6)
-    / 1e6 AS quality
-FROM r
-""",
+        "quality_scores": _quality_sql("documents", "doc_id", "text"),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},
 e AS (SELECT id, unnest(sh) g FROM shing),

@@ -127,6 +127,124 @@ def split_assign(
     return ds.map_batches(block, batch_format="pyarrow")
 
 
+def select_survivors(
+    assign: "ray.data.Dataset",  # noqa: F821
+    scores: "ray.data.Dataset",  # noqa: F821
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> "ray.data.Dataset":  # noqa: F821
+    """Per-dup-cluster survivor selection by QUALITY: for every cluster in
+    ``assign`` (id → cluster_col), keep the member with the highest
+    ``score_col`` from ``scores`` (id → score), ties broken by smallest id —
+    the "keep the best copy, not the first copy" policy of real curation
+    pipelines. Output: ``(cluster_col, survivor_id, score_col)``.
+
+    Join-free scale shape: the two inputs are tagged and unioned, one
+    hash-partition shuffle on id merges each id's (cluster, score) pair
+    vectorized (no Dataset.join — 24 B/row either way, but this path has no
+    aggregator-actor partition budget to manage), then a second
+    hash-partition on cluster runs the argmax as a run-boundary cut. Ids
+    present on only one side drop out (inner semantics).
+    """
+    import pyarrow.compute as pc
+
+    from .pipeline import grouped_blocks
+
+    def tag_assign(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                cluster_col: b.column(cluster_col),
+                score_col: pa.nulls(b.num_rows, pa.float64()),
+            }
+        )
+
+    def tag_scores(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                cluster_col: pa.nulls(b.num_rows, pa.int64()),
+                score_col: pc.cast(b.column(score_col), pa.float64()),
+            }
+        )
+
+    merged = assign.map_batches(tag_assign, batch_format="pyarrow").union(
+        scores.map_batches(tag_scores, batch_format="pyarrow")
+    )
+
+    def merge_by_id(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                cluster_col: pa.array([], pa.int64()),
+                score_col: pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # null → NaN via Arrow cast (nullable int64 must not round-trip
+        # through object dtype)
+        clf = pc.cast(b.column(cluster_col), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        scf = pc.cast(b.column(score_col), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        has_cl = ~np.isnan(clf)
+        has_sc = ~np.isnan(scf)
+        order = np.argsort(ids, kind="stable")
+        ids, clf, scf = ids[order], clf[order], scf[order]
+        has_cl, has_sc = has_cl[order], has_sc[order]
+        starts = np.ones(len(ids), dtype=bool)
+        starts[1:] = ids[1:] != ids[:-1]
+        run = np.cumsum(starts) - 1
+        nrun = run[-1] + 1
+        out_cl = np.full(nrun, np.nan)
+        out_sc = np.full(nrun, np.nan)
+        out_cl[run[has_cl]] = clf[has_cl]
+        out_sc[run[has_sc]] = scf[has_sc]
+        both = ~np.isnan(out_cl) & ~np.isnan(out_sc)
+        return pa.table(
+            {
+                id_col: pa.array(ids[starts][both], pa.int64()),
+                cluster_col: pa.array(out_cl[both].astype(np.int64), pa.int64()),
+                score_col: pa.array(out_sc[both], pa.float64()),
+            }
+        )
+
+    joined = grouped_blocks(merged, id_col, merge_by_id)
+
+    def argmax_block(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                cluster_col: pa.array([], pa.int64()),
+                "survivor_id": pa.array([], pa.int64()),
+                score_col: pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col).to_numpy()
+        cl = b.column(cluster_col).to_numpy()
+        sc = b.column(score_col).to_numpy()
+        order = np.lexsort((ids, -sc, cl))
+        cl_s = cl[order]
+        first = np.ones(len(cl_s), dtype=bool)
+        first[1:] = cl_s[1:] != cl_s[:-1]
+        pick = order[first]
+        return pa.table(
+            {
+                cluster_col: pa.array(cl[pick], pa.int64()),
+                "survivor_id": pa.array(ids[pick], pa.int64()),
+                score_col: pa.array(sc[pick], pa.float64()),
+            }
+        )
+
+    return grouped_blocks(joined, cluster_col, argmax_block)
+
+
 def sample_stratified(
     ds: "ray.data.Dataset",  # noqa: F821
     key: str,
