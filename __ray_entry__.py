@@ -1488,6 +1488,32 @@ def _q_media_features(sf_dir: str):
     return png.union(wav)
 
 
+def _q_media_resized_features(sf_dir: str):
+    """REAL image resize (raydedup/multimodal.py ResizeStage): decode PNG →
+    nearest-neighbor resample to 8×8 with the integer floor map
+    src = (dst*src_dim)//out_dim → re-encode PNG → decode AGAIN and emit
+    exact value sums. The oracle recomputes the resampled grid closed-form
+    from media_id, so a resize/encode/decode bug anywhere in the chain
+    breaks the hash."""
+    import ray.data
+
+    from raydedup.multimodal import DecodeStage, ResizeStage, synth_real_media_table
+
+    media = ray.data.from_arrow(synth_real_media_table(48))
+    return (
+        media.filter(expr="format == 'png'")
+        .map_batches(
+            ResizeStage, fn_constructor_kwargs={"out_w": 8, "out_h": 8},
+            batch_format="pyarrow", concurrency=1, batch_size=16,
+        )
+        .map_batches(
+            DecodeStage, fn_constructor_kwargs={"codec": "png"},
+            batch_format="pyarrow", concurrency=1, batch_size=16,
+        )
+        .select_columns(["media_id", "width", "height", "n_values", "sum_value"])
+    )
+
+
 def _q_media_dup_pairs(sf_dir: str):
     """End-to-end multimodal dedup over REAL decodes: PNG/WAV payloads →
     per-format actor-pool DecodeStage (features computed from DECODED
@@ -1596,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "sample_sources": _q_sample_sources,
+        "media_resized_features": _q_media_resized_features,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -2352,6 +2379,17 @@ SELECT media_id, kind, CAST(width AS BIGINT) AS width,
        CAST(n_values AS BIGINT) AS n_values, sum_value
 FROM (SELECT * FROM png UNION ALL SELECT * FROM wav)
 ORDER BY media_id
+""",
+        "media_resized_features": """
+WITH m AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(0, 48) t(i) WHERE t.i % 2 = 0)
+SELECT m.i AS media_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(64 AS BIGINT) AS n_values,
+       (SELECT CAST(SUM((((xx.x * (16 + (m.i % 8))) // 8) * 3
+                        + ((yy.y * (8 + (m.i % 5) * 4)) // 8) * 5
+                        + m.i) % 256) AS BIGINT)
+          FROM range(0, 8) xx(x), range(0, 8) yy(y)) AS sum_value
+FROM m
 """,
         "split_train_val_test": """
 SELECT doc_id,

@@ -153,6 +153,67 @@ class DecodeStage:
         )
 
 
+class ResizeStage:
+    """REAL image-resize actor-pool stage (pure numpy, no media libs):
+    decode PNG → nearest-neighbor resample to ``(out_w, out_h)`` → re-encode
+    PNG. The source index is the integer floor map ``src = (dst * src_dim)
+    // out_dim``, so the resampled grid is closed-form for the synthetic
+    fixture and the resized image's features carry a value-hash DuckDB
+    oracle (``media_resized_features``). Re-encoding goes through the full
+    encode_png path — a broken encoder or decoder breaks the oracle.
+
+    Same actor-pool deployment notes as :class:`DecodeStage`: build per
+    actor, small batch_size for large payloads. Non-PNG rows pass through
+    unchanged payloads with a ``resized=false`` flag.
+    """
+
+    def __init__(self, out_w: int = 8, out_h: int = 8, codec: str = "png"):
+        if codec != "png":
+            raise NotImplementedError(
+                "only PNG resize is implementable from the stdlib here"
+            )
+        if out_w <= 0 or out_h <= 0:
+            raise ValueError("output dims must be positive")
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import codecs
+
+        fmts = batch.column("format").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_payload: list[bytes] = []
+        out_w: list[int] = []
+        out_h: list[int] = []
+        resized: list[bool] = []
+        yi = np.arange(self.out_h, dtype=np.int64)
+        xi = np.arange(self.out_w, dtype=np.int64)
+        for fmt, p in zip(fmts, payloads):
+            if fmt != "png" or not p:
+                out_payload.append(p or b"")
+                out_w.append(0)
+                out_h.append(0)
+                resized.append(False)
+                continue
+            img = codecs.decode_png(p)
+            h, w = img.shape[:2]
+            r = img[(yi * h) // self.out_h][:, (xi * w) // self.out_w]
+            out_payload.append(codecs.encode_png(r))
+            out_w.append(self.out_w)
+            out_h.append(self.out_h)
+            resized.append(True)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "format": batch.column("format"),
+                "payload": pa.array(out_payload, pa.large_binary()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "resized": pa.array(resized, pa.bool_()),
+            }
+        )
+
+
 class FrameSampleStage:
     """Video frame sampling stub: emits every_n 'frame' rows per payload
     with deterministic offsets — exercises the 1→N flat-map layout."""

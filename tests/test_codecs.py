@@ -105,3 +105,40 @@ def test_video_codec_still_stubbed():
 
     with pytest.raises(NotImplementedError):
         DecodeStage(codec="h264")
+
+
+def test_resize_stage_matches_numpy_and_passes_through():
+    """ResizeStage: nearest-neighbor floor map matches direct numpy
+    indexing after a full encode→decode round trip; non-PNG rows pass
+    through unchanged with resized=false."""
+    import pyarrow as pa
+
+    from raydedup import codecs
+    from raydedup.multimodal import ResizeStage, synth_real_media_table
+
+    media = synth_real_media_table(12)
+    stage = ResizeStage(out_w=5, out_h=3)
+    out = stage(media)
+    fmts = media.column("format").to_pylist()
+    for row in range(media.num_rows):
+        p_in = media.column("payload")[row].as_py()
+        p_out = out.column("payload")[row].as_py()
+        if fmts[row] != "png":
+            assert p_out == p_in
+            assert not out.column("resized")[row].as_py()
+            continue
+        img = codecs.decode_png(p_in)
+        h, w = img.shape[:2]
+        yi = (np.arange(3) * h) // 3
+        xi = (np.arange(5) * w) // 5
+        want = img[yi][:, xi]
+        got = codecs.decode_png(p_out)
+        np.testing.assert_array_equal(got, want)
+        assert out.column("width")[row].as_py() == 5
+        assert out.column("height")[row].as_py() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ResizeStage(codec="wav")
+    with _pytest.raises(ValueError):
+        ResizeStage(out_w=0)
