@@ -1514,6 +1514,22 @@ def _q_media_resized_features(sf_dir: str):
     )
 
 
+def _q_media_audio_windows(sf_dir: str):
+    """REAL audio frame sampling (raydedup/multimodal.py AudioWindowStage):
+    decode WAV → 100 ms windows → one row per window with exact sample
+    counts and value sums (1→N flat map over real decodes). The oracle
+    recomputes every window sum closed-form from media_id."""
+    import ray.data
+
+    from raydedup.multimodal import AudioWindowStage, synth_real_media_table
+
+    media = ray.data.from_arrow(synth_real_media_table(48))
+    return media.filter(expr="format == 'wav'").map_batches(
+        AudioWindowStage, fn_constructor_kwargs={"window_ms": 100},
+        batch_format="pyarrow", concurrency=1, batch_size=16,
+    )
+
+
 def _q_media_dup_pairs(sf_dir: str):
     """End-to-end multimodal dedup over REAL decodes: PNG/WAV payloads →
     per-format actor-pool DecodeStage (features computed from DECODED
@@ -1623,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "sample_sources": _q_sample_sources,
         "media_resized_features": _q_media_resized_features,
+        "media_audio_windows": _q_media_audio_windows,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -2390,6 +2407,18 @@ SELECT m.i AS media_id,
                         + m.i) % 256) AS BIGINT)
           FROM range(0, 8) xx(x), range(0, 8) yy(y)) AS sum_value
 FROM m
+""",
+        "media_audio_windows": """
+WITH m AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(0, 48) t(i) WHERE t.i % 2 = 1),
+w AS (SELECT m.i, CAST(ww.w AS BIGINT) AS w FROM m, range(0, 100) ww(w)
+      WHERE ww.w * 800 < 800 + 16 * m.i)
+SELECT w.i AS media_id, w.w AS window_idx,
+       CAST(least(800 + 16 * w.i, (w.w + 1) * 800) - w.w * 800 AS BIGINT) AS n_samples,
+       (SELECT CAST(SUM(((tt.t * 7 + w.i * 13) % 2001) - 1000) AS BIGINT)
+          FROM range(0, 1552) tt(t)
+         WHERE tt.t >= w.w * 800
+           AND tt.t < least(800 + 16 * w.i, (w.w + 1) * 800)) AS sum_value
+FROM w
 """,
         "split_train_val_test": """
 SELECT doc_id,

@@ -214,6 +214,74 @@ class ResizeStage:
         )
 
 
+class AudioWindowStage:
+    """REAL audio frame-sampling actor-pool stage: decode WAV (RIFF/PCM,
+    raydedup/codecs.py) → split the sample stream into fixed
+    ``window_ms`` windows → one output row per window with exact n_samples
+    and value sum (the 1→N flat-map layout over real decodes; the trailing
+    partial window is emitted). ``media_audio_windows`` value-hash-checks
+    the windowing against per-window sums recomputed in SQL from media_id.
+    Multi-channel WAVs window by FRAME (all channels of a frame land in the
+    same window; sums cover every channel)."""
+
+    def __init__(self, window_ms: int = 100, codec: str = "wav"):
+        if codec != "wav":
+            raise NotImplementedError(
+                "only WAV windowing is implementable from the stdlib here"
+            )
+        if window_ms <= 0:
+            raise ValueError("window_ms must be positive")
+        self.window_ms = window_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import codecs
+
+        fmts = batch.column("format").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("media_id").to_numpy()
+        out_id: list[np.ndarray] = []
+        out_win: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_sum: list[np.ndarray] = []
+        for i, (fmt, p) in enumerate(zip(fmts, payloads)):
+            if fmt != "wav" or not p:
+                continue
+            samples, rate = codecs.decode_wav(p)
+            frames = samples.shape[0]
+            if frames == 0:
+                continue
+            per_win = max((rate * self.window_ms) // 1000, 1)
+            win = np.arange(frames, dtype=np.int64) // per_win
+            vals = samples.reshape(frames, -1).astype(np.int64)
+            nch = vals.shape[1]
+            n_win = int(win[-1]) + 1
+            out_id.append(np.full(n_win, ids[i], dtype=np.int64))
+            out_win.append(np.arange(n_win, dtype=np.int64))
+            out_n.append(np.bincount(win, minlength=n_win) * nch)
+            out_sum.append(
+                np.bincount(win, weights=vals.sum(axis=1), minlength=n_win).astype(
+                    np.int64
+                )
+            )
+        if not out_id:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "window_idx": pa.array([], pa.int64()),
+                    "n_samples": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "window_idx": pa.array(np.concatenate(out_win), pa.int64()),
+                "n_samples": pa.array(np.concatenate(out_n), pa.int64()),
+                "sum_value": pa.array(np.concatenate(out_sum), pa.int64()),
+            }
+        )
+
+
 class FrameSampleStage:
     """Video frame sampling stub: emits every_n 'frame' rows per payload
     with deterministic offsets — exercises the 1→N flat-map layout."""

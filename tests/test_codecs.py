@@ -142,3 +142,46 @@ def test_resize_stage_matches_numpy_and_passes_through():
         ResizeStage(codec="wav")
     with _pytest.raises(ValueError):
         ResizeStage(out_w=0)
+
+
+def test_audio_window_stage_matches_numpy():
+    """AudioWindowStage vs direct numpy windowing, incl. stereo (frames
+    counted per frame, sums across channels), trailing partial window,
+    non-WAV passthrough skip, and validation."""
+    import pyarrow as pa
+
+    from raydedup import codecs
+    from raydedup.multimodal import MEDIA_SCHEMA, AudioWindowStage
+
+    rng = np.random.default_rng(6)
+    mono = rng.integers(-3000, 3000, 1950).astype(np.int16)          # 2 full + partial
+    stereo = rng.integers(-3000, 3000, (801, 2)).astype(np.int16)    # partial 2nd window
+    rows = {
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["audio", "audio", "image"]),
+        "format": pa.array(["wav", "wav", "png"]),
+        "payload": pa.array(
+            [codecs.encode_wav(mono, rate=8000),
+             codecs.encode_wav(stereo, rate=8000, channels=2),
+             b"not a png"], pa.large_binary()),
+        "width": pa.array([0, 0, 0], pa.int32()),
+        "height": pa.array([0, 0, 0], pa.int32()),
+        "duration_ms": pa.array([0, 0, 0], pa.int32()),
+    }
+    out = AudioWindowStage(window_ms=100)(pa.table(rows, schema=MEDIA_SCHEMA))
+    df = out.to_pandas()
+    m = df[df.media_id == 1]
+    assert list(m.n_samples) == [800, 800, 350]
+    for w in range(3):
+        assert m.iloc[w].sum_value == mono[w * 800:(w + 1) * 800].sum()
+    s = df[df.media_id == 2]
+    assert list(s.n_samples) == [1600, 2]  # per-frame windows, both channels
+    assert s.iloc[0].sum_value == stereo[:800].sum()
+    assert s.iloc[1].sum_value == stereo[800:].sum()
+    assert 3 not in set(df.media_id)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        AudioWindowStage(codec="mp3")
+    with _pytest.raises(ValueError):
+        AudioWindowStage(window_ms=0)
