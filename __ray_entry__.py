@@ -1640,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_sources": _q_sample_sources,
         "media_resized_features": _q_media_resized_features,
         "media_audio_windows": _q_media_audio_windows,
+        "strip_markup": _q_strip_markup,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1803,6 +1804,43 @@ def _redact_pii_sql() -> str:
         f"SELECT doc_id, {expr} AS redacted, "
         f"({expr} != coalesce(text, '')) AS has_pii FROM documents"
     )
+
+
+def _strip_markup_sql() -> str:
+    """DuckDB mirror of raydedup.textstats.strip_markup — generated from
+    the same MARKUP_PATTERNS list (both sides RE2, including the (?s)
+    inline flag), over the html_sql fixture view."""
+    from raydedup.corpus import html_sql
+    from raydedup.textstats import MARKUP_PATTERNS
+
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    expr = "coalesce(html, '')"
+    for pattern, repl in MARKUP_PATTERNS:
+        # DuckDB single-quoted literals keep backslashes verbatim — only
+        # quotes need escaping (same convention as _redact_pii_sql)
+        p = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    expr = f"trim({expr}, {ws})"
+    return (
+        f"WITH h AS ({html_sql()}) "
+        f"SELECT page_id, {expr} AS text_clean, "
+        f"CAST(length({expr}) AS BIGINT) AS n_chars FROM h"
+    )
+
+
+def _q_strip_markup(sf_dir: str):
+    """Markup extraction (raydedup/textstats.py strip_markup): the
+    HTML-wrapped pages fixture → visible text. Script/style content
+    dropped, tags stripped, whitespace collapsed — all RE2, stateless
+    map_batches, no shuffle; the oracle is generated from the SAME
+    pattern list."""
+    import ray.data
+
+    from raydedup.corpus import html_parquet_path
+    from raydedup.textstats import strip_markup
+
+    pages = ray.data.read_parquet(html_parquet_path(sf_dir))
+    return pages.map_batches(strip_markup, batch_format="pyarrow")
 
 
 def _lang_id_sql() -> str:
@@ -2336,6 +2374,7 @@ FROM events GROUP BY 1, 2
 """,
         "lang_id": _lang_id_sql(),
         "redact_pii": _redact_pii_sql(),
+        "strip_markup": _strip_markup_sql(),
         "quality_scores": _quality_sql("documents", "doc_id", "text"),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},

@@ -296,6 +296,42 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table(cols)
 
 
+# Markup-extraction patterns, applied in declaration order (all RE2 on both
+# sides — pyarrow replace_substring_regex and DuckDB regexp_replace share
+# the RE2 engine, so extraction is exactly SQL-oracle-able). script/style
+# CONTENT is dropped first (two patterns — RE2 has no backreferences), then
+# remaining tags, then whitespace runs collapse to one space.
+MARKUP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"<[^>]*>", " "),
+    (r"\s+", " "),
+]
+
+
+def strip_markup(
+    batch: pa.Table, text_col: str = "html", out_col: str = "text_clean"
+) -> pa.Table:
+    """Markup extraction: HTML → visible text (the boilerplate-extraction
+    pass of a web-corpus pipeline). Drops script/style elements wholesale,
+    strips remaining tags, collapses whitespace, trims the shared ASCII
+    whitespace set. Vectorized RE2 per batch; output appends ``out_col``
+    and ``n_chars`` (clean length) next to the non-text columns."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    clean = pc.fill_null(text, "")
+    for pat, repl in MARKUP_PATTERNS:
+        clean = pc.replace_substring_regex(clean, pat, repl)
+    clean = pc.utf8_trim(clean, _ASCII_WS)
+    cols = {
+        name: batch.column(name) for name in batch.column_names if name != text_col
+    }
+    cols[out_col] = clean
+    cols["n_chars"] = pc.cast(pc.utf8_length(clean), pa.int64())
+    return pa.table(cols)
+
+
 # PII patterns (RE2 on both sides: pyarrow replace_substring_regex and
 # DuckDB regexp_replace(..., 'g') — same engine, so redaction is exactly
 # SQL-oracle-able). Applied in declaration order; order matters (an email
