@@ -283,6 +283,33 @@ def _q_containment_pairs(sf_dir: str):
     return out.select_columns(["src", "dst"])
 
 
+_SPAN_WINDOW = 20
+
+
+def _q_duplicate_spans(sf_dir: str):
+    """Exact substring span dedup, detection stage (raydedup/spans.py
+    duplicate_spans): maximal merged spans of 20-token windows whose text
+    occurs at an earlier (id, pos) site anywhere in the corpus — the
+    rolling-window form of Lee et al. 2022's exact-substring dedup. One
+    posting shuffle on window hashes + one site shuffle on doc ids."""
+    from raydedup.spans import duplicate_spans
+
+    return duplicate_spans(_corpus_ds(sf_dir), window=_SPAN_WINDOW, cfg=_cfg())
+
+
+def _q_strip_duplicate_spans(sf_dir: str):
+    """Exact substring span dedup, rewrite stage (raydedup/spans.py
+    strip_duplicate_spans): every doc with removable duplicated spans
+    dropped and survivors single-space re-joined (token-normalized output,
+    shared with the SQL mirror). Spans broadcast once via ray.put;
+    searchsorted + one binary_join per batch."""
+    from raydedup.spans import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _corpus_ds(sf_dir), window=_SPAN_WINDOW, cfg=_cfg()
+    )
+
+
 def _q_dedup_clusters(sf_dir: str):
     from raydedup.pipeline import dedup_clusters
 
@@ -1643,6 +1670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_markup": _q_strip_markup,
         "decontam_survivors": _q_decontam_survivors,
         "containment_pairs": _q_containment_pairs,
+        "duplicate_spans": _q_duplicate_spans,
+        "strip_duplicate_spans": _q_strip_duplicate_spans,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -1778,6 +1807,28 @@ reach(id, label) AS (
   UNION
   SELECT e.d, reach.label FROM reach JOIN e ON e.s = reach.id)
 SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _spans_rem_cte() -> str:
+    """Shared CTE chain for the span-dedup oracles: L-token windows per doc
+    (1-based positions, docs with >= L tokens only), then the removable
+    sites — every occurrence of a window text except its (id, pos)-minimum
+    (rk > 1 under ORDER BY id, pos). Mirrors raydedup/spans.py verbatim."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    L = _SPAN_WINDOW
+    return rf"""
+toks AS (SELECT id, string_split_regex(trim(content, {ws}), '\s+') tl FROM corpus),
+wins0 AS (
+  SELECT id, [list_aggregate(tl[i:i+{L - 1}],'string_agg',' ')
+              for i in range(1, len(tl)-{L}+2)] ws
+  FROM toks WHERE len(tl) >= {L}),
+wins AS (SELECT id, unnest(ws) w, generate_subscripts(ws,1) pos FROM wins0),
+rem AS (
+  SELECT id, pos FROM (
+    SELECT id, pos, row_number() OVER (PARTITION BY w ORDER BY id, pos) rk
+    FROM wins)
+  WHERE rk > 1)
 """
 
 
@@ -2104,6 +2155,36 @@ SELECT a.id src, b.id dst
 FROM t a JOIN t b ON a.id < b.id
 WHERE (a.nt >= 24 AND contains(b.content, a.content))
    OR (b.nt >= 24 AND contains(a.content, b.content))
+""",
+        "duplicate_spans": f"""
+WITH {corpus}, {_spans_rem_cte()},
+m AS (
+  SELECT id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY id ORDER BY pos),
+                                  -1000000000) + {_SPAN_WINDOW}
+              THEN 1 ELSE 0 END brk
+  FROM rem),
+isl AS (SELECT id, pos,
+               sum(brk) OVER (PARTITION BY id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) g
+        FROM m)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_WINDOW} AS BIGINT) AS span_end
+FROM isl GROUP BY id, g
+""",
+        "strip_duplicate_spans": f"""
+WITH {corpus}, {_spans_rem_cte()},
+cov AS (SELECT DISTINCT id, tp FROM (
+  SELECT id, unnest(generate_series(pos, pos + {_SPAN_WINDOW - 1})) tp FROM rem)),
+tokp AS (SELECT id, unnest(tl) tok, generate_subscripts(tl, 1) p FROM toks),
+kept AS (
+  SELECT t.id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+                  FILTER (WHERE c.tp IS NULL), '') AS content,
+         CAST(count(*) FILTER (WHERE c.tp IS NOT NULL) AS BIGINT) AS n_removed
+  FROM tokp t LEFT JOIN cov c ON t.id = c.id AND t.p = c.tp
+  GROUP BY t.id)
+SELECT CAST(id AS BIGINT) AS id, content, n_removed FROM kept
 """,
         # connected components over the exact three edge tiers (each CTE is
         # the already-hash-green per-tier oracle verbatim) via min-label
