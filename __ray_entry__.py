@@ -284,6 +284,17 @@ def _q_containment_pairs(sf_dir: str):
 
 
 _SPAN_WINDOW = 20
+_LM_MIN_COUNT = 3
+
+
+def _q_lm_quality_scores(sf_dir: str):
+    """Corpus-trained bigram-LM quality scoring (raydedup/lm.py): the
+    CCNet/KenLM perplexity-filter shape — pruned count-table model trained
+    in one partial-count shuffle, broadcast once, scored map-side. Integer-
+    exact (score is one shared IEEE division)."""
+    from raydedup.lm import lm_scores
+
+    return lm_scores(_corpus_ds(sf_dir), _cfg(), min_count=_LM_MIN_COUNT)
 
 
 def _q_duplicate_spans(sf_dir: str):
@@ -1672,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "duplicate_spans": _q_duplicate_spans,
         "strip_duplicate_spans": _q_strip_duplicate_spans,
+        "lm_quality_scores": _q_lm_quality_scores,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -2171,6 +2183,26 @@ isl AS (SELECT id, pos,
 SELECT CAST(id AS BIGINT) AS id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + {_SPAN_WINDOW} AS BIGINT) AS span_end
 FROM isl GROUP BY id, g
+""",
+        "lm_quality_scores": rf"""
+WITH {corpus},
+toks AS (SELECT id, string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') tl FROM corpus),
+bg0 AS (
+  SELECT id, [list_aggregate(tl[i:i+1],'string_agg',' ') for i in range(1, len(tl))] bs
+  FROM toks WHERE len(tl) >= 2),
+bg AS (SELECT id, unnest(bs) w FROM bg0),
+model AS (SELECT w, count(*) c FROM bg GROUP BY w HAVING count(*) >= {_LM_MIN_COUNT}),
+sc AS (
+  SELECT bg.id, count(*) AS n_bigrams, count(m.w) AS n_hits,
+         coalesce(sum(m.c), 0) AS hit_sum
+  FROM bg LEFT JOIN model m ON bg.w = m.w GROUP BY bg.id)
+SELECT CAST(c.id AS BIGINT) AS id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(sc.hit_sum, 0) AS BIGINT) AS hit_sum,
+       CAST(coalesce(sc.hit_sum, 0) AS DOUBLE)
+         / greatest(coalesce(sc.n_bigrams, 0), 1) AS score
+FROM corpus c LEFT JOIN sc ON sc.id = c.id
 """,
         "strip_duplicate_spans": f"""
 WITH {corpus}, {_spans_rem_cte()},
