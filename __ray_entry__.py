@@ -287,6 +287,21 @@ _SPAN_WINDOW = 20
 _LM_MIN_COUNT = 3
 
 
+def _q_url_dedup_survivors(sf_dir: str):
+    """URL-level dedup (raydedup/urls.py): canonicalize map-side
+    (extract_regex + a shared RE2 replace chain), then ONE groupby on the
+    canonical string for keep-first survivor + group size — the first
+    dedup tier of a web-crawl pipeline (RefinedWeb-style), over the
+    deterministic urls fixture view."""
+    import ray.data
+
+    from raydedup.urls import url_dedup_survivors, urls_parquet_path
+
+    return url_dedup_survivors(
+        ray.data.read_parquet(urls_parquet_path(sf_dir))
+    )
+
+
 def _q_lm_quality_scores(sf_dir: str):
     """Corpus-trained bigram-LM quality scoring (raydedup/lm.py): the
     CCNet/KenLM perplexity-filter shape — pruned count-table model trained
@@ -1684,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": _q_duplicate_spans,
         "strip_duplicate_spans": _q_strip_duplicate_spans,
         "lm_quality_scores": _q_lm_quality_scores,
+        "url_dedup_survivors": _q_url_dedup_survivors,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -1819,6 +1835,21 @@ reach(id, label) AS (
   UNION
   SELECT e.d, reach.label FROM reach JOIN e ON e.s = reach.id)
 SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _url_dedup_sql() -> str:
+    """DuckDB mirror of raydedup.urls.url_dedup_survivors — the fixture
+    view and the canonicalization expression are both generated from
+    raydedup/urls.py's constants (redact_pii's anti-drift pattern)."""
+    from raydedup.urls import canonical_url_sql, urls_sql
+
+    return f"""
+WITH urls AS ({urls_sql('documents')}),
+c AS (SELECT url_id, {canonical_url_sql('url')} AS canonical_url FROM urls)
+SELECT canonical_url, CAST(min(url_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM c GROUP BY canonical_url
 """
 
 
@@ -2184,6 +2215,7 @@ SELECT CAST(id AS BIGINT) AS id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + {_SPAN_WINDOW} AS BIGINT) AS span_end
 FROM isl GROUP BY id, g
 """,
+        "url_dedup_survivors": _url_dedup_sql(),
         "lm_quality_scores": rf"""
 WITH {corpus},
 toks AS (SELECT id, string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') tl FROM corpus),
