@@ -302,6 +302,15 @@ def _q_url_dedup_survivors(sf_dir: str):
     )
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """BPE tokenizer-training pair statistics (raydedup/bpe.py): global
+    adjacent-character-pair counts over all token occurrences, min_count
+    threshold. One combiner pass + one narrow shuffle on pair strings."""
+    from raydedup.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_corpus_ds(sf_dir), min_count=_LM_MIN_COUNT)
+
+
 def _q_lm_quality_scores(sf_dir: str):
     """Corpus-trained bigram-LM quality scoring (raydedup/lm.py): the
     CCNet/KenLM perplexity-filter shape — pruned count-table model trained
@@ -1700,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_duplicate_spans": _q_strip_duplicate_spans,
         "lm_quality_scores": _q_lm_quality_scores,
         "url_dedup_survivors": _q_url_dedup_survivors,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -2216,6 +2226,18 @@ SELECT CAST(id AS BIGINT) AS id, CAST(min(pos) AS BIGINT) AS span_start,
 FROM isl GROUP BY id, g
 """,
         "url_dedup_survivors": _url_dedup_sql(),
+        "bpe_pair_counts": rf"""
+WITH {corpus},
+toks AS (
+  SELECT unnest(string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS w
+  FROM corpus
+  WHERE trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) != ''),
+pairs AS (
+  SELECT substr(w, unnest(generate_series(1, length(w) - 1)), 2) AS p
+  FROM toks WHERE length(w) >= 2)
+SELECT p AS pair, CAST(count(*) AS BIGINT) AS pair_count
+FROM pairs GROUP BY p HAVING count(*) >= {_LM_MIN_COUNT}
+""",
         "lm_quality_scores": rf"""
 WITH {corpus},
 toks AS (SELECT id, string_split_regex(trim(content, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') tl FROM corpus),
