@@ -302,6 +302,21 @@ def _q_url_dedup_survivors(sf_dir: str):
     )
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Cross-snapshot corpus diff (raydedup/snapshot.py): every id
+    classified added/removed/changed/unchanged by content sha256 between
+    the corpus view and the planted delta fixture — 72 B/row through ONE
+    side-tagged shuffle, content never leaves the map side."""
+    import ray.data
+
+    from raydedup.snapshot import delta_parquet_path, snapshot_diff
+
+    return snapshot_diff(
+        _corpus_ds(sf_dir),
+        ray.data.read_parquet(delta_parquet_path(sf_dir)),
+    )
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """BPE tokenizer-training pair statistics (raydedup/bpe.py): global
     adjacent-character-pair counts over all token occurrences, min_count
@@ -1710,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "url_dedup_survivors": _q_url_dedup_survivors,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "snapshot_diff": _q_snapshot_diff,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -1845,6 +1861,26 @@ reach(id, label) AS (
   UNION
   SELECT e.d, reach.label FROM reach JOIN e ON e.s = reach.id)
 SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _snapshot_diff_sql() -> str:
+    """DuckDB mirror of raydedup.snapshot.snapshot_diff over the corpus
+    view and the SAME delta fixture SQL the engine-side parquet is built
+    from (raydedup.snapshot.delta_sql — cannot drift)."""
+    from raydedup.snapshot import delta_sql
+
+    return f"""
+WITH {_corpus_cte()},
+delta AS ({delta_sql('documents')}),
+b AS (SELECT id, sha256(content) h FROM corpus),
+d AS (SELECT id, sha256(content) h FROM delta)
+SELECT CAST(coalesce(b.id, d.id) AS BIGINT) AS id,
+       CASE WHEN b.id IS NULL THEN 'added'
+            WHEN d.id IS NULL THEN 'removed'
+            WHEN b.h != d.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM b FULL OUTER JOIN d ON b.id = d.id
 """
 
 
@@ -2226,6 +2262,7 @@ SELECT CAST(id AS BIGINT) AS id, CAST(min(pos) AS BIGINT) AS span_start,
 FROM isl GROUP BY id, g
 """,
         "url_dedup_survivors": _url_dedup_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
         "bpe_pair_counts": rf"""
 WITH {corpus},
 toks AS (
