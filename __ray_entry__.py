@@ -302,6 +302,21 @@ def _q_url_dedup_survivors(sf_dir: str):
     )
 
 
+def _q_curate_corpus_v2(sf_dir: str):
+    """Web-curation composition v2 (raydedup/curate.py curate_corpus_v2):
+    span-dedup rewrite → bigram-LM hit-rate filter (2·n_hits >= n_bigrams,
+    integer-exact) → exact-dup survivors → cap 18/repo → 8192-token
+    shards. Five operators, one chained CTE oracle."""
+    from raydedup.curate import curate_corpus_v2
+
+    return curate_corpus_v2(
+        _corpus_ds(sf_dir),
+        span_window=_SPAN_WINDOW,
+        lm_min_count=_LM_MIN_COUNT,
+        cfg=_cfg(),
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Cross-snapshot corpus diff (raydedup/snapshot.py): every id
     classified added/removed/changed/unchanged by content sha256 between
@@ -1726,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_survivors": _q_url_dedup_survivors,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "snapshot_diff": _q_snapshot_diff,
+        "curate_corpus_v2": _q_curate_corpus_v2,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -1861,6 +1877,55 @@ reach(id, label) AS (
   UNION
   SELECT e.d, reach.label FROM reach JOIN e ON e.s = reach.id)
 SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _curate_v2_sql() -> str:
+    """DuckDB mirror of curate.curate_corpus_v2 — the span-strip CTEs
+    (shared with strip_duplicate_spans' oracle), the bigram-LM CTEs
+    (shared with lm_quality_scores') re-rooted on the STRIPPED text, then
+    dedup/cap/shard stages verbatim from curate_corpus's mirror."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return rf"""
+WITH {_corpus_cte()}, {_spans_rem_cte()},
+cov AS (SELECT DISTINCT id, tp FROM (
+  SELECT id, unnest(generate_series(pos, pos + {_SPAN_WINDOW - 1})) tp FROM rem)),
+tokp AS (SELECT id, unnest(tl) tok, generate_subscripts(tl, 1) p FROM toks),
+kept AS (
+  SELECT t.id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+                  FILTER (WHERE c.tp IS NULL), '') AS content
+  FROM tokp t LEFT JOIN cov c ON t.id = c.id AND t.p = c.tp
+  GROUP BY t.id),
+stripped AS (
+  SELECT k.id, k.content, c.repo FROM kept k JOIN corpus c ON c.id = k.id),
+tl2 AS (SELECT id, string_split_regex(trim(content, {ws}), '\s+') tl FROM stripped),
+bg0 AS (
+  SELECT id, [list_aggregate(tl[i:i+1],'string_agg',' ') for i in range(1, len(tl))] bs
+  FROM tl2 WHERE len(tl) >= 2),
+bg AS (SELECT id, unnest(bs) w FROM bg0),
+model AS (SELECT w, count(*) c FROM bg GROUP BY w HAVING count(*) >= {_LM_MIN_COUNT}),
+sc AS (SELECT bg.id, count(*) AS nb, count(m.w) AS nh
+       FROM bg LEFT JOIN model m ON bg.w = m.w GROUP BY bg.id),
+flt AS (
+  SELECT s.id, s.content, s.repo FROM stripped s LEFT JOIN sc ON sc.id = s.id
+  WHERE 2 * coalesce(sc.nh, 0) >= coalesce(sc.nb, 0)),
+surv AS (SELECT min(id) AS id FROM flt GROUP BY content),
+cap AS (
+  SELECT id, content FROM (
+    SELECT f.id, f.content,
+           row_number() OVER (PARTITION BY f.repo ORDER BY f.id) AS rn
+    FROM flt f JOIN surv USING (id)) WHERE rn <= 18),
+t AS (
+  SELECT id,
+         len(regexp_extract_all(coalesce(content, ''),
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens
+  FROM cap)
+SELECT CAST(id AS BIGINT) AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            // 8192 AS BIGINT) AS shard_id
+FROM t
 """
 
 
@@ -2263,6 +2328,7 @@ FROM isl GROUP BY id, g
 """,
         "url_dedup_survivors": _url_dedup_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
+        "curate_corpus_v2": _curate_v2_sql(),
         "bpe_pair_counts": rf"""
 WITH {corpus},
 toks AS (

@@ -164,6 +164,55 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_spans(args: argparse.Namespace) -> int:
+    from .spans import duplicate_spans, strip_duplicate_spans
+
+    _init_ray(args.num_cpus)
+    corpus = _read_corpus(args)
+    cfg = _cfg_from(args)
+    if args.strip:
+        strip_duplicate_spans(corpus, window=args.window, cfg=cfg).write_parquet(
+            os.path.join(args.out, "stripped")
+        )
+        print(json.dumps({"cmd": "spans", "strip": True, "out": args.out}))
+        return 0
+    spans = duplicate_spans(corpus, window=args.window, cfg=cfg).materialize()
+    spans.write_parquet(os.path.join(args.out, "spans"))
+    print(
+        json.dumps({"cmd": "spans", "rows": spans.count(), "out": args.out})
+    )
+    return 0
+
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    import ray.data
+
+    from .curate import curate_corpus_v2
+
+    _init_ray(args.num_cpus)
+    ds = ray.data.read_parquet(args.inputs)
+    renames = {}
+    if args.id_col != "id":
+        renames[args.id_col] = "id"
+    if args.content_col != "content":
+        renames[args.content_col] = "content"
+    if renames:
+        ds = ds.rename_columns(renames)
+    ds = ds.select_columns(["id", "content", args.cap_key])
+    out = curate_corpus_v2(
+        ds,
+        span_window=args.window,
+        lm_min_count=args.lm_min_count,
+        cap_key=args.cap_key,
+        cap_k=args.cap_k,
+        shard_budget=args.shard_budget,
+        cfg=_cfg_from(args),
+    ).materialize()
+    out.write_parquet(os.path.join(args.out, "shards"))
+    print(json.dumps({"cmd": "curate", "rows": out.count(), "out": args.out}))
+    return 0
+
+
 def cmd_signatures(args: argparse.Namespace) -> int:
     from .incremental import write_signature_index
 
@@ -245,6 +294,27 @@ def main(argv: list[str] | None = None) -> int:
                    help="checkpoint root: resumable shard-manifest mode "
                         "(re-runs skip completed signature shards)")
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "spans", help="exact substring span dedup: spans report or --strip rewrite"
+    )
+    _add_common(p)
+    p.add_argument("--window", type=int, default=20)
+    p.add_argument("--strip", action="store_true",
+                   help="write the rewritten corpus instead of the span report")
+    p.set_defaults(fn=cmd_spans)
+
+    p = sub.add_parser(
+        "curate",
+        help="composed curation: span-strip → LM filter → dedup → cap → shards",
+    )
+    _add_common(p)
+    p.add_argument("--window", type=int, default=20)
+    p.add_argument("--lm-min-count", type=int, default=3)
+    p.add_argument("--cap-key", default="repo")
+    p.add_argument("--cap-k", type=int, default=18)
+    p.add_argument("--shard-budget", type=int, default=8192)
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("signatures", help="corpus → signature index parquet")
     _add_common(p)

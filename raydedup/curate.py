@@ -350,3 +350,67 @@ def curate_corpus(
     return pack_token_shards(
         capped, budget=shard_budget, id_col=id_col, text_col=text_col
     )
+
+
+def curate_corpus_v2(
+    corpus: "ray.data.Dataset",  # noqa: F821
+    *,
+    span_window: int = 20,
+    lm_min_count: int = 3,
+    cap_key: str = "repo",
+    cap_k: int = 18,
+    shard_budget: int = 8192,
+    cfg=None,
+) -> "ray.data.Dataset":  # noqa: F821
+    """The web-curation composition over the CORPUS schema (id, repo,
+    content) — five library operators chained, every stage SQL-mirrorable
+    so the whole composition carries one DuckDB value-hash oracle:
+
+    1. exact substring span dedup rewrite (spans.strip_duplicate_spans,
+       ``repo`` passed through map-side);
+    2. bigram-LM hit-rate filter over the STRIPPED text: keep docs whose
+       bigram occurrences are at least half in-model — the integer
+       cross-multiplication ``2·n_hits >= n_bigrams`` (docs with no
+       bigrams trivially pass: 0 >= 0). Model self-trained on the
+       stripped corpus (lm.bigram_model);
+    3. exact-duplicate survivors on the stripped text (min id per group);
+    4. at most ``cap_k`` docs per ``cap_key``;
+    5. token-budget shard assignment (ordered prefix scan).
+
+    Output: (id, n_tokens, shard_id). The stripped corpus is materialized
+    ONCE as a stage checkpoint (object store, spillable) because two
+    passes consume it — the LM model build and the score+filter pass; a
+    100 TB run would write this boundary to partitioned parquet instead
+    (the manifest.py pattern), which is the same plan with durable blocks.
+    """
+    import pyarrow.compute as pc
+
+    from .config import DEFAULT_CONFIG
+    from .lm import lm_scores
+    from .scan import pack_token_shards
+    from .spans import strip_duplicate_spans
+
+    cfg = cfg or DEFAULT_CONFIG
+    stripped = strip_duplicate_spans(
+        corpus, window=span_window, cfg=cfg, keep_cols=(cap_key,)
+    ).materialize()
+    scored = lm_scores(
+        stripped,
+        cfg,
+        min_count=lm_min_count,
+        keep_cols=("content", cap_key),
+    )
+
+    def lm_filter(b: pa.Table) -> pa.Table:
+        nh = b.column("n_hits").to_numpy()
+        nb = b.column("n_bigrams").to_numpy()
+        return b.filter(pa.array(2 * nh >= nb)).select(
+            ["id", "content", cap_key]
+        )
+
+    kept = scored.map_batches(lm_filter, batch_format="pyarrow")
+    surv = dedup_survivors_by_text(kept, id_col="id", text_col="content")
+    capped = cap_per_key(surv, key=cap_key, order_col="id", k=cap_k)
+    return pack_token_shards(
+        capped, budget=shard_budget, id_col="id", text_col="content"
+    )

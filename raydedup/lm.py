@@ -134,13 +134,16 @@ def lm_scores(
     id_col: str = "id",
     content_col: str = "content",
     model: tuple[np.ndarray, np.ndarray] | None = None,
+    keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
-    """→ Dataset(id, n_bigrams, n_hits, hit_sum, score) over every input
-    row. ``model`` lets a caller reuse a :func:`bigram_model` trained on a
-    different (e.g. clean reference) corpus — CCNet trains on curated text
-    and scores the crawl; by default the model is trained on ``corpus``
-    itself (self-scoring, which ranks documents by how typical their
-    word sequences are for this corpus)."""
+    """→ Dataset(id, n_bigrams, n_hits, hit_sum, score[, *keep_cols]) over
+    every input row. ``model`` lets a caller reuse a :func:`bigram_model`
+    trained on a different (e.g. clean reference) corpus — CCNet trains on
+    curated text and scores the crawl; by default the model is trained on
+    ``corpus`` itself (self-scoring, which ranks documents by how typical
+    their word sequences are for this corpus). ``keep_cols`` pass extra
+    input columns through the (map-side, shuffle-free) score stage — the
+    zero-cost way to filter rows on their score downstream."""
     import ray
 
     if model is None:
@@ -165,19 +168,21 @@ def lm_scores(
         n_hits = np.bincount(row_of, weights=hit.astype(np.float64), minlength=n)
         hit_sum = np.bincount(row_of, weights=contrib.astype(np.float64), minlength=n)
         n_bigrams = counts
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_bigrams": pa.array(n_bigrams, pa.int64()),
-                "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
-                "hit_sum": pa.array(hit_sum.astype(np.int64), pa.int64()),
-                "score": pa.array(
-                    hit_sum / np.maximum(n_bigrams, 1).astype(np.float64),
-                    pa.float64(),
-                ),
-            }
-        )
+        cols = {
+            id_col: batch.column(id_col),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+            "hit_sum": pa.array(hit_sum.astype(np.int64), pa.int64()),
+            "score": pa.array(
+                hit_sum / np.maximum(n_bigrams, 1).astype(np.float64),
+                pa.float64(),
+            ),
+        }
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
-    return corpus.select_columns([id_col, content_col]).map_batches(
-        score, batch_format="pyarrow"
-    )
+    sel = [id_col, content_col] + [
+        c for c in keep_cols if c not in (id_col, content_col)
+    ]
+    return corpus.select_columns(sel).map_batches(score, batch_format="pyarrow")

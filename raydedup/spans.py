@@ -193,9 +193,11 @@ def _rewrite_batch(
     row_idx: np.ndarray,
     starts: np.ndarray,
     ends: np.ndarray,
+    keep_cols: tuple = (),
 ) -> pa.Table:
     """Drop span-covered tokens and re-join with single spaces. ``row_idx``
-    indexes batch rows; spans are 1-based [start, end) token intervals."""
+    indexes batch rows; spans are 1-based [start, end) token intervals.
+    ``keep_cols`` are passed through from the batch unchanged."""
     _, flat, per_row = _split_tokens(batch.column(content_col))
     tok_off = np.zeros(len(per_row) + 1, dtype=np.int64)
     np.cumsum(per_row, out=tok_off[1:])
@@ -222,13 +224,14 @@ def _rewrite_batch(
     rebuilt = pa.LargeListArray.from_arrays(
         pa.array(offsets, pa.int64()), kept_flat
     )
-    return pa.table(
-        {
-            id_col: batch.column(id_col),
-            content_col: pc.cast(pc.binary_join(rebuilt, " "), pa.string()),
-            "n_removed": pa.array(per_row - kept_per_row, pa.int64()),
-        }
-    )
+    cols = {
+        id_col: batch.column(id_col),
+        content_col: pc.cast(pc.binary_join(rebuilt, " "), pa.string()),
+        "n_removed": pa.array(per_row - kept_per_row, pa.int64()),
+    }
+    for c in keep_cols:
+        cols[c] = batch.column(c)
+    return pa.table(cols)
 
 
 def _rewrite_block(block: pa.Table) -> pa.Table:
@@ -266,18 +269,23 @@ def strip_duplicate_spans(
     content_col: str = "content",
     mode: str = "broadcast",
     broadcast_limit: int = 50_000_000,
+    keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Rewrite every document with removable duplicated spans dropped.
 
-    → Dataset(id, content, n_removed) over ALL input rows; ``content`` is
-    token-normalized (single-space joined — by-design whitespace
-    normalization, shared with the SQL mirror). ``spans`` lets a caller
-    reuse a precomputed :func:`duplicate_spans` result.
+    → Dataset(id, content, n_removed[, *keep_cols]) over ALL input rows;
+    ``content`` is token-normalized (single-space joined — by-design
+    whitespace normalization, shared with the SQL mirror). ``spans`` lets
+    a caller reuse a precomputed :func:`duplicate_spans` result.
+    ``keep_cols`` pass extra input columns through unchanged (broadcast
+    mode only — the co-partition fallback shuffles (id, content) alone).
     """
     import ray
 
     if mode not in ("broadcast", "join"):
         raise ValueError(f"unknown mode {mode!r}")
+    if keep_cols and mode != "broadcast":
+        raise ValueError("keep_cols is only supported in broadcast mode")
     if spans is None:
         src = corpus.select_columns([id_col, content_col])
         if (id_col, content_col) != ("id", "content"):
@@ -286,11 +294,16 @@ def strip_duplicate_spans(
                 batch_format="pyarrow",
             )
         spans = duplicate_spans(src, window, cfg)
-    docs = corpus.select_columns([id_col, content_col])
+    docs = corpus.select_columns([id_col, content_col, *keep_cols])
 
     if mode == "broadcast":
         spans_mat = spans.materialize()
         if spans_mat.count() > broadcast_limit:
+            if keep_cols:
+                raise ValueError(
+                    "span table exceeds broadcast_limit; keep_cols is not "
+                    "supported on the co-partition fallback"
+                )
             mode = "join"
             spans = spans_mat
         else:
@@ -323,7 +336,13 @@ def strip_duplicate_spans(
                     - np.repeat(np.concatenate([[0], np.cumsum(cnt)])[:-1], cnt)
                 )
                 return _rewrite_batch(
-                    batch, id_col, content_col, row_idx, ss_[gather], ee_[gather]
+                    batch,
+                    id_col,
+                    content_col,
+                    row_idx,
+                    ss_[gather],
+                    ee_[gather],
+                    keep_cols,
                 )
 
             return docs.map_batches(rewrite_bcast, batch_format="pyarrow")

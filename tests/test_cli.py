@@ -78,3 +78,38 @@ def test_cli_dedup_index_incremental(tmp_path):
     ).fetchone()
     assert (n, nd) == (800, 800)
     con.close()
+
+
+def test_cli_spans_and_curate(tmp_path):
+    """spans (report + --strip) and the composed curate subcommand, checked
+    against the library run on the same corpus."""
+    from raydedup.corpus import corpus_parquet_path
+
+    corpus = corpus_parquet_path("/root/testdata/sf0.001")
+    out = _run(
+        ["spans", corpus, "--out", str(tmp_path / "sp"), "--num-cpus", "4"]
+    )
+    assert out["rows"] > 50
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*), min(span_start) FROM read_parquet('{tmp_path}/sp/spans/*.parquet')"
+    ).fetchone()
+    assert n[0] == out["rows"] and n[1] >= 1
+
+    out = _run(
+        ["spans", corpus, "--out", str(tmp_path / "st"), "--strip",
+         "--num-cpus", "4"]
+    )
+    stripped = con.sql(
+        f"SELECT count(*), sum(CAST(n_removed > 0 AS INT)) FROM "
+        f"read_parquet('{tmp_path}/st/stripped/*.parquet')"
+    ).fetchone()
+    assert stripped[0] == 900 and stripped[1] > 100
+
+    out = _run(
+        ["curate", corpus, "--out", str(tmp_path / "cu"), "--num-cpus", "4"]
+    )
+    rows = con.sql(
+        f"SELECT count(*), max(shard_id) FROM read_parquet('{tmp_path}/cu/shards/*.parquet')"
+    ).fetchone()
+    assert rows[0] == out["rows"] > 100 and rows[1] >= 1
