@@ -302,6 +302,25 @@ def _q_url_dedup_survivors(sf_dir: str):
     )
 
 
+_SEARCH_TERMS = ("merge", "join", "column", "window", "scan")
+
+
+def _q_text_search_topk(sf_dir: str):
+    """Deterministic term retrieval (raydedup/search.py): top-50 documents
+    for a fixed query bag, ranked by (distinct terms, total tf, id) —
+    integer-exact so the full ranked list value-hash-matches. Broadcast
+    terms, map-side scoring with lossless per-batch top-k pre-cut, one
+    bounded final cut."""
+    import ray.data
+
+    from raydedup.search import text_search_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_search_topk(docs, _SEARCH_TERMS, k=50)
+
+
 def _q_curate_corpus_v2(sf_dir: str):
     """Web-curation composition v2 (raydedup/curate.py curate_corpus_v2):
     span-dedup rewrite → bigram-LM hit-rate filter (2·n_hits >= n_bigrams,
@@ -1742,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "snapshot_diff": _q_snapshot_diff,
         "curate_corpus_v2": _q_curate_corpus_v2,
+        "text_search_topk": _q_text_search_topk,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -2329,6 +2349,24 @@ FROM isl GROUP BY id, g
         "url_dedup_survivors": _url_dedup_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "curate_corpus_v2": _curate_v2_sql(),
+        "text_search_topk": rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS t
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) != ''),
+m AS (
+  SELECT doc_id, count(DISTINCT t) AS n_matched, count(*) AS total_tf
+  FROM toks WHERE t IN {_SEARCH_TERMS!r}
+  GROUP BY doc_id),
+r AS (
+  SELECT doc_id, n_matched, total_tf,
+         row_number() OVER (ORDER BY n_matched DESC, total_tf DESC, doc_id) AS rk
+  FROM m)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(total_tf AS BIGINT) AS total_tf, CAST(rk AS BIGINT) AS "rank"
+FROM r WHERE rk <= 50
+""",
         "bpe_pair_counts": rf"""
 WITH {corpus},
 toks AS (
