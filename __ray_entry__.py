@@ -305,6 +305,29 @@ def _q_url_dedup_survivors(sf_dir: str):
 _SEARCH_TERMS = ("merge", "join", "column", "window", "scan")
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-0.5 data-mix rebalancing (raydedup/curate.py
+    temperature_mix): stratum shares flattened toward sqrt-proportional at
+    ~half the corpus — integer-exact thresholds (floor(ieee_sqrt) weights,
+    rational total_frac, integer division) derived in SQL from the same
+    count table, modulo oracle mode."""
+    import ray.data
+
+    from raydedup.curate import temperature_mix
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return temperature_mix(
+        docs,
+        key="source",
+        id_col="doc_id",
+        total_frac=(1, 2),
+        method="modulo",
+        buckets=_SAMPLE_BUCKETS,
+    )
+
+
 def _q_text_search_topk(sf_dir: str):
     """Deterministic term retrieval (raydedup/search.py): top-50 documents
     for a fixed query bag, ranked by (distinct terms, total tf, id) —
@@ -1762,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "curate_corpus_v2": _q_curate_corpus_v2,
         "text_search_topk": _q_text_search_topk,
+        "temperature_mix": _q_temperature_mix,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -2349,6 +2373,18 @@ FROM isl GROUP BY id, g
         "url_dedup_survivors": _url_dedup_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "curate_corpus_v2": _curate_v2_sql(),
+        "temperature_mix": f"""
+WITH cnt AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT s, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM cnt),
+tot AS (SELECT sum(w) AS z, sum(n) AS nn FROM w),
+thr AS (
+  SELECT s, least(CAST({_SAMPLE_BUCKETS} AS BIGINT),
+                  CAST((1 * tot.nn * w.w * {_SAMPLE_BUCKETS})
+                       // (2 * tot.z * w.n) AS BIGINT)) AS t
+  FROM w, tot)
+SELECT d.doc_id, d.source FROM documents d JOIN thr ON thr.s = d.source
+WHERE d.doc_id % {_SAMPLE_BUCKETS} < thr.t
+""",
         "text_search_topk": rf"""
 WITH toks AS (
   SELECT doc_id,

@@ -414,3 +414,89 @@ def curate_corpus_v2(
     return pack_token_shards(
         capped, budget=shard_budget, id_col="id", text_col="content"
     )
+
+
+def temperature_thresholds(
+    counts: dict[str, int],
+    total_frac: tuple[int, int] = (1, 2),
+    buckets: int = 1_000_000,
+) -> dict[str, int]:
+    """Integer bucket thresholds for temperature-0.5 data-mix rebalancing:
+    target stratum shares p_s ∝ √n_s (the alpha=0.5 flattening rule of
+    multilingual/multi-source training mixes, e.g. XLM-R/mT5), realized as
+    per-stratum keep thresholds against the actual counts.
+
+    Every step is INTEGER-exact and SQL-expressible so the oracle derives
+    the same thresholds from the same count table: weight w_s =
+    floor(ieee_sqrt(n_s)) (numpy sqrt is the correctly-rounded IEEE op —
+    DuckDB's floor(sqrt(n)) computes the identical value), then
+    thr_s = min(buckets, (tn·N·w_s·buckets) // (td·z·n_s)) with
+    total_frac = tn/td, N = Σn, z = Σw. A row of stratum s survives iff
+    bucket(id) < thr_s; expected kept fraction ≈ tn/td of the corpus with
+    stratum shares ∝ √n_s (clamped at keep-everything for tiny strata)."""
+    tn, td = total_frac
+    if not counts or min(counts.values()) < 0:
+        raise ValueError("counts must be non-empty and non-negative")
+    if tn <= 0 or td <= 0 or tn > td:
+        raise ValueError("total_frac must be a rational in (0, 1]")
+    w = {s: int(np.floor(np.sqrt(float(n)))) for s, n in counts.items() if n > 0}
+    z = sum(w.values())
+    n_total = sum(counts.values())
+    return {
+        s: min(buckets, (tn * n_total * w[s] * buckets) // (td * z * counts[s]))
+        for s in w
+    }
+
+
+def stratum_counts(
+    ds: "ray.data.Dataset", key: str  # noqa: F821
+) -> dict[str, int]:
+    """Per-stratum row counts — one small groupby-count, collected to the
+    driver (strata are few by definition)."""
+    out: dict[str, int] = {}
+    for b in ds.groupby(key).count().iter_batches(batch_format="pyarrow"):
+        for k, c in zip(
+            b.column(key).to_pylist(), b.column("count()").to_pylist()
+        ):
+            out[str(k)] = int(c)
+    return out
+
+
+def temperature_mix(
+    ds: "ray.data.Dataset",  # noqa: F821
+    key: str,
+    id_col: str,
+    total_frac: tuple[int, int] = (1, 2),
+    method: str = "hash",
+    seed: int = 4242,
+    buckets: int = 1_000_000,
+    counts: dict[str, int] | None = None,
+) -> "ray.data.Dataset":  # noqa: F821
+    """Rebalance a corpus toward temperature-0.5 stratum shares by
+    deterministic downsampling: one tiny count groupby, integer
+    :func:`temperature_thresholds`, then the same stateless bucket filter
+    as :func:`sample_stratified` (no shuffle of the data)."""
+    if method not in ("hash", "modulo"):
+        raise ValueError(f"unknown method {method!r}")
+    if counts is None:
+        counts = stratum_counts(ds, key)
+    thr = temperature_thresholds(counts, total_frac, buckets)
+
+    def block(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if method == "hash":
+            from .hashing import splitmix64
+
+            u = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+            bucket = (u % np.uint64(buckets)).astype(np.int64)
+        else:
+            bucket = np.mod(ids, buckets)
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        per_uniq = np.array(
+            [thr.get(str(k), 0) for k in uniq.tolist()], dtype=np.int64
+        )
+        keep = bucket < per_uniq[inv]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(block, batch_format="pyarrow")
