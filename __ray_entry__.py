@@ -344,6 +344,27 @@ def _q_text_search_topk(sf_dir: str):
     return text_search_topk(docs, _SEARCH_TERMS, k=50)
 
 
+def _q_text_search_indexed(sf_dir: str):
+    """Index-served term retrieval (raydedup/search.py): same ranked
+    contract as text_search_topk, served from the persisted inverted
+    token index — the query reads only the <= n_terms part files its
+    terms route to (splitmix64 routing recomputed query-side)."""
+    import os
+
+    import ray.data
+
+    from raydedup.corpus import SCRATCH_ROOT, _sf_tag
+    from raydedup.search import text_search_indexed, write_text_index
+
+    idx = os.path.join(SCRATCH_ROOT, "textidx", _sf_tag(sf_dir))
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        write_text_index(docs, idx)
+    return text_search_indexed(idx, _SEARCH_TERMS, k=50)
+
+
 def _q_curate_corpus_v2(sf_dir: str):
     """Web-curation composition v2 (raydedup/curate.py curate_corpus_v2):
     span-dedup rewrite → bigram-LM hit-rate filter (2·n_hits >= n_bigrams,
@@ -1785,6 +1806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "curate_corpus_v2": _q_curate_corpus_v2,
         "text_search_topk": _q_text_search_topk,
+        "text_search_indexed": _q_text_search_indexed,
         "temperature_mix": _q_temperature_mix,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
@@ -2140,6 +2162,9 @@ def oracle_sql() -> dict[str, str]:
     # indexed IVF at nprobe == n_lists reads every list partition and is
     # bit-identical to brute force — same oracle
     sql["ann_topk_ivf_indexed"] = sql["ann_topk"]
+    # index-served retrieval has the identical ranked contract to the scan
+    # path (pruned reads change the plan, not the result) — same oracle
+    sql["text_search_indexed"] = sql["text_search_topk"]
     # percentile normalization wraps the quality_scores oracle verbatim, so
     # the two can never drift
     sql["quality_percentiles"] = f"""

@@ -94,3 +94,47 @@ def test_search_on_documents_fixture(ray_session):
         )
     )
     assert got == want and len(got) == 50
+
+
+def test_text_index_parity_and_pruning(ray_session, tmp_path):
+    """Persisted inverted index: identical ranked output to the scan path,
+    reading only the <= n_terms part files the terms route to."""
+    import os
+
+    import ray
+    import ray.data
+
+    from raydedup.search import (
+        index_parts_for_terms,
+        text_search_indexed,
+        text_search_topk,
+        write_text_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    meta = write_text_index(ds, str(tmp_path / "idx"), nparts=64)
+    assert meta["postings"] > 1000
+    terms = ("merge", "join", "column", "window", "scan")
+    files = index_parts_for_terms(str(tmp_path / "idx"), terms)
+    assert 1 <= len(files) <= len(terms)  # partition pruning contract
+    total_parts = len(os.listdir(tmp_path / "idx" / "parts"))
+    assert len(files) < total_parts  # strictly fewer than a full read
+
+    want = text_search_topk(ds, terms, k=50).to_pandas()
+    got = text_search_indexed(str(tmp_path / "idx"), terms, k=50).to_pandas()
+    assert got.equals(want)
+
+    # absent term → still exact; unmatched-only terms → empty result
+    got2 = text_search_indexed(
+        str(tmp_path / "idx"), ("merge", "zzzznotaterm"), k=10
+    ).to_pandas()
+    want2 = text_search_topk(ds, ("merge", "zzzznotaterm"), k=10).to_pandas()
+    assert got2.equals(want2)
+
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        write_text_index(ds, str(tmp_path / "idx"))
+    meta2 = write_text_index(ds, str(tmp_path / "idx"), overwrite=True)
+    assert meta2 == meta
