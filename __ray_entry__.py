@@ -305,6 +305,85 @@ def _q_url_dedup_survivors(sf_dir: str):
 _SEARCH_TERMS = ("merge", "join", "column", "window", "scan")
 
 
+def _q_profile_sources(sf_dir: str):
+    """Per-source corpus profile — the data-mix planning rollup: doc
+    count, total tokens, median doc length (KLL aggregate), and distinct
+    tokens (theta aggregate over exploded token hashes, per-batch
+    pre-deduped) in ONE pass each over two narrow streams. Both sketches
+    run in their exact regimes at correctness scale, so the whole profile
+    value-hash-matches exact SQL."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from raydedup.aggregates import kll_quantile, theta_distinct
+    from raydedup.vocab import _token_hashes, _ws_tokens
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def stats(b: pa.Table) -> pa.Table:
+        _, per_row = _ws_tokens(b.column("text"))
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_tokens": pa.array(per_row, pa.int64()),
+            }
+        )
+
+    def tok_explode(b: pa.Table) -> pa.Table:
+        flat, per_row = _ws_tokens(b.column("text"))
+        h, _ = _token_hashes(flat)
+        src = np.repeat(
+            b.column("source").to_numpy(zero_copy_only=False), per_row
+        )
+        # per-batch (source, token) dedup — the combiner step
+        order = np.lexsort((h, src))
+        s_s, h_s = src[order], h[order]
+        first = np.ones(len(s_s), dtype=bool)
+        first[1:] = (s_s[1:] != s_s[:-1]) | (h_s[1:] != h_s[:-1])
+        return pa.table(
+            {
+                "source": pa.array(s_s[first].tolist(), pa.string()),
+                "th": pa.array(h_s[first].view(np.int64), pa.int64()),
+            }
+        )
+
+    a = (
+        docs.map_batches(stats, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(),
+            Sum("n_tokens"),
+            kll_quantile("n_tokens", [0.5], k=1 << 15, name="med"),
+        )
+        .to_pandas()
+    )
+    b = (
+        docs.map_batches(tok_explode, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(theta_distinct("th", k=1 << 17, name="dt"))
+        .to_pandas()
+    )
+    m = a.merge(b, on="source")
+    return pa.table(
+        {
+            "source": pa.array(m["source"], pa.string()),
+            "n_docs": pa.array(m["count()"].astype("int64"), pa.int64()),
+            "total_tokens": pa.array(
+                m["sum(n_tokens)"].astype("int64"), pa.int64()
+            ),
+            "median_tokens": pa.array(
+                [float(q[0]) for q in m["med"]], pa.float64()
+            ),
+            "distinct_tokens": pa.array(
+                m["dt"].round().astype("int64"), pa.int64()
+            ),
+        }
+    )
+
+
 def _q_temperature_mix(sf_dir: str):
     """Temperature-0.5 data-mix rebalancing (raydedup/curate.py
     temperature_mix): stratum shares flattened toward sqrt-proportional at
@@ -1808,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search_topk": _q_text_search_topk,
         "text_search_indexed": _q_text_search_indexed,
         "temperature_mix": _q_temperature_mix,
+        "profile_sources": _q_profile_sources,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -2398,6 +2478,28 @@ FROM isl GROUP BY id, g
         "url_dedup_survivors": _url_dedup_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "curate_corpus_v2": _curate_v2_sql(),
+        "profile_sources": rf"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS n_tokens
+  FROM documents),
+t AS (
+  SELECT source,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) AS tok
+  FROM documents
+  WHERE trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) != ''),
+a AS (
+  SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         quantile_disc(n_tokens, 0.5) AS med
+  FROM d GROUP BY source),
+b AS (SELECT source, count(DISTINCT tok) AS distinct_tokens FROM t GROUP BY source)
+SELECT a.source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(med AS DOUBLE) AS median_tokens,
+       CAST(distinct_tokens AS BIGINT) AS distinct_tokens
+FROM a JOIN b ON a.source = b.source
+""",
         "temperature_mix": f"""
 WITH cnt AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
 w AS (SELECT s, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM cnt),
