@@ -320,7 +320,7 @@ def _q_profile_sources(sf_dir: str):
     from raydedup.vocab import _token_hashes, _ws_tokens
 
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
 
     def stats(b: pa.Table) -> pa.Table:
@@ -334,10 +334,14 @@ def _q_profile_sources(sf_dir: str):
 
     def tok_explode(b: pa.Table) -> pa.Table:
         flat, per_row = _ws_tokens(b.column("text"))
-        h, _ = _token_hashes(flat)
-        src = np.repeat(
-            b.column("source").to_numpy(zero_copy_only=False), per_row
-        )
+        h, blen = _token_hashes(flat)
+        # _ws_tokens' per_row EXCLUDES the lone '' token an empty doc
+        # contributes to flat — repeat by the raw per-row flat counts, then
+        # mask the '' tokens (blen > 0), keeping src and h aligned
+        raw = np.where(per_row == 0, 1, per_row)
+        src = np.repeat(b.column("source").to_numpy(zero_copy_only=False), raw)
+        keep = blen > 0
+        h, src = h[keep], src[keep]
         # per-batch (source, token) dedup — the combiner step
         order = np.lexsort((h, src))
         s_s, h_s = src[order], h[order]

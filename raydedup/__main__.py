@@ -67,7 +67,7 @@ def _init_ray(num_cpus: int | None) -> None:
         ray.init(address="local", include_dashboard=False, **kw)
 
 
-def _read_corpus(args: argparse.Namespace):
+def _read_corpus(args: argparse.Namespace, extra_cols: tuple[str, ...] = ()):
     import ray.data
 
     ds = ray.data.read_parquet(args.inputs)
@@ -78,7 +78,7 @@ def _read_corpus(args: argparse.Namespace):
         renames[args.content_col] = "content"
     if renames:
         ds = ds.rename_columns(renames)
-    return ds.select_columns(["id", "content"])
+    return ds.select_columns(["id", "content", *extra_cols])
 
 
 def cmd_dedup(args: argparse.Namespace) -> int:
@@ -185,20 +185,10 @@ def cmd_spans(args: argparse.Namespace) -> int:
 
 
 def cmd_curate(args: argparse.Namespace) -> int:
-    import ray.data
-
     from .curate import curate_corpus_v2
 
     _init_ray(args.num_cpus)
-    ds = ray.data.read_parquet(args.inputs)
-    renames = {}
-    if args.id_col != "id":
-        renames[args.id_col] = "id"
-    if args.content_col != "content":
-        renames[args.content_col] = "content"
-    if renames:
-        ds = ds.rename_columns(renames)
-    ds = ds.select_columns(["id", "content", args.cap_key])
+    ds = _read_corpus(args, extra_cols=(args.cap_key,))
     out = curate_corpus_v2(
         ds,
         span_window=args.window,

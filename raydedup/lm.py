@@ -164,17 +164,30 @@ def lm_scores(
             hit = np.zeros(len(w), dtype=bool)
             contrib = np.zeros(len(w), dtype=np.int64)
         n = batch.num_rows
+        # INTEGER-exact per-doc sums (the module's contract): row_of is
+        # sorted by construction (repeat of arange), so segment-reduce in
+        # int64 — float-weighted bincount would round past 2^53 at scale
         row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-        n_hits = np.bincount(row_of, weights=hit.astype(np.float64), minlength=n)
-        hit_sum = np.bincount(row_of, weights=contrib.astype(np.float64), minlength=n)
+        n_hits = np.zeros(n, dtype=np.int64)
+        hit_sum = np.zeros(n, dtype=np.int64)
+        if len(row_of):
+            starts = np.flatnonzero(
+                np.concatenate([[True], row_of[1:] != row_of[:-1]])
+            )
+            seg_rows = row_of[starts]
+            n_hits[seg_rows] = np.add.reduceat(hit.astype(np.int64), starts)
+            hit_sum[seg_rows] = np.add.reduceat(
+                contrib.astype(np.int64), starts
+            )
         n_bigrams = counts
         cols = {
             id_col: batch.column(id_col),
             "n_bigrams": pa.array(n_bigrams, pa.int64()),
-            "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
-            "hit_sum": pa.array(hit_sum.astype(np.int64), pa.int64()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "hit_sum": pa.array(hit_sum, pa.int64()),
             "score": pa.array(
-                hit_sum / np.maximum(n_bigrams, 1).astype(np.float64),
+                hit_sum.astype(np.float64)
+                / np.maximum(n_bigrams, 1).astype(np.float64),
                 pa.float64(),
             ),
         }

@@ -44,11 +44,13 @@ class SearchScorer:
             raise ValueError("k must be positive")
         self.th = np.unique(_term_hashes(tuple(terms), seed))
         self.k = k
+        self.seed = seed
         self.id_col = id_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flat, off = tokenize_hashes(batch.column(self.text_col), seed=0)
+        # the SAME seed must hash terms and tokens or nothing ever matches
+        flat, off = tokenize_hashes(batch.column(self.text_col), seed=self.seed)
         n = batch.num_rows
         per_row = np.diff(off)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), per_row)

@@ -45,7 +45,12 @@ URL_RE = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>[^#
 # ordered (pattern, replacement) steps applied to the REST part, shared
 # verbatim with the SQL mirror (both RE2, global):
 REST_STEPS: list[tuple[str, str]] = [
-    (r"utm_[A-Za-z0-9_]*=[^&]*&", ""),   # utm param followed by another
+    # run of utm params each followed by another param: the [?&] boundary
+    # anchor is kept via backref (\1 works in BOTH Arrow's and DuckDB's
+    # RE2 rewrite), so a non-utm name like 'xutm_a' or a VALUE containing
+    # 'utm_' never matches; the (...)+ repetition handles consecutive utm
+    # params in ONE global pass (a replace never rescans its own output)
+    (r"([?&])(?:utm_[A-Za-z0-9_]*=[^&]*&)+", r"\1"),
     (r"[?&]utm_[A-Za-z0-9_]*=[^&]*$", ""),  # trailing utm param
     (r"\?&", "?"),                        # tidy '?&a=1' → '?a=1'
     (r"[?&]+$", ""),                      # dangling separators

@@ -21,6 +21,14 @@ CASES = [
     ("ftp://Files.Example.com/A/B/", "ftp://files.example.com/A/B"),  # path case kept
     ("not a url at all", "not a url at all"),  # unparseable → itself
     (None, ""),
+    # utm boundary regressions: a non-utm name containing 'utm_' and a
+    # VALUE containing 'utm_' must never be spliced (review finding)
+    ("https://h.com/p?xutm_a=1&b=2", "https://h.com/p?xutm_a=1&b=2"),
+    ("https://h.com/p?a=utm_b=1&c=2", "https://h.com/p?a=utm_b=1&c=2"),
+    # consecutive utm runs, leading / middle / trailing
+    ("https://h.com/p?utm_a=1&utm_b=2&utm_c=3", "https://h.com/p"),
+    ("https://h.com/p?a=1&utm_b=2&utm_c=3&d=4", "https://h.com/p?a=1&d=4"),
+    ("https://h.com/p?utm_a=1&b=2&utm_c=3", "https://h.com/p?b=2"),
 ]
 
 
