@@ -305,6 +305,23 @@ def _q_url_dedup_survivors(sf_dir: str):
 _SEARCH_TERMS = ("merge", "join", "column", "window", "scan")
 
 
+_CHUNK_WINDOW, _CHUNK_STRIDE = 32, 24
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (raydedup/chunk.py) — the
+    pre-embedding / context-packing step: one stateless map_batches, one
+    gather + binary_join per batch, no shuffle."""
+    import ray.data
+
+    from raydedup.chunk import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
+
+
 def _q_profile_sources(sf_dir: str):
     """Per-source corpus profile — the data-mix planning rollup: doc
     count, total tokens, median doc length (KLL aggregate), and distinct
@@ -1892,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search_indexed": _q_text_search_indexed,
         "temperature_mix": _q_temperature_mix,
         "profile_sources": _q_profile_sources,
+        "chunk_documents": _q_chunk_documents,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_oracle": _q_dedup_clusters_oracle,
         "cluster_size_histogram": _q_cluster_size_histogram,
@@ -2482,6 +2500,21 @@ FROM isl GROUP BY id, g
         "url_dedup_survivors": _url_dedup_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "curate_corpus_v2": _curate_v2_sql(),
+        "chunk_documents": rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS tl
+  FROM documents
+  WHERE trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) != ''),
+st AS (
+  SELECT doc_id, tl, unnest(generate_series(1, len(tl), {_CHUNK_STRIDE})) AS s
+  FROM toks)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(least({_CHUNK_WINDOW}, len(tl) - s + 1) AS BIGINT) AS n_tokens,
+       array_to_string(tl[s:s+{_CHUNK_WINDOW - 1}], ' ') AS text
+FROM st
+""",
         "profile_sources": rf"""
 WITH d AS (
   SELECT source,
