@@ -1719,6 +1719,26 @@ def _q_quality_percentiles(sf_dir: str):
     return ranked.map_batches(_round, batch_format="pyarrow")
 
 
+def _q_video_frame_samples(sf_dir: str):
+    """REAL video frame sampling (raydedup/multimodal.py FrameSampleStage
+    over the PNG-stack container): parse the frame index, decode ONLY
+    every 2nd frame through the real PNG chain, emit decoded geometry +
+    exact pixel sums — the DuckDB oracle recomputes each sampled frame's
+    sum from (media_id, frame_idx) alone."""
+    import ray.data
+
+    from raydedup.multimodal import FrameSampleStage, synth_video_table
+
+    media = ray.data.from_arrow(synth_video_table(48))
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_n": 2, "codec": "pngstack"},
+        batch_format="pyarrow",
+        concurrency=1,
+        batch_size=8,
+    )
+
+
 def _q_media_features(sf_dir: str):
     """REAL multimodal decode (raydedup/codecs.py): deterministic PNG/WAV
     payloads with closed-form contents → per-format actor-pool DecodeStage
@@ -1946,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "top_dup_repos": _q_top_dup_repos,
         "media_features": _q_media_features,
+        "video_frame_samples": _q_video_frame_samples,
         "media_dup_pairs": _q_media_dup_pairs,
         "theta_setops_orders": _q_theta_setops_orders,
         "tuple_parts_qty": _q_tuple_parts_qty,
@@ -2917,6 +2938,20 @@ ORDER BY distinct_partner_repos DESC, repo ASC LIMIT 10
         "media_dup_pairs": """
 SELECT CAST(t.i AS BIGINT) AS src, CAST(t.i + 1000 AS BIGINT) AS dst
 FROM range(0, 16) t(i)
+""",
+        "video_frame_samples": """
+WITH v AS (SELECT unnest(generate_series(0, 47)) AS i),
+f AS (SELECT i, unnest(generate_series(0, 4 + (i % 5) - 1, 2)) AS fi FROM v),
+xs AS (SELECT i, fi, unnest(generate_series(0, 8 + (i % 6) - 1)) AS x FROM f),
+pxy AS (SELECT i, fi, x,
+               unnest(generate_series(0, 8 + (i % 3) * 4 - 1)) AS y
+        FROM xs)
+SELECT CAST(i AS BIGINT) AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+       CAST(fi * 40 AS BIGINT) AS frame_ts_ms,
+       CAST(8 + (i % 6) AS BIGINT) AS width,
+       CAST(8 + (i % 3) * 4 AS BIGINT) AS height,
+       CAST(sum((x * 3 + y * 5 + i + fi * 11) % 256) AS BIGINT) AS pixel_sum
+FROM pxy GROUP BY i, fi
 """,
         "media_features": """
 WITH m AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(0, 48) t(i)),

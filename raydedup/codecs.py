@@ -204,3 +204,53 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         s = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
     frames = len(s) // channels
     return s[: frames * channels].reshape(frames, channels), rate
+
+
+# ---------------------------------------------------------------------------
+# PNG-stack "video" container: magic + frame index + concatenated PNG frames
+# ---------------------------------------------------------------------------
+
+PSTK_MAGIC = b"PSTK"
+
+
+def encode_pngstack(frames: "list[np.ndarray]", interval_ms: int) -> bytes:
+    """A minimal multi-frame container for the video plumbing: ``PSTK`` +
+    u32 frame_count + u32 interval_ms, then per frame u32 length + a REAL
+    PNG image (encode_png). Production stacks use a proper codec
+    (ffmpeg/H.264 — not implementable from the stdlib); this container
+    keeps every Ray-side property that matters — an indexed payload where
+    frame sampling can decode ONLY the sampled frames — with a real
+    per-frame codec chain."""
+    import struct
+
+    parts = [PSTK_MAGIC, struct.pack("<II", len(frames), interval_ms)]
+    for f in frames:
+        png = encode_png(f)
+        parts.append(struct.pack("<I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def pngstack_index(buf: bytes) -> "tuple[int, list[tuple[int, int]]]":
+    """(interval_ms, [(offset, length)] per frame) — parses ONLY the index
+    walk, no frame decode."""
+    import struct
+
+    if buf[:4] != PSTK_MAGIC:
+        raise ValueError("not a PSTK payload")
+    n, interval_ms = struct.unpack_from("<II", buf, 4)
+    off = 12
+    idx = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        idx.append((off, ln))
+        off += ln
+    if off != len(buf):
+        raise ValueError("trailing bytes in PSTK payload")
+    return interval_ms, idx
+
+
+def decode_pngstack_frame(buf: bytes, entry: "tuple[int, int]") -> "np.ndarray":
+    off, ln = entry
+    return decode_png(buf[off : off + ln])

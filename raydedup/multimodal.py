@@ -4,11 +4,14 @@ Binary payloads travel as opaque ``large_binary`` cells with typed metadata
 columns; decode / feature-extract stages are actor-pool map_batches classes.
 ``DecodeStage`` supports REAL pure-stdlib codecs (``codec="png"|"wav"`` via
 raydedup/codecs.py: zlib inflate + unfilter, RIFF/PCM parse) alongside the
-deterministic ``"fake"`` byte-level features; video decode remains stubbed
-behind ``NotImplementedError`` (no video codec is implementable from the
-stdlib). Real decodes emit the decoded geometry (width/height/duration) and
-exact value sums, which is what lets ``media_features`` carry a value-hash
-DuckDB oracle over a closed-form fixture.
+deterministic ``"fake"`` byte-level features. Video is served by the
+PNG-stack container (codecs.encode_pngstack: an indexed stack of real PNG
+frames — a stand-in for ffmpeg, which is not implementable from the
+stdlib): ``FrameSampleStage`` walks the index and decodes ONLY the sampled
+frames. Real decodes emit the decoded geometry (width/height/duration) and
+exact value sums, which is what lets ``media_features`` /
+``video_frame_samples`` carry value-hash DuckDB oracles over closed-form
+fixtures.
 """
 
 from __future__ import annotations
@@ -283,31 +286,115 @@ class AudioWindowStage:
 
 
 class FrameSampleStage:
-    """Video frame sampling stub: emits every_n 'frame' rows per payload
-    with deterministic offsets — exercises the 1→N flat-map layout."""
+    """Video frame sampling, REAL for PNG-stack payloads: parse the
+    container index (no full decode), decode ONLY every ``every_n``-th
+    frame through the real PNG chain, and emit one row per sampled frame
+    with its decoded geometry and exact pixel sum. That index-then-
+    selective-decode shape is the property that matters at 100 TB: a
+    sampler never pays for the frames it skips. ``codec="fake"`` keeps the
+    old duration-derived 1→N layout stub for plumbing tests.
 
-    def __init__(self, every_ms: int = 1000, codec: str = "fake"):
-        if codec != "fake":
-            raise NotImplementedError("no video codec in this container")
+    Actor-pool stage: big payloads → SMALL batch_size; the codec path is
+    chosen once per actor in __init__."""
+
+    def __init__(self, every_n: int = 2, codec: str = "pngstack",
+                 every_ms: int = 1000):
+        if codec not in ("pngstack", "fake"):
+            raise NotImplementedError(
+                f"codec {codec!r}: pngstack is the stdlib-decodable video "
+                "container (codecs.py); real deployments plug ffmpeg here"
+            )
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.codec = codec
+        self.every_n = every_n
         self.every_ms = every_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_numpy()
-        dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
-        out_id, out_ts = [], []
+        if self.codec == "fake":
+            dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
+            out_id, out_ts = [], []
+            for i in range(len(ids)):
+                # null duration_ms arrives as NaN (to_numpy float
+                # conversion), never None — treat it as duration 0
+                d = 0 if dur[i] is None or dur[i] != dur[i] else int(dur[i])
+                ts = np.arange(0, max(d, 1), self.every_ms, dtype=np.int64)
+                out_id.append(np.full(len(ts), ids[i], dtype=np.int64))
+                out_ts.append(ts)
+            return pa.table(
+                {
+                    "media_id": pa.array(
+                        np.concatenate(out_id) if out_id else []
+                    ),
+                    "frame_ts_ms": pa.array(
+                        np.concatenate(out_ts) if out_ts else []
+                    ),
+                }
+            )
+        from .codecs import decode_pngstack_frame, pngstack_index
+
+        payloads = batch.column("payload")
+        o_id, o_fi, o_ts, o_w, o_h, o_sum = [], [], [], [], [], []
         for i in range(len(ids)):
-            # null duration_ms arrives as NaN (to_numpy float conversion),
-            # never None — treat it as duration 0
-            d = 0 if dur[i] is None or dur[i] != dur[i] else int(dur[i])
-            ts = np.arange(0, max(d, 1), self.every_ms, dtype=np.int64)
-            out_id.append(np.full(len(ts), ids[i], dtype=np.int64))
-            out_ts.append(ts)
+            buf = payloads[i].as_py()
+            interval_ms, idx = pngstack_index(buf)
+            for fi in range(0, len(idx), self.every_n):
+                img = decode_pngstack_frame(buf, idx[fi])
+                o_id.append(int(ids[i]))
+                o_fi.append(fi)
+                o_ts.append(fi * interval_ms)
+                o_h.append(img.shape[0])
+                o_w.append(img.shape[1])
+                o_sum.append(int(img.astype(np.int64).sum()))
         return pa.table(
             {
-                "media_id": pa.array(np.concatenate(out_id) if out_id else []),
-                "frame_ts_ms": pa.array(np.concatenate(out_ts) if out_ts else []),
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame_idx": pa.array(o_fi, pa.int64()),
+                "frame_ts_ms": pa.array(o_ts, pa.int64()),
+                "width": pa.array(o_w, pa.int64()),
+                "height": pa.array(o_h, pa.int64()),
+                "pixel_sum": pa.array(o_sum, pa.int64()),
             }
         )
+
+
+def synth_video_table(n: int = 48) -> pa.Table:
+    """Deterministic PNG-stack video fixture with closed-form frame
+    contents: video i has 4+(i%5) frames at 40 ms, each frame f a gray
+    image of width 8+(i%6), height 8+(i%3)*4 with
+    pixel(y, x) = (x*3 + y*5 + i + f*11) % 256 — the per-frame pixel sums
+    are SQL-computable from (media_id, frame_idx) alone, through the REAL
+    png encode/decode chain."""
+    from . import codecs
+
+    ids, kinds, fmts, payloads, widths, heights, durs = [], [], [], [], [], [], []
+    for i in range(n):
+        w, h = 8 + (i % 6), 8 + (i % 3) * 4
+        frames = []
+        for f in range(4 + (i % 5)):
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            frames.append(((x * 3 + y * 5 + i + f * 11) % 256).astype(np.uint8))
+        ids.append(i)
+        kinds.append("video")
+        fmts.append("pngstack")
+        payloads.append(codecs.encode_pngstack(frames, interval_ms=40))
+        widths.append(w)
+        heights.append(h)
+        durs.append(len(frames) * 40)
+    return pa.table(
+        {
+            "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "kind": pa.array(kinds),
+            "format": pa.array(fmts),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "width": pa.array(np.asarray(widths, dtype=np.int32)),
+            "height": pa.array(np.asarray(heights, dtype=np.int32)),
+            "duration_ms": pa.array(np.asarray(durs, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 def synth_real_media_table(n: int = 48) -> pa.Table:
