@@ -10,8 +10,10 @@ Semantics (mirrored exactly by the DuckDB oracle in __ray_entry__):
 * chunk starts: 1, 1+stride, 1+2·stride, … while start <= n_tokens
   (DuckDB's ``generate_series(1, n, stride)``), so the tail is always
   covered by a final (possibly short) chunk;
-* chunk i's text = tokens[start : start+window-1] joined with single
-  spaces (token-normalized, the spans.py convention); ``chunk_id`` =
+* a chunk holds the ``window`` tokens from its start position (fewer for
+  the tail chunk), joined with single spaces (token-normalized, the
+  spans.py convention) — DuckDB's 1-based INCLUSIVE ``tl[s : s+window-1]``
+  slice, i.e. Python's ``tokens[s-1 : s-1+window]``; ``chunk_id`` =
   (start-1)/stride; ``n_tokens`` = the chunk's actual token count.
 
 Scale shape: embarrassingly parallel — one stateless ``map_batches``, no

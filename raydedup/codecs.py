@@ -238,12 +238,18 @@ def pngstack_index(buf: bytes) -> "tuple[int, list[tuple[int, int]]]":
 
     if buf[:4] != PSTK_MAGIC:
         raise ValueError("not a PSTK payload")
+    if len(buf) < 12:
+        raise ValueError("truncated PSTK header")
     n, interval_ms = struct.unpack_from("<II", buf, 4)
     off = 12
     idx = []
     for _ in range(n):
+        if off + 4 > len(buf):
+            raise ValueError("truncated PSTK frame index")
         (ln,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + ln > len(buf):
+            raise ValueError("truncated PSTK frame body")
         idx.append((off, ln))
         off += ln
     if off != len(buf):

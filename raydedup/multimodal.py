@@ -298,7 +298,7 @@ class FrameSampleStage:
     chosen once per actor in __init__."""
 
     def __init__(self, every_n: int = 2, codec: str = "pngstack",
-                 every_ms: int = 1000):
+                 every_ms: int | None = None):
         if codec not in ("pngstack", "fake"):
             raise NotImplementedError(
                 f"codec {codec!r}: pngstack is the stdlib-decodable video "
@@ -306,9 +306,14 @@ class FrameSampleStage:
             )
         if every_n < 1:
             raise ValueError("every_n must be >= 1")
+        if every_ms is not None and codec != "fake":
+            raise ValueError(
+                "every_ms only applies to codec='fake'; pngstack sampling "
+                "is every_n frames at the container's own interval"
+            )
         self.codec = codec
         self.every_n = every_n
-        self.every_ms = every_ms
+        self.every_ms = 1000 if every_ms is None else every_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_numpy()
@@ -325,10 +330,12 @@ class FrameSampleStage:
             return pa.table(
                 {
                     "media_id": pa.array(
-                        np.concatenate(out_id) if out_id else []
+                        np.concatenate(out_id) if out_id else [],
+                        pa.int64(),
                     ),
                     "frame_ts_ms": pa.array(
-                        np.concatenate(out_ts) if out_ts else []
+                        np.concatenate(out_ts) if out_ts else [],
+                        pa.int64(),
                     ),
                 }
             )
@@ -338,6 +345,8 @@ class FrameSampleStage:
         o_id, o_fi, o_ts, o_w, o_h, o_sum = [], [], [], [], [], []
         for i in range(len(ids)):
             buf = payloads[i].as_py()
+            if buf is None:
+                continue  # null payload → no frames (schema permits nulls)
             interval_ms, idx = pngstack_index(buf)
             for fi in range(0, len(idx), self.every_n):
                 img = decode_pngstack_frame(buf, idx[fi])

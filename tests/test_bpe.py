@@ -16,7 +16,7 @@ def _brute(texts, min_count):
         s = (t or "").strip(" \t\n\r\v\f")
         if not s:
             continue
-        for w in re.split(r"\s+", s):
+        for w in re.split(r"[ \t\n\f\r]+", s):  # RE2 \s class (no \v)
             counts.update(w[j : j + 2] for j in range(len(w) - 1))
     return {p: c for p, c in counts.items() if c >= min_count}
 

@@ -14,7 +14,7 @@ def _brute(docs: dict[int, str | None], window: int, stride: int):
         s = (t or "").strip(" \t\n\r\v\f")
         if not s:
             continue
-        toks = re.split(r"\s+", s)
+        toks = re.split(r"[ \t\n\f\r]+", s)  # RE2 \s class (no \v)
         start = 0
         cid = 0
         while start < len(toks):
@@ -65,6 +65,9 @@ def test_chunking_bruteforce(ray_session):
         6: None,
         7: "   \t ",
         8: " ".join(f"w{j}" for j in range(6)),    # exactly one window
+        # RE2 \s has NO \v: '\v' stays inside a token (engine, oracle, and
+        # this brute force all agree — review-finding regression)
+        9: "a \v b " + " ".join(f"z{j}" for j in range(7)),
     }
     for window, stride in ((6, 4), (6, 6), (3, 1), (128, 96)):
         assert _run(ray, docs, window, stride) == _brute(docs, window, stride), (

@@ -13,7 +13,7 @@ import pyarrow as pa
 
 def _bigrams(text: str | None) -> list[str]:
     t = (text or "").strip(" \t\n\r\v\f")
-    tl = re.split(r"\s+", t)
+    tl = re.split(r"[ \t\n\f\r]+", t)  # RE2 \s class (no \v)
     if len(tl) < 2:
         return []
     return [f"{a} {b}" for a, b in zip(tl, tl[1:])]

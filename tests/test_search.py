@@ -13,7 +13,7 @@ def _brute(docs: dict[int, str | None], terms: tuple[str, ...], k: int):
     rows = []
     ts = set(terms)
     for i, t in docs.items():
-        toks = [w for w in re.split(r"\s+", (t or "").strip(" \t\n\r\v\f")) if w]
+        toks = [w for w in re.split(r"[ \t\n\f\r]+", (t or "").strip(" \t\n\r\v\f")) if w]  # RE2 \s class (no \v)
         tf = sum(1 for w in toks if w in ts)
         nm = len(ts & set(toks))
         if tf > 0:

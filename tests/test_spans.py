@@ -13,7 +13,7 @@ import pyarrow as pa
 
 def _tokens(text: str | None) -> list[str]:
     t = (text or "").strip(" \t\n\r\v\f")
-    return re.split(r"\s+", t)  # '' → [''] like DuckDB string_split_regex
+    return re.split(r"[ \t\n\f\r]+", t)  # RE2 \s (NO \v) — '' → [''] like DuckDB
 
 
 def _brute_spans(docs: dict[int, str | None], L: int):

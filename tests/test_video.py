@@ -37,6 +37,10 @@ def test_pngstack_roundtrip():
         pngstack_index(b"JUNK" + buf[4:])
     with pytest.raises(ValueError):
         pngstack_index(buf + b"x")
+    # truncation anywhere raises ValueError, not struct.error
+    for cut in (6, 10, 14, len(buf) - 3):
+        with pytest.raises(ValueError):
+            pngstack_index(buf[:cut])
 
 
 def test_frame_sample_stage_selective_decode(monkeypatch):
@@ -84,3 +88,29 @@ def test_frame_sample_fake_mode_layout():
     out = FrameSampleStage(every_ms=1000, codec="fake")(tbl)
     assert out.column("media_id").to_pylist() == [1, 1, 1, 2]
     assert out.column("frame_ts_ms").to_pylist() == [0, 1000, 2000, 0]
+    # empty batch keeps the typed schema (int64, not null)
+    empty = FrameSampleStage(codec="fake")(tbl.slice(0, 0))
+    assert empty.schema.field("media_id").type == pa.int64()
+    assert empty.schema.field("frame_ts_ms").type == pa.int64()
+
+
+def test_frame_sample_guards():
+    import pytest
+
+    from raydedup.multimodal import FrameSampleStage, synth_video_table
+
+    # every_ms applies only to fake mode
+    with pytest.raises(ValueError):
+        FrameSampleStage(every_ms=500)  # default codec is pngstack
+    # null payload rows are skipped, not crashed on
+    tbl = synth_video_table(2)
+    with_null = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [tbl.column("payload")[0].as_py(), None], pa.large_binary()
+            ),
+        }
+    )
+    out = FrameSampleStage(every_n=1, codec="pngstack")(with_null)
+    assert set(out.column("media_id").to_pylist()) == {0}
