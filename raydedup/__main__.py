@@ -203,6 +203,31 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    """Streaming format conversion (jsonl ↔ parquet) through Ray Data —
+    corpora arrive as JSONL more often than parquet; every other command
+    wants parquet. Never materializes the corpus on the driver."""
+    import ray.data
+
+    _init_ray(args.num_cpus)
+    fmt_in = args.input_format
+    if fmt_in == "auto":
+        first = args.inputs[0]
+        fmt_in = "jsonl" if first.endswith((".jsonl", ".json", ".jsonl.gz")) else "parquet"
+    ds = (
+        ray.data.read_json(args.inputs)
+        if fmt_in == "jsonl"
+        else ray.data.read_parquet(args.inputs)
+    )
+    if args.to == "parquet":
+        ds.write_parquet(args.out)
+    else:
+        ds.write_json(args.out)
+    print(json.dumps({"cmd": "convert", "from": fmt_in, "to": args.to,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_signatures(args: argparse.Namespace) -> int:
     from .incremental import write_signature_index
 
@@ -305,6 +330,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cap-k", type=int, default=18)
     p.add_argument("--shard-budget", type=int, default=8192)
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("convert", help="streaming jsonl ↔ parquet conversion")
+    p.add_argument("inputs", nargs="+", help="input file(s)/dir(s)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--to", choices=["parquet", "jsonl"], default="parquet")
+    p.add_argument("--input-format", choices=["auto", "jsonl", "parquet"],
+                   default="auto")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("signatures", help="corpus → signature index parquet")
     _add_common(p)

@@ -113,3 +113,44 @@ def test_cli_spans_and_curate(tmp_path):
         f"SELECT count(*), max(shard_id) FROM read_parquet('{tmp_path}/cu/shards/*.parquet')"
     ).fetchone()
     assert rows[0] == out["rows"] > 100 and rows[1] >= 1
+
+
+def test_cli_convert_jsonl_roundtrip(tmp_path):
+    """jsonl → parquet → dedup works end-to-end; parquet → jsonl round-trips
+    the rows."""
+    import pyarrow.parquet as pq
+
+    from raydedup.corpus import corpus_parquet_path
+
+    corpus = corpus_parquet_path("/root/testdata/sf0.001")
+    tbl = pq.read_table(corpus).slice(0, 200)
+    jsonl = tmp_path / "docs.jsonl"
+    with open(jsonl, "w") as f:
+        for row in tbl.select(["id", "content"]).to_pylist():
+            f.write(json.dumps(row) + "\n")
+
+    out = _run(["convert", str(jsonl), "--out", str(tmp_path / "pq"),
+                "--num-cpus", "4"])
+    assert out["from"] == "jsonl" and out["to"] == "parquet"
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*), count(DISTINCT id) FROM read_parquet('{tmp_path}/pq/*.parquet')"
+    ).fetchone()
+    assert n == (200, 200)
+
+    # the converted parquet feeds the dedup command directly
+    res = _run(["dedup", str(tmp_path / "pq"), "--out", str(tmp_path / "dd"),
+                "--num-cpus", "4", "--no-substring"])
+    assert res["rows"] == 200
+
+    # and back out to jsonl
+    out2 = _run(["convert", f"{tmp_path}/pq", "--out", str(tmp_path / "jl"),
+                 "--to", "jsonl", "--input-format", "parquet",
+                 "--num-cpus", "4"])
+    import glob
+
+    rows = []
+    for fp in glob.glob(f"{tmp_path}/jl/*"):
+        with open(fp) as f:
+            rows += [json.loads(l) for l in f if l.strip()]
+    assert sorted(r["id"] for r in rows) == sorted(tbl.column("id").to_pylist())
