@@ -220,7 +220,10 @@ def cmd_convert(args: argparse.Namespace) -> int:
         else ray.data.read_parquet(args.inputs)
     )
     if args.to == "parquet":
-        ds.write_parquet(args.out)
+        # hive-style partitioning → one directory per key value: the
+        # resumable-output layout (a failed run re-lists finished
+        # partitions and skips them)
+        ds.write_parquet(args.out, partition_cols=args.partition_by or None)
     else:
         ds.write_json(args.out)
     print(json.dumps({"cmd": "convert", "from": fmt_in, "to": args.to,
@@ -337,6 +340,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--input-format", choices=["auto", "jsonl", "parquet"],
                    default="auto")
+    p.add_argument("--partition-by", nargs="*", default=None,
+                   help="hive-partition parquet output by these columns")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_convert)
 

@@ -154,3 +154,28 @@ def test_cli_convert_jsonl_roundtrip(tmp_path):
         with open(fp) as f:
             rows += [json.loads(l) for l in f if l.strip()]
     assert sorted(r["id"] for r in rows) == sorted(tbl.column("id").to_pylist())
+
+
+def test_cli_convert_partitioned(tmp_path):
+    """--partition-by writes hive-layout parquet (one dir per key value) —
+    the resumable-output layout."""
+    import glob
+
+    from raydedup.corpus import corpus_parquet_path
+
+    corpus = corpus_parquet_path("/root/testdata/sf0.001")
+    out = _run(
+        ["convert", corpus, "--input-format", "parquet",
+         "--out", str(tmp_path / "bylang"), "--partition-by", "lang",
+         "--num-cpus", "4"]
+    )
+    dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(f"{tmp_path}/bylang/lang=*")
+    )
+    assert len(dirs) >= 3 and all(d.startswith("lang=") for d in dirs)
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/bylang/*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 900
