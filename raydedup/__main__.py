@@ -209,11 +209,39 @@ def cmd_convert(args: argparse.Namespace) -> int:
     wants parquet. Never materializes the corpus on the driver."""
     import ray.data
 
-    _init_ray(args.num_cpus)
     fmt_in = args.input_format
     if fmt_in == "auto":
-        first = args.inputs[0]
-        fmt_in = "jsonl" if first.endswith((".jsonl", ".json", ".jsonl.gz")) else "parquet"
+        # Detect from EVERY input, not just the first: a mixed list or an
+        # extension-less path (e.g. a directory) must be an explicit error
+        # rather than a silent wrong-reader read.
+        def _detect(path: str) -> str | None:
+            p = path.rstrip("/")
+            if p.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+                return "jsonl"
+            if p.endswith((".parquet", ".pq")):
+                return "parquet"
+            return None
+
+        detected = {_detect(p) for p in args.inputs}
+        if None in detected:
+            bad = [p for p in args.inputs if _detect(p) is None]
+            print(
+                "convert: cannot auto-detect input format for "
+                f"{bad[:3]} (no .jsonl/.json/.parquet extension) — pass "
+                "--input-format explicitly",
+                file=sys.stderr,
+            )
+            return 2
+        if len(detected) > 1:
+            print(
+                "convert: mixed input formats in one invocation "
+                f"({sorted(detected)}) — split into two runs or pass "
+                "--input-format",
+                file=sys.stderr,
+            )
+            return 2
+        fmt_in = detected.pop()
+    _init_ray(args.num_cpus)
     ds = (
         ray.data.read_json(args.inputs)
         if fmt_in == "jsonl"

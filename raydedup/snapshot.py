@@ -74,8 +74,26 @@ def _classify_block(block: pa.Table) -> pa.Table:
     status[single] = np.where(
         side[starts[single]] == 0, "removed", "added"
     )
+    if (runs > 2).any():
+        bad = out_ids[runs > 2][:5].tolist()
+        raise ValueError(
+            "snapshot_diff: id duplicated within one snapshot (run > 2): "
+            f"ids {bad} — ids must be unique per snapshot"
+        )
     both = ~single  # run of 2, sorted (base, delta)
     b_idx = starts[both]
+    # The run-of-2 classification is only sound when the two rows come
+    # from OPPOSITE sides (one base, one delta). A same-side pair means a
+    # duplicated id inside one snapshot — surface it instead of silently
+    # labeling it changed/unchanged.
+    if b_idx.size and not (
+        (side[b_idx] == 0).all() and (side[b_idx + 1] == 1).all()
+    ):
+        viol = b_idx[(side[b_idx] != 0) | (side[b_idx + 1] != 1)]
+        raise ValueError(
+            "snapshot_diff: id duplicated within one snapshot: "
+            f"ids {ids[viol][:5].tolist()} — ids must be unique per snapshot"
+        )
     same = h[b_idx] == h[b_idx + 1]
     status[both] = np.where(same, "unchanged", "changed")
     return pa.table(
@@ -115,7 +133,11 @@ def delta_sql(documents_rel: str = "documents") -> str:
     """The new-snapshot view as SQL over ``documents`` (fixture pattern of
     corpus.corpus_sql — executed identically by the engine-side builder
     and the DuckDB oracle). Relative to the corpus view: ids % 19 == 0
-    removed, surviving ids % 23 == 0 content-mutated, fresh ids added."""
+    removed, surviving ids % 23 == 0 content-mutated, fresh ids added.
+
+    Fresh ids are offset by ``max(corpus.id) + 1`` (not a fixed constant)
+    so they can never collide with real corpus ids at any scale factor —
+    a collision would silently drop the 'added' class from the fixture."""
     from .corpus import corpus_sql
 
     return f"""
@@ -125,7 +147,8 @@ UNION ALL
 SELECT id, content || ' updated content marker' FROM corpus
 WHERE id % 19 != 0 AND id % 23 = 0
 UNION ALL
-SELECT doc_id + 9000000, 'fresh addition ' || text FROM {documents_rel}
+SELECT doc_id + (SELECT max(id) + 1 FROM corpus), 'fresh addition ' || text
+FROM {documents_rel}
 WHERE doc_id % 31 = 0
 """
 
@@ -133,11 +156,15 @@ WHERE doc_id % 31 = 0
 def delta_parquet_path(sf_dir: str) -> str:
     """Build (once, idempotently) the delta-snapshot parquet for a
     testdata dir. Concurrent-safe via atomic rename."""
+    import hashlib
     import os
 
     from .corpus import SCRATCH_ROOT, _sf_tag
 
-    out_dir = os.path.join(SCRATCH_ROOT, "delta", _sf_tag(sf_dir))
+    # Fingerprint the fixture SQL into the cache path so an SQL change
+    # invalidates stale fixtures (engine and oracle must see the same one).
+    tag = hashlib.sha256(delta_sql().encode()).hexdigest()[:10]
+    out_dir = os.path.join(SCRATCH_ROOT, "delta", f"{_sf_tag(sf_dir)}_{tag}")
     out = os.path.join(out_dir, "delta.parquet")
     if os.path.exists(out):
         return out

@@ -234,30 +234,40 @@ def _rewrite_batch(
     return pa.table(cols)
 
 
-def _rewrite_block(block: pa.Table) -> pa.Table:
+def _rewrite_block(keep_cols: tuple = ()):
     """One hash partition of side-tagged rows (side 0 = whole documents,
     side 1 = their span rows — co-located by the id hash partition):
     vectorized span→row mapping via searchsorted over the partition's doc
-    ids, then the shared rewrite kernel."""
-    side = block.column("side").to_numpy()
-    docs = block.filter(pa.array(side == 0)).select(["id", "content"])
-    if docs.num_rows == 0:
-        return pa.table(
-            {
+    ids, then the shared rewrite kernel. ``keep_cols`` ride the doc side
+    of the union (null on the span side) and pass through unchanged."""
+
+    def go(block: pa.Table) -> pa.Table:
+        side = block.column("side").to_numpy()
+        docs = block.filter(pa.array(side == 0)).select(
+            ["id", "content", *keep_cols]
+        )
+        if docs.num_rows == 0:
+            cols = {
                 "id": pa.array([], pa.int64()),
                 "content": pa.array([], pa.string()),
                 "n_removed": pa.array([], pa.int64()),
             }
+            for c in keep_cols:
+                cols[c] = pa.array([], block.schema.field(c).type)
+            return pa.table(cols)
+        order = np.argsort(docs.column("id").to_numpy(), kind="stable")
+        docs = docs.take(pa.array(order))
+        doc_ids = docs.column("id").to_numpy()
+        spans = block.filter(pa.array(side == 1))
+        sid = spans.column("id").to_numpy()
+        ss = spans.column("span_start").to_numpy().astype(np.int64)
+        ee = spans.column("span_end").to_numpy().astype(np.int64)
+        row_idx = np.searchsorted(doc_ids, sid)
+        return _rewrite_batch(
+            docs, "id", "content", row_idx, ss, ee, keep_cols
         )
-    order = np.argsort(docs.column("id").to_numpy(), kind="stable")
-    docs = docs.take(pa.array(order))
-    doc_ids = docs.column("id").to_numpy()
-    spans = block.filter(pa.array(side == 1))
-    sid = spans.column("id").to_numpy()
-    ss = spans.column("span_start").to_numpy().astype(np.int64)
-    ee = spans.column("span_end").to_numpy().astype(np.int64)
-    row_idx = np.searchsorted(doc_ids, sid)
-    return _rewrite_batch(docs, "id", "content", row_idx, ss, ee)
+
+    return go
 
 
 def strip_duplicate_spans(
@@ -277,15 +287,16 @@ def strip_duplicate_spans(
     ``content`` is token-normalized (single-space joined — by-design
     whitespace normalization, shared with the SQL mirror). ``spans`` lets
     a caller reuse a precomputed :func:`duplicate_spans` result.
-    ``keep_cols`` pass extra input columns through unchanged (broadcast
-    mode only — the co-partition fallback shuffles (id, content) alone).
+    ``keep_cols`` pass extra input columns through unchanged in BOTH
+    modes — in join mode they ride the doc side of the side-tagged union
+    (null on the span side) — so a composed caller like curate_corpus_v2
+    degrades gracefully to join mode above ``broadcast_limit`` instead of
+    hard-failing.
     """
     import ray
 
     if mode not in ("broadcast", "join"):
         raise ValueError(f"unknown mode {mode!r}")
-    if keep_cols and mode != "broadcast":
-        raise ValueError("keep_cols is only supported in broadcast mode")
     if spans is None:
         src = corpus.select_columns([id_col, content_col])
         if (id_col, content_col) != ("id", "content"):
@@ -299,11 +310,6 @@ def strip_duplicate_spans(
     if mode == "broadcast":
         spans_mat = spans.materialize()
         if spans_mat.count() > broadcast_limit:
-            if keep_cols:
-                raise ValueError(
-                    "span table exceeds broadcast_limit; keep_cols is not "
-                    "supported on the co-partition fallback"
-                )
             mode = "join"
             spans = spans_mat
         else:
@@ -352,37 +358,48 @@ def strip_duplicate_spans(
     # groupby-co-partition costs the same single shuffle anyway)
     from .pipeline import grouped_blocks
 
+    # keep_cols ride the doc side; the span side carries typed nulls so
+    # the union schema agrees (types read once from the doc schema)
+    keep_types = {}
+    if keep_cols:
+        doc_schema = docs.schema().base_schema
+        keep_types = {c: doc_schema.field(c).type for c in keep_cols}
+
     def tag_docs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
-            {
-                "id": pc.cast(batch.column(id_col), pa.int64()),
-                "content": pc.cast(batch.column(content_col), pa.string()),
-                "span_start": pa.nulls(n, pa.int64()),
-                "span_end": pa.nulls(n, pa.int64()),
-                "side": pa.array(np.zeros(n, np.int8)),
-            }
-        )
+        cols = {
+            "id": pc.cast(batch.column(id_col), pa.int64()),
+            "content": pc.cast(batch.column(content_col), pa.string()),
+            "span_start": pa.nulls(n, pa.int64()),
+            "span_end": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8)),
+        }
+        for c in keep_cols:
+            cols[c] = pc.cast(batch.column(c), keep_types[c])
+        return pa.table(cols)
 
     def tag_spans(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        return pa.table(
-            {
-                "id": batch.column("id"),
-                "content": pa.nulls(n, pa.string()),
-                "span_start": batch.column("span_start"),
-                "span_end": batch.column("span_end"),
-                "side": pa.array(np.ones(n, np.int8)),
-            }
-        )
+        cols = {
+            "id": batch.column("id"),
+            "content": pa.nulls(n, pa.string()),
+            "span_start": batch.column("span_start"),
+            "span_end": batch.column("span_end"),
+            "side": pa.array(np.ones(n, np.int8)),
+        }
+        for c in keep_cols:
+            cols[c] = pa.nulls(n, keep_types[c])
+        return pa.table(cols)
 
     union = docs.map_batches(tag_docs, batch_format="pyarrow").union(
         spans.map_batches(tag_spans, batch_format="pyarrow")
     )
-    out = grouped_blocks(union, "id", _rewrite_block)
+    out = grouped_blocks(union, "id", _rewrite_block(keep_cols))
     if id_col != "id" or content_col != "content":
         out = out.map_batches(
-            lambda b: b.rename_columns([id_col, content_col, "n_removed"]),
+            lambda b: b.rename_columns(
+                [id_col, content_col, "n_removed", *keep_cols]
+            ),
             batch_format="pyarrow",
         )
     return out

@@ -129,18 +129,20 @@ class LcsVerifier:
     run search (``find_token_run``), no automaton and no Python per token.
 
     ``exact_lcs`` controls the lcs_tokens column for NON-contained pairs:
-    True (default) computes the exact longest common run with an LRU-cached
-    suffix automaton (the diagnostic contract); False emits 0 for them —
-    the right mode for ``containment_pairs``, whose downstream filter drops
-    non-contained rows anyway, so the automaton never builds in the
-    pipeline hot path. Contained pairs always report lcs == len(small).
+    False (the default) emits 0 for them — the right mode for
+    ``containment_pairs``, whose downstream filter drops non-contained
+    rows anyway, so the per-token-Python suffix automaton never builds
+    unless explicitly requested; True computes the exact longest common
+    run with an LRU-cached suffix automaton (the diagnostic contract,
+    opt-in because the automaton build is a Python loop per token).
+    Contained pairs always report lcs == len(small).
     """
 
     def __init__(
         self,
         cfg: SigConfig = DEFAULT_CONFIG,
         cache_size: int = 256,
-        exact_lcs: bool = True,
+        exact_lcs: bool = False,
     ):
         self.cfg = cfg
         self.cache: OrderedDict[bytes, _SuffixAutomaton] = OrderedDict()

@@ -49,9 +49,11 @@ REST_STEPS: list[tuple[str, str]] = [
     # anchor is kept via backref (\1 works in BOTH Arrow's and DuckDB's
     # RE2 rewrite), so a non-utm name like 'xutm_a' or a VALUE containing
     # 'utm_' never matches; the (...)+ repetition handles consecutive utm
-    # params in ONE global pass (a replace never rescans its own output)
-    (r"([?&])(?:utm_[A-Za-z0-9_]*=[^&]*&)+", r"\1"),
-    (r"[?&]utm_[A-Za-z0-9_]*=[^&]*$", ""),  # trailing utm param
+    # params in ONE global pass (a replace never rescans its own output);
+    # the (=[^&]*)? makes the VALUE optional so a valueless '?utm_source'
+    # is stripped too (docstring contract: 'utm_* tracking params removed')
+    (r"([?&])(?:utm_[A-Za-z0-9_]*(?:=[^&]*)?&)+", r"\1"),
+    (r"[?&]utm_[A-Za-z0-9_]*(?:=[^&]*)?$", ""),  # trailing utm param
     (r"\?&", "?"),                        # tidy '?&a=1' → '?a=1'
     (r"[?&]+$", ""),                      # dangling separators
     (r"/$", ""),                          # trailing slash (root '/' → '')

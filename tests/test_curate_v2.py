@@ -66,9 +66,10 @@ def test_strip_keep_cols_passthrough(ray_session):
     )
     assert list(out["repo"]) == ["a/x", "b/y"]
     assert list(out["n_removed"]) == [0, 30]  # copy fully stripped
-    import pytest
-
-    with pytest.raises(ValueError):
+    # join mode carries keep_cols too (round-3 ADVICE: the composed
+    # curate_corpus_v2 must degrade to join mode above broadcast_limit
+    # instead of hard-failing)
+    out_join = (
         strip_duplicate_spans(
             ray.data.from_arrow(tbl),
             window=20,
@@ -76,6 +77,11 @@ def test_strip_keep_cols_passthrough(ray_session):
             mode="join",
             keep_cols=("repo",),
         )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out_join.equals(out.reset_index(drop=True))
 
 
 def test_lm_keep_cols_passthrough(ray_session):

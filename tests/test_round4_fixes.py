@@ -1,0 +1,223 @@
+"""Regression tests for the round-3 ADVICE findings and VERDICT residue:
+
+1. snapshot.delta_sql derives the fresh-id offset from max(corpus.id)+1
+   (fixed 9000000 collided with real ids at large scale factors and
+   silently dropped the 'added' class).
+2. snapshot._classify_block raises on an id duplicated within one
+   snapshot instead of silently mislabeling the run.
+3. strip_duplicate_spans supports keep_cols in join mode (the
+   co-partition fallback), so curate_corpus_v2 degrades instead of
+   hard-failing above broadcast_limit.
+4. CLI convert auto-detection inspects EVERY input and errors (exit 2)
+   on mixed or extension-less inputs instead of guessing parquet.
+5. LcsVerifier defaults to exact_lcs=False (no per-token-Python suffix
+   automaton unless a caller opts into the exact-LCS diagnostic).
+
+(The valueless-utm ADVICE fix is covered by new CASES in test_urls.py.)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# 1-2: snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_delta_sql_offset_tracks_corpus_max_id():
+    """Fresh 'added' ids must clear max(corpus.id) at ANY scale; with the
+    old fixed +9000000 offset this query would return collisions once
+    corpus ids reached 9M."""
+    import duckdb
+
+    from raydedup.snapshot import delta_sql
+
+    con = duckdb.connect()
+    # tiny documents table whose corpus ids are what they are
+    con.execute(
+        "CREATE VIEW documents AS SELECT range AS doc_id, "
+        "'text for doc ' || range AS text, 'en' AS lang FROM range(200)"
+    )
+    from raydedup.corpus import corpus_sql
+
+    max_corpus = con.execute(
+        f"SELECT max(id) FROM ({corpus_sql('documents')})"
+    ).fetchone()[0]
+    base_ids = {
+        r[0]
+        for r in con.execute(
+            f"SELECT id FROM ({corpus_sql('documents')})"
+        ).fetchall()
+    }
+    delta_ids = [r[0] for r in con.execute(
+        f"SELECT id FROM ({delta_sql('documents')})"
+    ).fetchall()]
+    fresh = [i for i in delta_ids if i not in base_ids and i > max_corpus]
+    # every fresh id sits strictly above the corpus ceiling → no collision
+    added_expected = con.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 31 = 0"
+    ).fetchone()[0]
+    assert len(fresh) == added_expected > 0
+    assert len(set(delta_ids)) == len(delta_ids)
+
+
+def test_classify_block_raises_on_intra_snapshot_duplicate():
+    from raydedup.snapshot import _classify_block
+
+    def block(ids, sides, hs):
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.string()),
+                "side": pa.array(np.array(sides, dtype=np.int8)),
+            }
+        )
+
+    # run of 3 (id appears twice in base, once in delta)
+    with pytest.raises(ValueError, match="duplicated within one snapshot"):
+        _classify_block(block([1, 1, 1], [0, 0, 1], ["a", "a", "a"]))
+    # run of 2 but SAME side
+    with pytest.raises(ValueError, match="duplicated within one snapshot"):
+        _classify_block(block([7, 7], [1, 1], ["a", "b"]))
+    # clean input still classifies
+    out = _classify_block(
+        block([1, 1, 2, 3], [0, 1, 0, 1], ["a", "a", "x", "y"])
+    )
+    got = dict(zip(out.column("id").to_pylist(), out.column("status").to_pylist()))
+    assert got == {1: "unchanged", 2: "removed", 3: "added"}
+
+
+# ---------------------------------------------------------------------------
+# 3: spans keep_cols in join mode
+# ---------------------------------------------------------------------------
+
+
+def test_strip_spans_keep_cols_join_mode(ray_session):
+    import ray.data
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.spans import strip_duplicate_spans
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+    docs = {
+        1: base.strip(),
+        2: base.strip(),  # whole-doc duplicate → fully stripped
+        3: "unique words " + " ".join(f"tok{i}" for i in range(50)),
+    }
+    t = pa.table(
+        {
+            "id": pa.array(list(docs), pa.int64()),
+            "content": pa.array(list(docs.values()), pa.string()),
+            "source": pa.array(["s1", "s2", "s3"], pa.string()),
+            "quality": pa.array([0.9, 0.8, 0.7], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    outs = {}
+    for mode in ("broadcast", "join"):
+        df = (
+            strip_duplicate_spans(
+                ds,
+                window=20,
+                cfg=DEFAULT_CONFIG,
+                mode=mode,
+                keep_cols=("source", "quality"),
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert list(df.columns) == [
+            "id", "content", "n_removed", "source", "quality",
+        ]
+        outs[mode] = df
+    assert outs["broadcast"].equals(outs["join"])
+    df = outs["join"]
+    assert df["source"].tolist() == ["s1", "s2", "s3"]
+    assert df["quality"].tolist() == [0.9, 0.8, 0.7]
+    # the forced-join path via broadcast_limit=0 also carries keep_cols
+    forced = (
+        strip_duplicate_spans(
+            ds,
+            window=20,
+            cfg=DEFAULT_CONFIG,
+            mode="broadcast",
+            broadcast_limit=0,
+            keep_cols=("source", "quality"),
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert forced.equals(outs["join"])
+
+
+# ---------------------------------------------------------------------------
+# 4: CLI convert auto-detection
+# ---------------------------------------------------------------------------
+
+
+def _convert(args: list[str]) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "raydedup", "convert", *args],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+
+
+def test_convert_rejects_mixed_inputs(tmp_path):
+    a, b = tmp_path / "a.jsonl", tmp_path / "b.parquet"
+    a.write_text('{"x": 1}\n')
+    pa.parquet.write_table(pa.table({"x": [1]}), b)
+    proc = _convert([str(a), str(b), "--out", str(tmp_path / "o")])
+    assert proc.returncode == 2
+    assert "mixed input formats" in proc.stderr
+
+
+def test_convert_rejects_undetectable_input(tmp_path):
+    d = tmp_path / "somedir"
+    d.mkdir()
+    proc = _convert([str(d), "--out", str(tmp_path / "o")])
+    assert proc.returncode == 2
+    assert "cannot auto-detect" in proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# 5: LcsVerifier default
+# ---------------------------------------------------------------------------
+
+
+def test_lcs_verifier_default_is_fast_mode():
+    from raydedup.suffix import LcsVerifier
+
+    v = LcsVerifier()
+    assert v.exact_lcs is False
+    # non-contained pair → lcs 0 under the default; contained still exact
+    batch = pa.table(
+        {
+            "src": pa.array([1, 2], pa.int64()),
+            "dst": pa.array([10, 20], pa.int64()),
+            "content_a": pa.array(
+                ["a b c d e f g h i j", "x y z w v u t s r q"], pa.string()
+            ),
+            "content_b": pa.array(
+                ["zz a b c d e f g h i j yy", "completely different words here now ok"],
+                pa.string(),
+            ),
+        }
+    )
+    out = v(batch)
+    contained = out.column("contained").to_pylist()
+    lcs = out.column("lcs_tokens").to_pylist()
+    assert contained == [True, False]
+    assert lcs[0] == 10 and lcs[1] == 0

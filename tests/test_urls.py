@@ -29,6 +29,14 @@ CASES = [
     ("https://h.com/p?utm_a=1&utm_b=2&utm_c=3", "https://h.com/p"),
     ("https://h.com/p?a=1&utm_b=2&utm_c=3&d=4", "https://h.com/p?a=1&d=4"),
     ("https://h.com/p?utm_a=1&b=2&utm_c=3", "https://h.com/p?b=2"),
+    # valueless utm params (round-3 ADVICE): '?utm_source' with no '=' is
+    # a tracking param too and must be stripped in every position
+    ("https://h.com/p?utm_source", "https://h.com/p"),
+    ("https://h.com/p?utm_source&a=1", "https://h.com/p?a=1"),
+    ("https://h.com/p?a=1&utm_source", "https://h.com/p?a=1"),
+    ("https://h.com/p?utm_a&utm_b=2&c=3&utm_d", "https://h.com/p?c=3"),
+    # ...but a non-utm valueless param survives
+    ("https://h.com/p?flag&a=1", "https://h.com/p?flag&a=1"),
 ]
 
 
