@@ -573,24 +573,37 @@ def near_edges(
 
 
 def _explode_winnow(batch: pa.Table) -> pa.Table:
+    """(id, winnow-blob) rows → (fp, id) posting rows, fps deduped per doc.
+
+    Fully vectorized: zero-copy flat uint64 view of the binary column
+    (stages._binary_col_flat_u64), one global (row, fp) lexsort, and a
+    run-boundary keep mask — no Python iteration per document (a winnow
+    blob is a packed sequence of (fp, pos) uint64 pairs, so the flat view
+    interleaves fp/pos throughout and fps sit at even word offsets)."""
+    from .stages import _binary_col_flat_u64
+
     ids = batch.column("id").to_numpy()
-    blobs = batch.column("winnow").to_pylist()
-    out_fp, out_id = [], []
-    for i, blob in enumerate(blobs):
-        if not blob:
-            continue
-        arr = np.frombuffer(blob, dtype="<u8").reshape(-1, 2)
-        fps = np.unique(arr[:, 0])
-        out_fp.append(fps)
-        out_id.append(np.full(len(fps), ids[i], dtype=np.int64))
-    if not out_fp:
-        return pa.table(
-            {"fp": pa.array([], pa.uint64()), "id": pa.array([], pa.int64())}
-        )
+    empty = pa.table(
+        {"fp": pa.array([], pa.uint64()), "id": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    flat, off = _binary_col_flat_u64(batch.column("winnow"))
+    base = int(off[0])
+    total_pairs = int(off[-1] - base) // 2
+    if total_pairs == 0:
+        return empty
+    fps = flat[base : int(off[-1])].reshape(-1, 2)[:, 0]
+    counts = ((off[1:] - off[:-1]) // 2).astype(np.int64)
+    row = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    order = np.lexsort((fps, row))
+    fps_s, row_s = fps[order], row[order]
+    keep = np.ones(len(fps_s), dtype=bool)
+    keep[1:] = (fps_s[1:] != fps_s[:-1]) | (row_s[1:] != row_s[:-1])
     return pa.table(
         {
-            "fp": pa.array(np.concatenate(out_fp), type=pa.uint64()),
-            "id": pa.array(np.concatenate(out_id)),
+            "fp": pa.array(fps_s[keep], type=pa.uint64()),
+            "id": pa.array(ids[row_s[keep]], type=pa.int64()),
         }
     )
 

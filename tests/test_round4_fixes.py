@@ -221,3 +221,65 @@ def test_lcs_verifier_default_is_fast_mode():
     lcs = out.column("lcs_tokens").to_pylist()
     assert contained == [True, False]
     assert lcs[0] == 10 and lcs[1] == 0
+
+
+# ---------------------------------------------------------------------------
+# 6: vectorized _explode_winnow (VERDICT round-3 residue #1)
+# ---------------------------------------------------------------------------
+
+
+def test_explode_winnow_matches_scalar_reference():
+    """The flat-buffer vectorized explode must equal the per-row scalar
+    semantics: per doc, the sorted unique fingerprints of its (fp, pos)
+    u64-pair blob; empty/absent blobs contribute nothing."""
+    from raydedup.pipeline import _explode_winnow
+
+    rng = np.random.default_rng(42)
+    ids, blobs = [], []
+    for i in range(200):
+        n = int(rng.integers(0, 12))
+        fps = rng.integers(0, 50, size=n, dtype=np.uint64)  # force dups
+        pos = rng.integers(0, 1000, size=n, dtype=np.uint64)
+        blob = np.stack([fps, pos], axis=1).reshape(-1).astype("<u8").tobytes()
+        ids.append(1000 + i)
+        blobs.append(blob)
+    # scalar reference (the pre-vectorization semantics)
+    want_fp, want_id = [], []
+    for i, blob in zip(ids, blobs):
+        if not blob:
+            continue
+        arr = np.frombuffer(blob, dtype="<u8").reshape(-1, 2)
+        u = np.unique(arr[:, 0])
+        want_fp.extend(u.tolist())
+        want_id.extend([i] * len(u))
+
+    batch = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "winnow": pa.array(blobs, pa.large_binary()),
+        }
+    )
+    got = _explode_winnow(batch)
+    assert got.column("fp").to_pylist() == want_fp
+    assert got.column("id").to_pylist() == want_id
+    # sliced batch (non-zero arrow offset) must still read correctly
+    got_sliced = _explode_winnow(batch.slice(37, 101))
+    want = _explode_winnow(
+        pa.table(
+            {
+                "id": pa.array(ids[37:138], pa.int64()),
+                "winnow": pa.array(blobs[37:138], pa.large_binary()),
+            }
+        )
+    )
+    assert got_sliced.equals(want)
+    # all-empty batch
+    empty = _explode_winnow(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "winnow": pa.array([b"", b""], pa.large_binary()),
+            }
+        )
+    )
+    assert empty.num_rows == 0
