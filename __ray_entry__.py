@@ -504,6 +504,64 @@ def _q_bpe_pair_counts(sf_dir: str):
     return bpe_pair_counts(_corpus_ds(sf_dir), min_count=_LM_MIN_COUNT)
 
 
+_BPE_N_MERGES = 6
+_BPE_MIN_COUNT = 2
+_BPE_TRAIN_CACHE: dict = {}
+
+
+def _bpe_train_cached(sf_dir: str) -> dict:
+    """Train once per sf_dir (deterministic) — the three BPE queries share
+    the result."""
+    from raydedup.bpe import train_bpe
+
+    if sf_dir not in _BPE_TRAIN_CACHE:
+        _BPE_TRAIN_CACHE[sf_dir] = train_bpe(
+            _corpus_ds(sf_dir), _BPE_N_MERGES, min_count=_BPE_MIN_COUNT
+        )
+    return _BPE_TRAIN_CACHE[sf_dir]
+
+
+def _q_bpe_train(sf_dir: str):
+    """Full BPE tokenizer training (raydedup/bpe.py train_bpe): iterated
+    merge rounds over the distributed word-frequency table — per round one
+    pair-count combiner pass + one small groupby + a vectorized merge
+    apply. Exact classic BPE (merges_per_round=1); the oracle replays the
+    same rounds as chained SQL CTEs."""
+    import pyarrow as pa
+
+    res = _bpe_train_cached(sf_dir)
+    rows = res["merge_rows"]
+    return pa.table(
+        {
+            "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+            "lhs": pa.array([r["lhs"] for r in rows], pa.string()),
+            "rhs": pa.array([r["rhs"] for r in rows], pa.string()),
+            "merged": pa.array([r["merged"] for r in rows], pa.string()),
+            "pair_count": pa.array([r["pair_count"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _q_bpe_tokenize_words(sf_dir: str):
+    """BPE apply at the word level: every distinct corpus token with its
+    space-joined BPE segmentation and symbol count (the vocabulary an
+    embedding/packing stage consumes)."""
+    from raydedup.bpe import bpe_word_tokenization
+
+    res = _bpe_train_cached(sf_dir)
+    return bpe_word_tokenization(res["word_table"], res["symbols"])
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE apply at the document level: per-doc total BPE symbol count —
+    the statistic token-budget packing runs on. Word→count table broadcast
+    once; corpus scored map-side with a searchsorted lookup."""
+    from raydedup.bpe import tokenize_with_merges
+
+    res = _bpe_train_cached(sf_dir)
+    return tokenize_with_merges(_corpus_ds(sf_dir), res)
+
+
 def _q_lm_quality_scores(sf_dir: str):
     """Corpus-trained bigram-LM quality scoring (raydedup/lm.py): the
     CCNet/KenLM perplexity-filter shape — pruned count-table model trained
@@ -1923,6 +1981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "url_dedup_survivors": _q_url_dedup_survivors,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_train": _q_bpe_train,
+        "bpe_tokenize_words": _q_bpe_tokenize_words,
+        "bpe_token_counts": _q_bpe_token_counts,
         "snapshot_diff": _q_snapshot_diff,
         "curate_corpus_v2": _q_curate_corpus_v2,
         "text_search_topk": _q_text_search_topk,
@@ -1995,6 +2056,61 @@ def _corpus_cte() -> str:
     from raydedup.corpus import corpus_sql
 
     return f"corpus AS ({corpus_sql('documents')})"
+
+
+def _bpe_cte_chain(n_merges: int, min_count: int) -> str:
+    """Chained CTEs replaying exact classic BPE training round by round in
+    SQL (the oracle for bpe_train/bpe_tokenize_words/bpe_token_counts).
+
+    State syms{k}(w, cnt, rk, s): word, count, dense 1..n symbol rank,
+    symbol string. Each round: overlap-inclusive weighted pair counts via
+    a rk+1 self-join; argmax with (count DESC, l, r) tie-break; greedy
+    left-to-right non-overlap via the row_number()%2 run filter (only
+    l==r pairs can overlap); merge + re-rank. Mirrors raydedup/bpe.py
+    (_pair_partial_counts / _apply_merge_flat / train_bpe) exactly."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    parts = [
+        f"""toksb AS (
+  SELECT unnest(string_split_regex(trim(content, {ws}), '\\s+')) AS w
+  FROM corpus WHERE trim(content, {ws}) != ''),
+wcb AS MATERIALIZED (SELECT w, count(*) AS cnt FROM toksb GROUP BY w),
+syms0 AS MATERIALIZED (
+  SELECT w, cnt, rk, substr(w, CAST(rk AS INT), 1) AS s
+  FROM (SELECT w, cnt, unnest(generate_series(1, length(w))) AS rk FROM wcb))"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""pair{k} AS MATERIALIZED (
+  SELECT a.s AS l, b.s AS r, sum(a.cnt) AS c
+  FROM syms{p} a JOIN syms{p} b ON a.w = b.w AND b.rk = a.rk + 1
+  GROUP BY 1, 2),
+top{k} AS MATERIALIZED (
+  SELECT l, r, c FROM pair{k} WHERE c >= {min_count}
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+mt{k} AS MATERIALIZED (
+  SELECT a.w, a.rk
+  FROM syms{p} a JOIN syms{p} b ON a.w = b.w AND b.rk = a.rk + 1
+  JOIN top{k} t ON a.s = t.l AND b.s = t.r),
+keep{k} AS MATERIALIZED (
+  SELECT w, rk FROM (
+    SELECT w, rk, row_number() OVER (PARTITION BY w, g ORDER BY rk) AS ri
+    FROM (SELECT w, rk, rk - row_number() OVER (PARTITION BY w ORDER BY rk) AS g
+          FROM mt{k}))
+  WHERE ri % 2 = 1),
+ns{k} AS MATERIALIZED (
+  SELECT sp.w, sp.cnt, sp.rk,
+         CASE WHEN kk.rk IS NOT NULL THEN sp.s || sp2.s ELSE sp.s END AS s
+  FROM syms{p} sp
+  LEFT JOIN keep{k} kk ON kk.w = sp.w AND kk.rk = sp.rk
+  LEFT JOIN syms{p} sp2 ON sp2.w = sp.w AND sp2.rk = sp.rk + 1
+  WHERE NOT EXISTS (SELECT 1 FROM keep{k} k2
+                    WHERE k2.w = sp.w AND k2.rk = sp.rk - 1)),
+syms{k} AS MATERIALIZED (
+  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY rk) AS rk, s
+  FROM ns{k})"""
+        )
+    return ",\n".join(parts)
 
 
 def _pages_cte_sql() -> str:
@@ -2599,6 +2715,41 @@ pairs AS (
   FROM toks WHERE length(w) >= 2)
 SELECT p AS pair, CAST(count(*) AS BIGINT) AS pair_count
 FROM pairs GROUP BY p HAVING count(*) >= {_LM_MIN_COUNT}
+""",
+        "bpe_train": f"""
+WITH {corpus},
+{_bpe_cte_chain(_BPE_N_MERGES, _BPE_MIN_COUNT)}
+SELECT * FROM (
+{" UNION ALL ".join(
+    f'SELECT CAST({k} AS BIGINT) AS "rank", l AS lhs, r AS rhs, '
+    f'l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM top{k}'
+    for k in range(1, _BPE_N_MERGES + 1)
+)}
+)
+""",
+        "bpe_tokenize_words": f"""
+WITH {corpus},
+{_bpe_cte_chain(_BPE_N_MERGES, _BPE_MIN_COUNT)}
+SELECT w, string_agg(s, ' ' ORDER BY rk) AS bpe,
+       CAST(count(*) AS BIGINT) AS n_syms
+FROM syms{_BPE_N_MERGES} GROUP BY w
+""",
+        "bpe_token_counts": f"""
+WITH {corpus},
+{_bpe_cte_chain(_BPE_N_MERGES, _BPE_MIN_COUNT)},
+doc_toks AS (
+  SELECT id, unnest(string_split_regex(trim(content,
+    ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS w
+  FROM corpus
+  WHERE trim(content,
+    ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) != ''),
+nv AS (SELECT w, count(*) AS n FROM syms{_BPE_N_MERGES} GROUP BY w),
+per_doc AS (
+  SELECT t.id, sum(nv.n) AS n_bpe FROM doc_toks t
+  JOIN nv ON t.w = nv.w GROUP BY t.id)
+SELECT CAST(c.id AS BIGINT) AS id,
+       CAST(coalesce(x.n_bpe, 0) AS BIGINT) AS n_bpe
+FROM corpus c LEFT JOIN per_doc x ON c.id = x.id
 """,
         "lm_quality_scores": rf"""
 WITH {corpus},
