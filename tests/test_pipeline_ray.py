@@ -322,11 +322,20 @@ def test_near_modes_agree(ray_session):
     ds = ray.data.read_parquet(corpus_parquet_path("/root/testdata/sf0.001"))
     sigs = signatures(ds, CFG).materialize()
     sets = {}
-    for mode in ("bucket", "hybrid", "broadcast", "join"):
+    for mode in ("bucket", "hybrid", "broadcast", "join", "auto"):
         out = near_edges(sigs, CFG, mode=mode).to_pandas()
         sets[mode] = set(zip(out["src"], out["dst"]))
-    assert sets["bucket"] == sets["hybrid"] == sets["broadcast"] == sets["join"]
+    assert (
+        sets["bucket"] == sets["hybrid"] == sets["broadcast"]
+        == sets["join"] == sets["auto"]
+    )
     assert len(sets["bucket"]) > 50
+    # auto resolves by the broadcast budget: tiny table -> hybrid,
+    # zero budget -> bucket
+    from raydedup.pipeline import _auto_near_mode
+
+    assert _auto_near_mode(sigs, CFG) == "hybrid"
+    assert _auto_near_mode(sigs, CFG, budget=1) == "bucket"
 
 
 def test_decontaminate_pairs_matches_bruteforce(ray_session):
