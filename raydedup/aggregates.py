@@ -603,7 +603,11 @@ def hllmap_unique(
     def acc(state: bytes | None, block: pa.Table) -> bytes:
         m = pickle.loads(state) if state else UniqueCountMap(lg_k, promote_at)
         keys = block.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = _column_theta_hashes(block, id_col, seed)
+        # remix 63-bit theta hashes to fill all 64 bits uniformly: the
+        # map's HLL tier reads disjoint low(index)/high(rho) bit fields,
+        # and a permanently-zero top bit biases rho +1 → ~2× overestimate
+        # (same remix as hll_distinct; caught by scripts/estimation_sweep.py)
+        ids = splitmix64(_column_theta_hashes(block, id_col, seed))
         m.update_block(keys, ids)
         return pickle.dumps(m)
 

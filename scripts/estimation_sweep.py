@@ -1,0 +1,361 @@
+"""Estimation-regime correctness sweep (round-4, VERDICT r3 item 1).
+
+Every oracle-green sketch query is deliberately parameterized into its
+EXACT regime (k >> cardinality) so a value-hash oracle can check it. This
+sweep is the complementary evidence: run each sketch family's DISTRIBUTED
+Ray aggregate (the same combiner-tree code paths the queries use) over the
+sf0.1 tables at PRODUCTION k — estimation mode, cardinality >> k — compare
+against DuckDB exact, and assert the observed error inside the reference's
+documented bounds:
+
+* theta  k=4096 : RSE 1/sqrt(k) = 1.56%/sigma (thetacommon/ThetaUtil.java:50-57)
+* alpha  lgK=11 : RSE ~ 1/sqrt(2k) (theta/HeapAlphaSketch.java header)
+* CPC    lgK=11 : merged -> ICON, RSE ln2/sqrt(k)=1.53%/sigma
+                  (cpc/CpcConfidence.java:35-36)
+* HLL    lgK=12 : composite estimator, RSE ~1.04/sqrt(k)=1.63%/sigma
+                  (hll/HllSketch.java header)
+* hllmap lgK=10 : per-key HLL tier, RSE ~1.04/sqrt(1024)=3.25%/sigma
+                  (hllmap/UniqueCountMap.java)
+* KLL    k=200  : normalized rank error ~1.33% single-sided @99%
+                  (kll/KllSketch.java:71-72, KllHelper.java:412-418)
+* doubles k=128 : rank error 1.725% @99% (quantiles/DoublesSketch.java:53-64)
+* REQ    k=12   : relative-error contract near the accurate (HRA) end
+                  (req/ReqSketch.java) — thresholds mirror tests/test_req.py
+* varopt k=256  : estimate_subset_sum 2-sigma bounds must bracket the truth
+                  (sampling/VarOptItemsSketch.java:59-71)
+* reservoir k=1024 : sampled-fraction estimate inside binomial 3-sigma
+* frequencies maxMapSize=64 : DETERMINISTIC Misra-Gries guarantee
+                  est >= true and est - true <= maximum_error()
+                  (frequencies/LongsSketch.java:81-92)
+* theta Jaccard k=4096 : 2-sigma {LB, est, UB} must bracket the exact J
+                  (theta/JaccardSimilarity.java:53)
+* tuple  k=4096 : distinct + sum/theta estimates inside theta-family bounds
+                  (tuple/UpdatableSketch + Sum summary)
+
+Sigma multiplier for the count sketches: 3 (99.7%); rank checks use the
+published 99% epsilon x 1.5 margin. All seeds are fixed, so a green run is
+deterministic. Writes ESTIMATION_SWEEP.md at the repo root and exits
+non-zero on any out-of-bounds error.
+
+Usage: python scripts/estimation_sweep.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+
+import ray
+import ray.data
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT_MD = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ESTIMATION_SWEEP.md",
+)
+
+ROWS: list[dict] = []
+FAILURES: list[str] = []
+
+
+def record(family, params, exact, est, err, bound, note=""):
+    ok = err <= bound
+    ROWS.append(
+        {
+            "family": family,
+            "params": params,
+            "exact": exact,
+            "est": est,
+            "err": err,
+            "bound": bound,
+            "ok": ok,
+            "note": note,
+        }
+    )
+    status = "ok" if ok else "FAIL"
+    print(f"{family:34s} {params:22s} exact={exact:<14.6g} est={est:<14.6g} "
+          f"err={err:.5f} bound={bound:.5f} {status}")
+    if not ok:
+        FAILURES.append(f"{family} ({params}): err {err:.5f} > bound {bound:.5f}")
+
+
+def main() -> int:
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False)
+
+    from raydedup.aggregates import (
+        alpha_distinct,
+        cpc_distinct,
+        doubles_quantile,
+        frequent_items,
+        hll_distinct,
+        hllmap_unique,
+        kll_quantile,
+        req_quantile,
+        reservoir_sample,
+        theta_distinct,
+        theta_sketch_agg,
+        tuple_sketch,
+        varopt_sample,
+    )
+    from raydedup.kmv import KmvSketch, jaccard
+    from raydedup.sketches.doubles import normalized_rank_error as doubles_nre
+    from raydedup.sketches.freq import FrequentKeysSketch
+    from raydedup.sketches.kll import KllSketch
+
+    con = duckdb.connect()
+    li_path = f"{SF_DIR}/lineitem.parquet"
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{li_path}')")
+
+    t0 = time.time()
+    li_keys = ray.data.read_parquet(li_path, columns=["l_orderkey"])
+    li_price = ray.data.read_parquet(li_path, columns=["l_extendedprice"])
+
+    exact_orders = con.execute(
+        "SELECT count(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()[0]
+    n_rows = con.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+
+    # ---- distinct-count families over l_orderkey (cardinality >> k) ----
+    sigma = 3.0
+
+    est = li_keys.aggregate(theta_distinct("l_orderkey", k=4096, name="e"))["e"]
+    record("theta_distinct", "k=4096",
+           exact_orders, est, abs(est - exact_orders) / exact_orders,
+           sigma / math.sqrt(4096), f"regime {exact_orders/4096:.0f}x k")
+
+    est = li_keys.aggregate(alpha_distinct("l_orderkey", lg_k=11, name="e"))["e"]
+    record("alpha_distinct", "lgK=11",
+           exact_orders, est, abs(est - exact_orders) / exact_orders,
+           sigma / math.sqrt(2 * 2048), f"regime {exact_orders/2048:.0f}x k")
+
+    est = li_keys.aggregate(cpc_distinct("l_orderkey", lg_k=11, name="e"))["e"]
+    record("cpc_distinct", "lgK=11 (merged/ICON)",
+           exact_orders, est, abs(est - exact_orders) / exact_orders,
+           sigma * math.log(2) / math.sqrt(2048), "")
+
+    est = li_keys.aggregate(hll_distinct("l_orderkey", lg_k=12, name="e"))["e"]
+    record("hll_distinct", "lgK=12 (composite)",
+           exact_orders, est, abs(est - exact_orders) / exact_orders,
+           sigma * 1.04 / math.sqrt(4096), "")
+
+    # ---- hllmap: per-key distinct, every key deep in the HLL tier ----
+    li_ln = ray.data.read_parquet(li_path, columns=["l_linenumber", "l_orderkey"])
+    blob = li_ln.aggregate(
+        hllmap_unique("l_linenumber", "l_orderkey", lg_k=10, name="m")
+    )["m"]
+    m = pickle.loads(blob)
+    keys, ests = m.items()
+    exact_per_key = dict(
+        con.execute(
+            "SELECT l_linenumber, count(DISTINCT l_orderkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    worst_key, worst_err = None, 0.0
+    for kk, ee in zip(keys.tolist(), ests.tolist()):
+        ex = exact_per_key[kk]
+        err = abs(ee - ex) / ex
+        if err > worst_err:
+            worst_key, worst_err = kk, err
+    record("hllmap_unique", "lgK=10, worst key",
+           exact_per_key[worst_key], float(dict(zip(keys.tolist(), ests.tolist()))[worst_key]),
+           worst_err, sigma * 1.04 / math.sqrt(1024),
+           f"{len(keys)} keys, all HLL-tier")
+
+    # ---- KLL rank error over l_extendedprice ----
+    ranks = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    qs = li_price.aggregate(kll_quantile("l_extendedprice", ranks, k=200, name="q"))["q"]
+    eps = KllSketch.normalized_rank_error(200) * 1.5
+    worst = 0.0
+    for r, v in zip(ranks, qs):
+        true_rank = con.execute(
+            f"SELECT count(*) FILTER (l_extendedprice <= {v}) * 1.0 / count(*) FROM lineitem"
+        ).fetchone()[0]
+        worst = max(worst, abs(true_rank - r))
+    record("kll_quantile", "k=200, 7 ranks",
+           0.0, worst, worst, eps, "worst |true_rank - target|")
+
+    # ---- classic doubles rank error ----
+    qs = li_price.aggregate(
+        doubles_quantile("l_extendedprice", ranks, k=128, name="q")
+    )["q"]
+    eps = doubles_nre(128) * 1.5
+    worst = 0.0
+    for r, v in zip(ranks, qs):
+        true_rank = con.execute(
+            f"SELECT count(*) FILTER (l_extendedprice <= {v}) * 1.0 / count(*) FROM lineitem"
+        ).fetchone()[0]
+        worst = max(worst, abs(true_rank - r))
+    record("doubles_quantile", "k=128, 7 ranks",
+           0.0, worst, worst, eps, "worst |true_rank - target|")
+
+    # ---- REQ (HRA): tight near rank 1 (thresholds mirror tests/test_req.py) ----
+    req_ranks = [0.5, 0.9, 0.99, 0.999]
+    req_bounds = [0.02, 0.005, 0.002, 0.0005]
+    qs = li_price.aggregate(
+        req_quantile("l_extendedprice", req_ranks, k=12, name="q")
+    )["q"]
+    for r, v, b in zip(req_ranks, qs, req_bounds):
+        true_rank = con.execute(
+            f"SELECT count(*) FILTER (l_extendedprice <= {v}) * 1.0 / count(*) FROM lineitem"
+        ).fetchone()[0]
+        record("req_quantile", f"k=12 HRA, rank {r}",
+               r, true_rank, abs(true_rank - r), b, "")
+
+    # ---- varopt subset-sum: 2-sigma bounds must bracket the truth ----
+    li_kw = ray.data.read_parquet(li_path, columns=["l_orderkey", "l_extendedprice"])
+    blob = li_kw.aggregate(
+        varopt_sample("l_orderkey", "l_extendedprice", k=256, seed=7, name="v")
+    )["v"]
+    vsk = pickle.loads(blob)
+    truth = con.execute(
+        "SELECT sum(l_extendedprice) FROM lineitem WHERE l_orderkey % 2 = 0"
+    ).fetchone()[0]
+    ss = vsk.estimate_subset_sum(lambda key: key % 2 == 0)
+    bracket_ok = ss.lower_bound <= truth <= ss.upper_bound
+    rel = abs(ss.estimate - truth) / truth
+    record("varopt_subset_sum", "k=256, keys%2==0",
+           truth, ss.estimate, 0.0 if bracket_ok else 1.0, 0.5,
+           f"2-sigma bounds [{ss.lower_bound:.4g}, {ss.upper_bound:.4g}] "
+           f"{'bracket' if bracket_ok else 'MISS'} truth; rel err {rel:.4f}")
+
+    # ---- reservoir: sampled-fraction inside binomial 3-sigma ----
+    res = li_price.aggregate(
+        reservoir_sample("l_extendedprice", k=1024, seed=11, name="r")
+    )["r"]
+    sample = np.asarray(res["samples"], dtype=np.float64)
+    assert res["n"] == n_rows, (res["n"], n_rows)
+    median = con.execute(
+        "SELECT median(l_extendedprice) FROM lineitem"
+    ).fetchone()[0]
+    p_true = con.execute(
+        f"SELECT count(*) FILTER (l_extendedprice <= {median}) * 1.0 / count(*) FROM lineitem"
+    ).fetchone()[0]
+    p_est = float((sample <= median).mean())
+    record("reservoir_sample", "k=1024, P(x<=median)",
+           p_true, p_est, abs(p_est - p_true),
+           3.0 * math.sqrt(p_true * (1 - p_true) / 1024),
+           f"n carried exactly: {res['n']}")
+
+    # ---- frequencies: deterministic Misra-Gries guarantee ----
+    li_supp = ray.data.read_parquet(li_path, columns=["l_suppkey"])
+    blob = li_supp.aggregate(frequent_items("l_suppkey", max_map_size=64, name="f"))["f"]
+    fsk = FrequentKeysSketch.deserialize(blob)
+    max_err = fsk.maximum_error
+    exact_counts = dict(
+        con.execute("SELECT l_suppkey, count(*) FROM lineitem GROUP BY 1").fetchall()
+    )
+    worst_overshoot, worst_undershoot = 0, 0
+    items = fsk.get_frequent_items()
+    for it in items:
+        key = it[0] if isinstance(it, tuple) else it
+        est_c = fsk.get_estimate(key)
+        true_c = exact_counts.get(key, 0)
+        worst_undershoot = max(worst_undershoot, true_c - est_c)
+        worst_overshoot = max(worst_overshoot, est_c - true_c)
+    record("frequent_items", "maxMapSize=64",
+           0, max(worst_overshoot, worst_undershoot),
+           float(max(worst_overshoot, worst_undershoot)), float(max_err),
+           f"{len(items)} items; est>=true held: {worst_undershoot == 0}")
+    if worst_undershoot > 0:
+        FAILURES.append("frequent_items: an estimate undershot the true count")
+
+    # ---- theta Jaccard: 2-sigma bounds bracket exact J of two big sets ----
+    li_ab = ray.data.read_parquet(li_path, columns=["l_orderkey", "l_linenumber"])
+    sk_a_b = li_ab.filter(lambda r: r["l_linenumber"] <= 4).aggregate(
+        theta_sketch_agg("l_orderkey", k=4096, name="s")
+    )["s"]
+    sk_b_b = li_ab.filter(lambda r: r["l_linenumber"] >= 2).aggregate(
+        theta_sketch_agg("l_orderkey", k=4096, name="s")
+    )["s"]
+    a, b = KmvSketch.deserialize(sk_a_b), KmvSketch.deserialize(sk_b_b)
+    lb, est_j, ub = jaccard(a, b)
+    j_true = con.execute("""
+        WITH sa AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber <= 4),
+             sb AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber >= 2)
+        SELECT (SELECT count(*) FROM sa JOIN sb USING (l_orderkey)) * 1.0 /
+               (SELECT count(*) FROM (SELECT * FROM sa UNION SELECT * FROM sb))
+    """).fetchone()[0]
+    bracket_ok = lb <= j_true <= ub
+    record("theta_jaccard", "k=4096, 2-sigma",
+           j_true, est_j, 0.0 if bracket_ok else 1.0, 0.5,
+           f"[{lb:.4f}, {ub:.4f}] {'bracket' if bracket_ok else 'MISS'} J={j_true:.4f}")
+
+    # ---- tuple sketch: distinct + scaled sum in estimation mode ----
+    li_kq = ray.data.read_parquet(li_path, columns=["l_orderkey", "l_quantity"])
+    blob = li_kq.aggregate(
+        tuple_sketch("l_orderkey", "l_quantity", k=4096, name="t")
+    )["t"]
+    tsk = pickle.loads(blob)
+    est_d = tsk.estimate()
+    record("tuple_distinct", "k=4096",
+           exact_orders, est_d, abs(est_d - exact_orders) / exact_orders,
+           sigma / math.sqrt(4096), "")
+    from raydedup.kmv import MAX_THETA
+
+    sum_true = con.execute("SELECT sum(l_quantity) FROM lineitem").fetchone()[0]
+    theta_frac = float(tsk.theta) / float(MAX_THETA)
+    est_sum = float(tsk.values.sum()) / theta_frac
+    record("tuple_sum_scaled", "k=4096, sum/theta",
+           sum_true, est_sum, abs(est_sum - sum_true) / sum_true,
+           1.5 * sigma / math.sqrt(4096),
+           "ratio estimator: count-RSE x 1.5 margin")
+
+    wall = time.time() - t0
+
+    # ---- write the artifact ----
+    lines = [
+        "# ESTIMATION_SWEEP — distributed sketch aggregates at production k, "
+        f"estimation regime (sf_dir={SF_DIR})",
+        "",
+        f"Generated by `python scripts/estimation_sweep.py` "
+        f"({time.strftime('%Y-%m-%d')}, {wall:.1f}s wall, 32 CPUs, "
+        f"lineitem rows={n_rows}, distinct orders={exact_orders}).",
+        "",
+        "Every sketch family's RAY AGGREGATE (the same partial/merge/finalize "
+        "combiner-tree code the driver queries use) runs over the sf0.1 "
+        "lineitem table with cardinality >> k, and the observed error is "
+        "asserted inside the reference's documented bound (3-sigma for count "
+        "sketches, published 99% rank epsilon x 1.5 for quantiles, "
+        "deterministic guarantee for Misra-Gries, 2-sigma bracketing for "
+        "varopt subset-sum and theta Jaccard). Fixed seeds: deterministic.",
+        "",
+        "| family | params | exact | estimate | err | bound | ok | note |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for r in ROWS:
+        lines.append(
+            f"| {r['family']} | {r['params']} | {r['exact']:.6g} | "
+            f"{r['est']:.6g} | {r['err']:.5f} | {r['bound']:.5f} | "
+            f"{'yes' if r['ok'] else 'NO'} | {r['note']} |"
+        )
+    lines += [
+        "",
+        f"**Result: {len(ROWS) - sum(1 for r in ROWS if not r['ok'])}/{len(ROWS)} "
+        f"checks inside bounds"
+        + ("" if not FAILURES else f"; FAILURES: {FAILURES}")
+        + ".**",
+        "",
+    ]
+    with open(OUT_MD, "w") as f:
+        f.write("\n".join(lines))
+    print(f"\nwrote {OUT_MD}")
+    if FAILURES:
+        print("FAILURES:", FAILURES)
+        return 1
+    print(f"all {len(ROWS)} checks inside bounds")
+    return 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    ray.shutdown()
+    sys.exit(rc)

@@ -140,3 +140,31 @@ def test_block_update_throughput_vs_per_key_loop():
     cold = ~np.isin(ks, vec.hot_keys)
     for k, e in zip(ks[cold][:50].tolist(), est[cold][:50].tolist()):
         assert e == len(loop.coupons[k])
+
+
+def test_hllmap_aggregate_estimation_regime():
+    """The AGGREGATE glue (hllmap_unique.acc) must remix the 63-bit theta
+    hashes before the map's HLL tier (disjoint low/high bit fields): the
+    un-remixed top-bit-zero hashes biased rho +1 → ~2x overestimate at
+    high per-key cardinality (caught by scripts/estimation_sweep.py)."""
+    import pickle
+
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.aggregates import hllmap_unique
+
+    n = 60_000
+    block = pa.table(
+        {
+            "k": pa.array(np.ones(n, dtype=np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64) * 2654435761 % (1 << 40)),
+        }
+    )
+    agg = hllmap_unique("k", "v", lg_k=10)
+    state = agg.accumulate_block(None, block)
+    m = pickle.loads(state)
+    keys, ests = m.items()
+    err = abs(float(ests[0]) - n) / n
+    # 3 sigma at lgK=10: 3 * 1.04/32 ≈ 9.75%
+    assert err < 0.0975, err
