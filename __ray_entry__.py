@@ -562,6 +562,17 @@ def _q_bpe_token_counts(sf_dir: str):
     return tokenize_with_merges(_corpus_ds(sf_dir), res)
 
 
+def _q_bpe_encode_docs(sf_dir: str):
+    """Document-level BPE tokenize (raydedup/bpe.py bpe_encode_docs): the
+    whole corpus re-expressed as space-joined BPE symbol sequences — the
+    tokenize step a training pipeline feeds to packing. Word-segmentation
+    table broadcast once; map-side searchsorted apply, no corpus shuffle."""
+    from raydedup.bpe import bpe_encode_docs
+
+    res = _bpe_train_cached(sf_dir)
+    return bpe_encode_docs(_corpus_ds(sf_dir), res)
+
+
 def _q_lm_quality_scores(sf_dir: str):
     """Corpus-trained bigram-LM quality scoring (raydedup/lm.py): the
     CCNet/KenLM perplexity-filter shape — pruned count-table model trained
@@ -1984,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "bpe_tokenize_words": _q_bpe_tokenize_words,
         "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_encode_docs": _q_bpe_encode_docs,
         "snapshot_diff": _q_snapshot_diff,
         "curate_corpus_v2": _q_curate_corpus_v2,
         "text_search_topk": _q_text_search_topk,
@@ -2748,6 +2760,29 @@ per_doc AS (
   SELECT t.id, sum(nv.n) AS n_bpe FROM doc_toks t
   JOIN nv ON t.w = nv.w GROUP BY t.id)
 SELECT CAST(c.id AS BIGINT) AS id,
+       CAST(coalesce(x.n_bpe, 0) AS BIGINT) AS n_bpe
+FROM corpus c LEFT JOIN per_doc x ON c.id = x.id
+""",
+        "bpe_encode_docs": f"""
+WITH {corpus},
+{_bpe_cte_chain(_BPE_N_MERGES, _BPE_MIN_COUNT)},
+wseg AS MATERIALIZED (
+  SELECT w, string_agg(s, ' ' ORDER BY rk) AS bpe, count(*) AS n
+  FROM syms{_BPE_N_MERGES} GROUP BY w),
+doc_toks AS (
+  SELECT id, i, tl[i] AS w FROM (
+    SELECT id, tl, unnest(generate_series(1, len(tl))) AS i
+    FROM (SELECT id, string_split_regex(trim(content,
+            ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS tl
+          FROM corpus
+          WHERE trim(content,
+            ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) != ''))),
+per_doc AS (
+  SELECT t.id, string_agg(ws.bpe, ' ' ORDER BY t.i) AS bpe_text,
+         sum(ws.n) AS n_bpe
+  FROM doc_toks t JOIN wseg ws ON t.w = ws.w GROUP BY t.id)
+SELECT CAST(c.id AS BIGINT) AS id,
+       coalesce(x.bpe_text, '') AS bpe_text,
        CAST(coalesce(x.n_bpe, 0) AS BIGINT) AS n_bpe
 FROM corpus c LEFT JOIN per_doc x ON c.id = x.id
 """,

@@ -591,3 +591,78 @@ def tokenize_with_merges(
     return corpus.select_columns([id_col, content_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def bpe_encode_docs(
+    corpus: "ray.data.Dataset",  # noqa: F821
+    train_result: dict,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> "ray.data.Dataset":
+    """Apply a trained BPE to documents → Dataset(id, bpe_text, n_bpe):
+    the space-joined BPE symbol sequence of the whole document (tokens in
+    order, each segmented by the learned merges) plus the symbol count —
+    the actual tokenize step a training-data pipeline feeds to packing.
+
+    The word→segmentation table is broadcast ONCE (ray.put, sorted string
+    arrays) and applied map-side by searchsorted — no corpus shuffle, no
+    per-round work at apply time. Documents with zero tokens yield an
+    empty string."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    wt = bpe_word_tokenization(train_result["word_table"], train_result["symbols"])
+    parts = [b for b in wt.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if parts:
+        t = pa.concat_tables(parts)
+        words = np.array(t.column("w").to_pylist())
+        bpes = np.array(t.column("bpe").to_pylist(), dtype=object)
+        nsyms = t.column("n_syms").to_numpy().astype(np.int64)
+        order = np.argsort(words)
+        words, bpes, nsyms = words[order], bpes[order], nsyms[order]
+    else:
+        words = np.array([], dtype=str)
+        bpes = np.array([], dtype=object)
+        nsyms = np.zeros(0, np.int64)
+    ref = ray.put((words, bpes, nsyms))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        w_arr, b_arr, n_arr = ray.get(ref)
+        flat, per_row = _ws_tokens(batch.column(content_col))
+        flat = flat.filter(pc.not_equal(flat, ""))  # empty-doc "" tokens
+        toks = np.array(flat.to_pylist())
+        n = batch.num_rows
+        if len(toks):
+            idx = np.searchsorted(w_arr, toks)
+            idx = np.clip(idx, 0, max(len(w_arr) - 1, 0))
+            hit = w_arr[idx] == toks
+            if not hit.all():
+                missing = toks[~hit][:3]
+                raise KeyError(
+                    f"tokens not in the trained vocabulary: {missing.tolist()}"
+                )
+            seg = b_arr[idx]
+            counts = n_arr[idx]
+        else:
+            seg = np.array([], dtype=object)
+            counts = np.zeros(0, np.int64)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(per_row, out=off[1:])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), pa.array(seg.tolist(), pa.string())
+        )
+        out_counts = np.zeros(n, np.int64)
+        if len(counts):
+            np.add.at(out_counts, np.repeat(np.arange(n, dtype=np.int64), per_row), counts)
+        return pa.table(
+            {
+                "id": batch.column(id_col),
+                "bpe_text": pc.cast(pc.binary_join(lst, " "), pa.string()),
+                "n_bpe": pa.array(out_counts, pa.int64()),
+            }
+        )
+
+    return corpus.select_columns([id_col, content_col]).map_batches(
+        encode, batch_format="pyarrow"
+    )

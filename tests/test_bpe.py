@@ -222,3 +222,25 @@ def test_apply_merge_flat_runs_and_boundaries():
     off2 = np.array([0, 1, 2], dtype=np.int64)
     nf2, no2 = _apply_merge_flat(flat2, off2, 0, 0, 2)
     assert nf2.tolist() == [0, 0] and no2.tolist() == [0, 1, 2]
+
+
+def test_bpe_encode_docs_matches_scalar(ray_session):
+    import ray.data
+
+    from raydedup.bpe import bpe_encode_docs, train_bpe
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(len(FIXTURE_TEXTS)), pa.int64()),
+                  "content": pa.array(FIXTURE_TEXTS, pa.string())})
+    )
+    _, _, vocab, _ = _scalar_bpe(FIXTURE_TEXTS, 12, 2)
+    res = train_bpe(ds, 12, min_count=2)
+    out = bpe_encode_docs(ds, res).to_pandas().sort_values("id")
+    for i, t in enumerate(FIXTURE_TEXTS):
+        s = (t or "").strip(" \t\n\r\v\f")
+        toks = re.split(r"[ \t\n\f\r]+", s) if s else []
+        want = " ".join(" ".join(vocab[w]) for w in toks)
+        want_n = sum(len(vocab[w]) for w in toks)
+        row = out[out["id"] == i].iloc[0]
+        assert row["bpe_text"] == want
+        assert row["n_bpe"] == want_n
