@@ -562,6 +562,22 @@ def _q_bpe_token_counts(sf_dir: str):
     return tokenize_with_merges(_corpus_ds(sf_dir), res)
 
 
+_SHUFFLE_SHARD_ROWS = 500
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle → fixed-size shard/position assignment
+    (raydedup/scan.py deterministic_shuffle_shards): the reproducible
+    training-data ordering step — permutation is a pure bijective-LCG
+    function of the id, so any row's position is recomputable without a
+    stored permutation. ONE sort + two streaming scan passes."""
+    from raydedup.scan import deterministic_shuffle_shards
+
+    return deterministic_shuffle_shards(
+        _corpus_ds(sf_dir), shard_rows=_SHUFFLE_SHARD_ROWS
+    )
+
+
 def _q_bpe_encode_docs(sf_dir: str):
     """Document-level BPE tokenize (raydedup/bpe.py bpe_encode_docs): the
     whole corpus re-expressed as space-joined BPE symbol sequences — the
@@ -1996,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize_words": _q_bpe_tokenize_words,
         "bpe_token_counts": _q_bpe_token_counts,
         "bpe_encode_docs": _q_bpe_encode_docs,
+        "shuffle_shards": _q_shuffle_shards,
         "snapshot_diff": _q_snapshot_diff,
         "curate_corpus_v2": _q_curate_corpus_v2,
         "text_search_topk": _q_text_search_topk,
@@ -2456,6 +2473,8 @@ FROM t
 
 
 def _oracle_sql_entries(corpus: str) -> dict[str, str]:
+    from raydedup.scan import shuffle_key_sql
+
     return {
         "exact_dup_clusters": f"""
 WITH {corpus}
@@ -2762,6 +2781,15 @@ per_doc AS (
 SELECT CAST(c.id AS BIGINT) AS id,
        CAST(coalesce(x.n_bpe, 0) AS BIGINT) AS n_bpe
 FROM corpus c LEFT JOIN per_doc x ON c.id = x.id
+""",
+        "shuffle_shards": f"""
+WITH {corpus},
+k AS (SELECT id, {shuffle_key_sql('id')} AS skey FROM corpus),
+r AS (SELECT id, row_number() OVER (ORDER BY skey) - 1 AS rn FROM k)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(rn // {_SHUFFLE_SHARD_ROWS} AS BIGINT) AS shard,
+       CAST(rn % {_SHUFFLE_SHARD_ROWS} AS BIGINT) AS pos
+FROM r
 """,
         "bpe_encode_docs": f"""
 WITH {corpus},

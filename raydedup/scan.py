@@ -64,7 +64,12 @@ def ordered_prefix_sum(
         total = int(vals.sum()) if sum_type == pa.int64() else float(vals.sum())
         return pa.table(
             {
-                "first_key": [b.column(order_col)[0].as_py()],
+                # type the key explicitly: list inference would pick int64
+                # and overflow on uint64 keys > 2^63 (shuffle keys)
+                "first_key": pa.array(
+                    [b.column(order_col)[0].as_py()],
+                    b.schema.field(order_col).type,
+                ),
                 "total": pa.array([total], sum_type),
             }
         )
@@ -218,3 +223,76 @@ def pack_token_shards(
         )
 
     return scanned.map_batches(_finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle → shard/position assignment
+# ---------------------------------------------------------------------------
+
+# Knuth MMIX LCG constants: odd multiplier ⇒ the map id → id*M + C (mod 2^64)
+# is a BIJECTION, so shuffle keys are unique whenever ids are — the
+# uniqueness ordered_prefix_sum requires — and the SQL mirror can replay it
+# exactly with HUGEINT arithmetic (no floating point, no library hash).
+SHUFFLE_MULT = 6364136223846793005
+SHUFFLE_INC = 1442695040888963407
+
+
+def shuffle_key_u64(ids: np.ndarray) -> np.ndarray:
+    """ids → deterministic pseudo-random uint64 permutation keys."""
+    return ids.astype(np.uint64) * np.uint64(SHUFFLE_MULT) + np.uint64(
+        SHUFFLE_INC
+    )
+
+
+def shuffle_key_sql(col: str) -> str:
+    """The identical key as a DuckDB expression (HUGEINT mod 2^64)."""
+    return (
+        f"(CAST({col} AS HUGEINT) * {SHUFFLE_MULT} + {SHUFFLE_INC}) "
+        f"% 18446744073709551616"
+    )
+
+
+def deterministic_shuffle_shards(
+    ds: "ray.data.Dataset",
+    id_col: str = "id",
+    shard_rows: int = 1000,
+) -> "ray.data.Dataset":
+    """→ Dataset(id, shard, pos): a DETERMINISTIC global shuffle of the
+    corpus cut into fixed-size shards — the training-data ordering step
+    (a reproducible random order beats ray's random_shuffle when the run
+    must be resumable/auditable: the permutation is a pure function of the
+    id, so a re-run or a downstream consumer can recompute any row's
+    position without storing the permutation).
+
+    shard = global_shuffle_position // shard_rows, pos = position %
+    shard_rows. Cost: exactly ONE sort (on the bijective LCG key) + the
+    two streaming scan passes of ordered_prefix_sum — O(blocks) driver
+    state, no second shuffle, no driver-side permutation table.
+    """
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": pa.array(ids.astype(np.int64), pa.int64()),
+                "skey": pa.array(shuffle_key_u64(ids), pa.uint64()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    keyed = ds.select_columns([id_col]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    scanned = ordered_prefix_sum(keyed, "skey", "one", out_col="rn")
+
+    def finish(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy()
+        return pa.table(
+            {
+                "id": b.column("id"),
+                "shard": pa.array(rn // shard_rows, pa.int64()),
+                "pos": pa.array(rn % shard_rows, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

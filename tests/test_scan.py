@@ -146,3 +146,45 @@ def test_pack_token_shards_rejects_bad_budget(ray_session):
     t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["x"]})
     with pytest.raises(ValueError):
         pack_token_shards(ray.data.from_arrow(t), budget=0)
+
+
+def test_deterministic_shuffle_shards(ray_session):
+    """One-sort deterministic shuffle: positions are the rank of the
+    bijective-LCG key; shards are fixed-size cuts; a re-run reproduces the
+    identical assignment (pure function of the id)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.scan import (
+        deterministic_shuffle_shards,
+        shuffle_key_u64,
+    )
+
+    ids = np.arange(0, 2337, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": pa.array(ids)}))
+    out = (
+        deterministic_shuffle_shards(ds, shard_rows=100)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    keys = shuffle_key_u64(ids)
+    rank = np.argsort(np.argsort(keys))  # position in key order
+    assert (out["shard"].to_numpy() == rank // 100).all()
+    assert (out["pos"].to_numpy() == rank % 100).all()
+    # every shard except the last is exactly full
+    sizes = out.groupby("shard").size()
+    assert (sizes.iloc[:-1] == 100).all() and sizes.iloc[-1] == 2337 % 100
+    # deterministic across runs
+    again = (
+        deterministic_shuffle_shards(ds, shard_rows=100)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(out)
+    # the permutation actually shuffles (not identity / not sorted by id)
+    assert (out["shard"].to_numpy() != rank // 2337).any()
+    first_shard_ids = out[out["shard"] == 0]["id"].to_numpy()
+    assert not (np.sort(first_shard_ids) == ids[:100]).all()
