@@ -1353,6 +1353,42 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
     return embedding_dup_pairs(emb, threshold=0.45, n_bits=4, n_tables=16)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (raydedup/cluster.py): k=4, 2 full
+    iterations from the prototype init (4 smallest vec_ids). Every sum in
+    the engine path is integer-exact on the quantized vectors, so the
+    chained-CTE oracle replays assignment and centroid update bit-exactly
+    regardless of block boundaries or combiner order."""
+    import ray.data
+
+    from raydedup.cluster import kmeans_assign, kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent = kmeans_fit(emb, k=4, n_iter=2)
+    return kmeans_assign(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), cent
+    )
+
+
+def _q_semdedup_survivors(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the k-means clusters above:
+    within each cluster, a row is kept unless some lower-keep-priority
+    member (centroid-cosine asc, vec_id asc) has quantized cosine >= 0.4
+    to it (dominance rule — one SQL self-join). The production greedy
+    variant is pytest-checked in tests/test_cluster.py."""
+    import ray.data
+
+    from raydedup.cluster import kmeans_fit, semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent = kmeans_fit(emb, k=4, n_iter=2)
+    return semdedup(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        cent,
+        threshold=0.4,
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data
 
@@ -2048,6 +2084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_indexed": _q_ann_topk_ivf_indexed,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup_survivors": _q_semdedup_survivors,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_token_shards": _q_pack_token_shards,
@@ -2085,6 +2123,57 @@ def _corpus_cte() -> str:
     from raydedup.corpus import corpus_sql
 
     return f"corpus AS ({corpus_sql('documents')})"
+
+
+def _kmeans_cte_chain(k: int, n_iter: int) -> str:
+    """Chained CTEs replaying distributed Lloyd's k-means
+    (raydedup/cluster.py kmeans_fit) round by round in SQL.
+
+    State: q(vec_id, qe) quantized BIGINT vectors (floor(x * 2^20) — the
+    shared determinism contract: all dot products / squared distances are
+    exact integers < 2^53, so any summation order agrees bit-for-bit with
+    numpy); c0 = prototype init (k smallest vec_ids, cluster = rank-1).
+    Each round: assignment by integer squared-L2 argmin (ties -> lowest
+    cluster), centroid update floor(sum/count) per dimension, empty
+    clusters keep their previous centroid. Ends with centroids c{n_iter}
+    and the final assignment a{n_iter+1}f(vec_id, cluster)."""
+    parts = [
+        """q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
+  FROM embeddings)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qe
+  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for t in range(1, n_iter + 2):
+        parts.append(
+            f"""a{t} AS (
+  SELECT q.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_inner_product(q.qe, q.qe)
+             - 2 * list_inner_product(q.qe, c.qe)
+             + list_inner_product(c.qe, c.qe) ASC, c.cluster ASC) AS rn
+  FROM q CROSS JOIN c{t - 1} c),
+a{t}f AS MATERIALIZED (SELECT vec_id, cluster FROM a{t} WHERE rn = 1)"""
+        )
+        if t <= n_iter:
+            parts.append(
+                f"""e{t} AS (
+  SELECT a.cluster, unnest(q.qe) AS v,
+         unnest(range(1, len(q.qe) + 1)) AS i
+  FROM a{t}f a JOIN q ON a.vec_id = q.vec_id),
+u{t} AS (
+  SELECT cluster, i,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM e{t} GROUP BY cluster, i),
+c{t} AS MATERIALIZED (
+  SELECT p.cluster, coalesce(n.qe, p.qe) AS qe
+  FROM c{t - 1} p LEFT JOIN
+       (SELECT cluster, list(cv ORDER BY i) AS qe FROM u{t} GROUP BY cluster) n
+    ON p.cluster = n.cluster)"""
+            )
+    return ",\n".join(parts)
 
 
 def _bpe_cte_chain(n_merges: int, min_count: int) -> str:
@@ -2960,6 +3049,33 @@ FROM qz a JOIN qz b ON a.vec_id < b.vec_id
 WHERE list_inner_product(a.qe, b.qe)
         / (sqrt(list_inner_product(a.qe, a.qe))
            * sqrt(list_inner_product(b.qe, b.qe))) >= 0.45
+""",
+        "kmeans_clusters": f"""
+WITH {_kmeans_cte_chain(4, 2)}
+SELECT vec_id, cluster FROM a3f
+""",
+        "semdedup_survivors": f"""
+WITH {_kmeans_cte_chain(4, 2)},
+sim AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster,
+         list_inner_product(q.qe, c.qe)
+           / (sqrt(list_inner_product(q.qe, q.qe))
+              * sqrt(list_inner_product(c.qe, c.qe))) AS s
+  FROM a3f a JOIN q ON a.vec_id = q.vec_id
+             JOIN c2 c ON c.cluster = a.cluster),
+killed AS (
+  SELECT x.vec_id
+  FROM sim x JOIN sim y
+    ON x.cluster = y.cluster AND x.vec_id != y.vec_id
+  JOIN q qx ON qx.vec_id = x.vec_id
+  JOIN q qy ON qy.vec_id = y.vec_id
+  WHERE (y.s < x.s OR (y.s = x.s AND y.vec_id < x.vec_id))
+    AND list_inner_product(qx.qe, qy.qe)
+          / (sqrt(list_inner_product(qx.qe, qx.qe))
+             * sqrt(list_inner_product(qy.qe, qy.qe))) >= 0.4
+  GROUP BY x.vec_id)
+SELECT s.vec_id, s.cluster, (k.vec_id IS NULL) AS kept
+FROM sim s LEFT JOIN killed k ON s.vec_id = k.vec_id
 """,
         "kll_quantiles_part_names": """
 WITH qs AS (
