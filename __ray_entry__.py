@@ -1389,6 +1389,32 @@ def _q_semdedup_survivors(sf_dir: str):
     )
 
 
+def _q_quality_classifier_scores(sf_dir: str):
+    """Fixed-point distributed logistic regression (raydedup/classifier.py):
+    train 2 full-batch GD iterations predicting label==0 from the
+    embedding, then score every row map-side. z is the exact integer
+    margin — every cross-row sum in training is an integer, so the
+    chained-CTE oracle replays the whole loop bit-exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from raydedup.classifier import logreg_scores, train_logreg
+
+    def add_y(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "y", pc.cast(pc.equal(b.column("label"), 0), pa.int64())
+        )
+
+    labeled = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        add_y, batch_format="pyarrow"
+    )
+    w_q, b_q = train_logreg(labeled, n_iter=2, lr=0.5)
+    return logreg_scores(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), w_q, b_q
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data
 
@@ -2086,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_survivors": _q_semdedup_survivors,
+        "quality_classifier_scores": _q_quality_classifier_scores,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_token_shards": _q_pack_token_shards,
@@ -2173,6 +2200,59 @@ c{t} AS MATERIALIZED (
        (SELECT cluster, list(cv ORDER BY i) AS qe FROM u{t} GROUP BY cluster) n
     ON p.cluster = n.cluster)"""
             )
+    return ",\n".join(parts)
+
+
+def _logreg_cte_chain(n_iter: int, lr: float) -> str:
+    """Chained CTEs replaying fixed-point logistic-regression training
+    (raydedup/classifier.py train_logreg) round by round in SQL.
+
+    State per round t: w{t}(i, wq) BIGINT weights at scale 2^24,
+    b{t}(bq). Margin z = sum_d x_q*w_q + b_q*2^20 is an exact integer
+    (HUGEINT sums), the hard-sigmoid link and the floor-quantized residual
+    are single float64 expressions identical to numpy's, and gradients are
+    pure integer sums — so every round is bit-exact whatever the row
+    order. Ends with w{n_iter}/b{n_iter}."""
+    parts = [
+        """q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe,
+         CAST(label = 0 AS BIGINT) AS y
+  FROM embeddings),
+e AS MATERIALIZED (
+  SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q),
+nn AS (SELECT count(*) AS n FROM q),
+w0 AS (SELECT DISTINCT i, CAST(0 AS BIGINT) AS wq FROM e),
+b0 AS (SELECT CAST(0 AS BIGINT) AS bq)""",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""z{t} AS (
+  SELECT e.vec_id, sum(e.v * w.wq) AS zs
+  FROM e JOIN w{t - 1} w USING (i) GROUP BY e.vec_id),
+r{t} AS MATERIALIZED (
+  SELECT q.vec_id,
+         CAST(floor((least(greatest(
+             0.25 * (CAST(z.zs + b.bq * 1048576 AS DOUBLE)
+                     / 17592186044416.0) + 0.5,
+             0.0), 1.0) - q.y) * 16777216.0) AS BIGINT) AS r
+  FROM q JOIN z{t} z USING (vec_id), b{t - 1} b),
+g{t} AS (
+  SELECT e.i, sum(e.v * r.r) AS g
+  FROM e JOIN r{t} r USING (vec_id) GROUP BY e.i),
+w{t} AS MATERIALIZED (
+  SELECT w.i,
+         CAST(floor(CAST(w.wq AS DOUBLE)
+              - {lr} * (CAST(g.g AS DOUBLE) / (nn.n * 1048576.0)))
+           AS BIGINT) AS wq
+  FROM w{t - 1} w JOIN g{t} g USING (i), nn),
+b{t} AS (
+  SELECT CAST(floor(CAST(b.bq AS DOUBLE)
+              - {lr} * (CAST((SELECT sum(r) FROM r{t}) AS DOUBLE) / nn.n))
+           AS BIGINT) AS bq
+  FROM b{t - 1} b, nn)"""
+        )
     return ",\n".join(parts)
 
 
@@ -3076,6 +3156,16 @@ killed AS (
   GROUP BY x.vec_id)
 SELECT s.vec_id, s.cluster, (k.vec_id IS NULL) AS kept
 FROM sim s LEFT JOIN killed k ON s.vec_id = k.vec_id
+""",
+        "quality_classifier_scores": f"""
+WITH {_logreg_cte_chain(2, 0.5)},
+zf AS (
+  SELECT e.vec_id, sum(e.v * w.wq) AS zs
+  FROM e JOIN w2 w USING (i) GROUP BY e.vec_id)
+SELECT q.vec_id,
+       CAST(zf.zs + b.bq * 1048576 AS BIGINT) AS z,
+       (zf.zs + b.bq * 1048576) > 0 AS pred
+FROM q JOIN zf USING (vec_id), b2 b
 """,
         "kll_quantiles_part_names": """
 WITH qs AS (
