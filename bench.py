@@ -74,8 +74,10 @@ def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
     # otherwise charge startup to the small-N side asymmetrically)
     read_corpus().limit(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
-    # flagship: full near-dup clustering
-    near_mode = os.environ.get("BENCH_NEAR_MODE", "bucket")
+    # flagship: full near-dup clustering; 'auto' resolves to hybrid at
+    # bench scale (sketch table « broadcast budget) — the knee profile
+    # showed bucket spilling ~40 GB at 2.5M rows while hybrid spills zero
+    near_mode = os.environ.get("BENCH_NEAR_MODE", "auto")
     t0 = time.time()
     out = dedup_clusters(read_corpus(), cfg, with_substring=False, near_mode=near_mode)
     n_rows = out.count()

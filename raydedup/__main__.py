@@ -12,6 +12,8 @@ Commands
   signatures   corpus → signature index parquet (write_signature_index)
   index        corpus → persisted partitioned dedup index (write_dedup_index)
   incremental  delta vs persisted index → assignments + merges
+  semdedup     embeddings → k-means + within-cluster cosine prune
+  spans/curate/convert — see their subcommand help
 """
 
 from __future__ import annotations
@@ -203,6 +205,49 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_semdedup(args: argparse.Namespace) -> int:
+    """Embedding-level semantic dedup: k-means (kmeans_fit) + SemDeDup
+    prune over a list<float> vector column; writes (id, cluster, kept)."""
+    import ray.data
+
+    from .cluster import kmeans_fit, semdedup
+
+    _init_ray(args.num_cpus)
+    ds = ray.data.read_parquet(args.inputs)
+    if args.id_col != "vec_id":
+        ds = ds.rename_columns({args.id_col: "vec_id"})
+    ds = ds.select_columns(["vec_id", args.vec_col])
+    cent = kmeans_fit(
+        ds, k=args.k, n_iter=args.iters, col=args.vec_col, id_col="vec_id"
+    )
+    out = semdedup(
+        ds,
+        cent,
+        threshold=args.threshold,
+        col=args.vec_col,
+        id_col="vec_id",
+        keep=args.keep,
+    ).materialize()
+    out.write_parquet(os.path.join(args.out, "semdedup"))
+    import pyarrow.compute as pc
+
+    dropped = 0
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=65536):
+        dropped += int(pc.sum(pc.invert(b.column("kept"))).as_py() or 0)
+    print(
+        json.dumps(
+            {
+                "cmd": "semdedup",
+                "rows": out.count(),
+                "dropped": dropped,
+                "k": args.k,
+                "out": os.path.join(args.out, "semdedup"),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_convert(args: argparse.Namespace) -> int:
     """Streaming format conversion (jsonl ↔ parquet) through Ray Data —
     corpora arrive as JSONL more often than parquet; every other command
@@ -361,6 +406,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cap-k", type=int, default=18)
     p.add_argument("--shard-budget", type=int, default=8192)
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser(
+        "semdedup",
+        help="embedding semantic dedup: k-means + within-cluster cosine prune",
+    )
+    p.add_argument("inputs", nargs="+", help="input parquet file(s)/dir(s)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--k", type=int, default=256)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument("--keep", choices=["dominance", "greedy"], default="dominance")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_semdedup)
 
     p = sub.add_parser("convert", help="streaming jsonl ↔ parquet conversion")
     p.add_argument("inputs", nargs="+", help="input file(s)/dir(s)")

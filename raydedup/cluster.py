@@ -150,12 +150,18 @@ def kmeans_fit(
     centroids (k, dim) float64.
 
     ``init="prototype"`` seeds from the k smallest-id vectors (a
-    deterministic choice the SQL oracle can replay; pass an explicit
-    quantized matrix for k-means++-style seeding). Each iteration is one
-    streaming aggregate pass; empty clusters keep their previous centroid
-    (same rule as embed.kmeans_centroids). Centroid update is
-    floor(sum / count) — exact while per-cluster sums stay below 2^53
-    (2^20-scaled coords x up to ~8e9 rows per cluster)."""
+    deterministic choice the SQL oracle can replay; its map-side top-k
+    pre-cut holds O(blocks x k) driver rows, so it is meant for small and
+    mid k). For web-scale k (SemDeDup's ~100k regime) pass an explicit
+    init matrix — e.g. ``quantize(embed.kmeans_centroids(sample, k))``
+    over a driver-side sample — and note the aggregate's combiner state is
+    k x dim x 8 bytes per partial (100k x 1024 dims ~ 0.8 GB: at that
+    shape train on a sample and use ``kmeans_assign``, which is stateless,
+    for the full corpus). Each iteration is one streaming aggregate pass;
+    empty clusters keep their previous centroid (same rule as
+    embed.kmeans_centroids). Centroid update is floor(sum / count) — exact
+    while per-cluster sums stay below 2^53 (2^20-scaled coords x up to
+    ~8e9 rows per cluster)."""
     import ray
 
     if isinstance(init, str):

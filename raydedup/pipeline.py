@@ -520,13 +520,27 @@ def _sketch_broadcast_ref(sigs: "ray.data.Dataset", cfg: SigConfig):
     return ray.put((sk_ids, sk_thetas, off, flat))
 
 
+AUTO_HYBRID_FLOOR = 256 << 20  # sketch-table bytes below which bucket wins
+
+
 def _auto_near_mode(
-    sigs: "ray.data.Dataset", cfg: SigConfig, budget: int | None = None
+    sigs: "ray.data.Dataset",
+    cfg: SigConfig,
+    budget: int | None = None,
+    floor: int | None = None,
 ) -> str:
     """'hybrid' when the broadcast sketch table (id + theta + kmv blob per
-    doc) fits the budget, else 'bucket'. Budget default: 20% of the
-    cluster object-store capacity (a single plasma copy every node reads
-    zero-copy), 2 GiB when Ray can't report capacity."""
+    doc) is big enough to matter AND fits the budget, else 'bucket'.
+
+    Budget default: 20% of the cluster object-store capacity (a single
+    plasma copy every node reads zero-copy), 2 GiB when Ray can't report
+    capacity. Floor default 256 MiB: hybrid pays a fixed cost (broadcast
+    table build + verify actor pool) that only amortizes once bucket's
+    sketch-carrying shuffle is substantial — measured crossover on this
+    box is between 150k rows (~79 MB table: bucket 9.7-10.4 s vs hybrid
+    13.4-14.1 s) and 1.25M rows (~660 MB: hybrid 1.3-1.9× faster) with the
+    gap exploding once bucket spills (2.5M rows: hybrid 2.5× faster,
+    zero spill vs 40 GB — BASELINE.md round-4)."""
     import ray
 
     if budget is None:
@@ -535,9 +549,11 @@ def _auto_near_mode(
         except Exception:
             cap = 0
         budget = int(0.2 * cap) if cap else 2 << 30
+    if floor is None:
+        floor = AUTO_HYBRID_FLOOR
     per_row = 16 + cfg.kmv_k * cfg.kmv_hash_bytes  # id + theta + kmv blob
     est = sigs.count() * per_row
-    return "hybrid" if est <= budget else "bucket"
+    return "hybrid" if floor <= est <= budget else "bucket"
 
 
 def near_edges(
@@ -550,11 +566,13 @@ def near_edges(
     auto_broadcast_budget: int | None = None,
 ) -> "ray.data.Dataset":
     """Verified near-dup edges. Modes (all same verification semantics):
-      'auto': 'hybrid' when the whole sketch table fits the broadcast
-        budget (default 20% of the cluster's object-store capacity, or
-        2 GiB if Ray can't report it) — the measured ~4.5× all-to-all
-        byte reduction — else 'bucket'. The estimate is rows × the exact
-        per-row sketch footprint (kmv k·hash_bytes + minhash + band keys),
+      'auto': 'hybrid' when the whole sketch table lands inside the
+        [floor, budget] window — floor 256 MiB (below it hybrid's fixed
+        broadcast+actor cost beats its ~4.5× all-to-all byte reduction;
+        measured crossover in BASELINE.md round-4), budget 20% of the
+        cluster's object-store capacity (or 2 GiB if Ray can't report
+        it) — else 'bucket'. The estimate is rows × the exact per-row
+        sketch footprint (kmv k·hash_bytes + minhash + band keys),
         computed from the materialized signature table's count, so the
         decision costs no extra pass.
       'bucket' (default): one shuffle carrying sketches, block-vectorized
@@ -718,9 +736,16 @@ def dedup_clusters(
     with_substring: bool = True,
     with_salting: bool = True,
     cluster_method: str = "auto",
-    near_mode: str = "bucket",
+    near_mode: str = "auto",
 ) -> "ray.data.Dataset":
-    """corpus → (id, cluster_id) assignment for every input row."""
+    """corpus → (id, cluster_id) assignment for every input row.
+
+    near_mode defaults to 'auto' (hybrid while the sketch table fits the
+    broadcast budget, else bucket): the 2.5M-row knee profile showed the
+    bucket layout's sketch-carrying all-to-all overflowing the object
+    store (~40 GB spilled at ~150 MiB/s disk write — the knee), while the
+    hybrid layout spilled ZERO bytes and ran 2.5× faster at identical
+    output (BASELINE.md round-4 knee section)."""
     sigs = corpus.map_batches(
         SignatureStage(cfg), batch_format="pyarrow"
     ).materialize()  # signature checkpoint: every tier reads this

@@ -30,41 +30,42 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _spill_stats() -> dict:
-    """Spilled/restored MiB from Ray's memory summary (0 if absent)."""
+    """Cumulative spilled/restored MiB scraped from this session's
+    raylet.out (memory_summary needs grpc, absent in this container).
+    The raylet logs a running ':info_message:Spilled N MiB, K objects'
+    line — the LAST one is the session total."""
+    out = {"spilled_mib": 0.0, "spilled_objects": 0, "restored_mib": 0.0}
     try:
-        from ray._private.internal_api import memory_summary
+        import ray
 
-        txt = memory_summary(stats_only=True)
-    except Exception:
-        return {"spilled_mib": -1, "restored_mib": -1}
-    out = {"spilled_mib": 0.0, "restored_mib": 0.0, "spilled_objects": 0}
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
-    if m:
-        out["spilled_mib"] = float(m.group(1))
-        out["spilled_objects"] = int(m.group(2))
-    m = re.search(r"Restored (\d+) MiB", txt)
-    if m:
-        out["restored_mib"] = float(m.group(1))
-    m = re.search(r"Plasma memory usage (\d+) MiB", txt)
-    if m:
-        out["plasma_peak_mib"] = float(m.group(1))
+        log_dir = ray._private.worker._global_node.get_session_dir_path()
+        path = os.path.join(log_dir, "logs", "raylet.out")
+        with open(path, errors="replace") as f:
+            for line in f:
+                m = re.search(r"Spilled (\d+) MiB, (\d+) objects", line)
+                if m:
+                    out["spilled_mib"] = float(m.group(1))
+                    out["spilled_objects"] = int(m.group(2))
+                m = re.search(r"Restored (\d+) MiB", line)
+                if m:
+                    out["restored_mib"] = float(m.group(1))
+    except Exception as ex:  # diagnostics only — never fail the profile
+        out["spill_probe_error"] = f"{type(ex).__name__}: {ex}"
     return out
 
 
 def _top_stages(stats_text: str, n: int = 6) -> list[dict]:
-    """Operator name + total wall time from Dataset.stats() text."""
+    """Operator name + wall time from Dataset.stats() header lines, e.g.
+    'Operator 2 MapBatches(SignatureStage): 60 tasks executed, 60 blocks
+    produced in 3.06s'."""
     stages = []
-    cur = None
     for line in stats_text.splitlines():
-        m = re.match(r"Operator (\d+) (.+?): ", line)
+        m = re.match(
+            r"Operator (\d+) (.+?): .* in ([\d.]+)(m?s)\s*$", line.strip()
+        )
         if m:
-            cur = m.group(2)
-            continue
-        m = re.search(r"\* Total time: ([\d.]+)(m?s)", line)
-        if m and cur:
-            t = float(m.group(1)) * (0.001 if m.group(2) == "ms" else 1.0)
-            stages.append({"op": cur[:90], "sec": round(t, 2)})
-            cur = None
+            t = float(m.group(3)) * (0.001 if m.group(4) == "ms" else 1.0)
+            stages.append({"op": m.group(2)[:90], "sec": round(t, 2)})
     stages.sort(key=lambda s: -s["sec"])
     return stages[:n]
 

@@ -179,3 +179,20 @@ def test_cli_convert_partitioned(tmp_path):
         f"SELECT count(*) FROM read_parquet('{tmp_path}/bylang/*/*.parquet')"
     ).fetchone()[0]
     assert n == 900
+
+
+def test_cli_semdedup(tmp_path):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    out = _run(
+        ["semdedup", emb, "--out", str(tmp_path / "sd"), "--k", "4",
+         "--iters", "2", "--threshold", "0.4", "--num-cpus", "4"]
+    )
+    assert out["rows"] == 500 and out["k"] == 4
+    con = duckdb.connect()
+    n, kept = con.sql(
+        f"SELECT count(*), sum(CAST(kept AS INT)) "
+        f"FROM read_parquet('{tmp_path}/sd/semdedup/*.parquet')"
+    ).fetchone()
+    assert n == 500
+    assert kept == 500 - out["dropped"]
+    assert 0 < out["dropped"] < 100  # matches the sf0.001 thr=0.4 regime

@@ -330,12 +330,14 @@ def test_near_modes_agree(ray_session):
         == sets["join"] == sets["auto"]
     )
     assert len(sets["bucket"]) > 50
-    # auto resolves by the broadcast budget: tiny table -> hybrid,
-    # zero budget -> bucket
+    # auto resolves by the [floor, budget] window: a table too small to
+    # amortize hybrid's fixed broadcast cost -> bucket, in-window ->
+    # hybrid, above-budget -> bucket
     from raydedup.pipeline import _auto_near_mode
 
-    assert _auto_near_mode(sigs, CFG) == "hybrid"
-    assert _auto_near_mode(sigs, CFG, budget=1) == "bucket"
+    assert _auto_near_mode(sigs, CFG) == "bucket"  # tiny: below the floor
+    assert _auto_near_mode(sigs, CFG, floor=0) == "hybrid"
+    assert _auto_near_mode(sigs, CFG, budget=1, floor=0) == "bucket"
 
 
 def test_decontaminate_pairs_matches_bruteforce(ray_session):
