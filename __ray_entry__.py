@@ -1415,6 +1415,31 @@ def _q_quality_classifier_scores(sf_dir: str):
     )
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Distributed exact second-moment matrix of the quantized embeddings
+    (raydedup/pca.py vector_moments — stage 1 of PCA/whitening): upper
+    triangle as (i, j, sxx) integer rows, value-hash oracled against
+    DuckDB HUGEINT sums. The driver-side eigendecomposition + projection
+    (fit_pca/pca_project) are pytest-checked against numpy on the same
+    exact moments."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.pca import vector_moments
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    _, m, _ = vector_moments(emb)
+    dim = m.shape[0]
+    iu = np.triu_indices(dim)
+    return pa.table(
+        {
+            "i": pa.array((iu[0] + 1).astype(np.int64)),
+            "j": pa.array((iu[1] + 1).astype(np.int64)),
+            "sxx": pa.array(m[iu].astype(np.int64)),
+        }
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data
 
@@ -2113,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_survivors": _q_semdedup_survivors,
         "quality_classifier_scores": _q_quality_classifier_scores,
+        "embedding_covariance": _q_embedding_covariance,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_token_shards": _q_pack_token_shards,
@@ -3166,6 +3192,17 @@ SELECT q.vec_id,
        CAST(zf.zs + b.bq * 1048576 AS BIGINT) AS z,
        (zf.zs + b.bq * 1048576) > 0 AS pred
 FROM q JOIN zf USING (vec_id), b2 b
+""",
+        "embedding_covariance": """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
+  FROM embeddings),
+e AS MATERIALIZED (
+  SELECT vec_id, unnest(qe) AS v, unnest(range(1, len(qe) + 1)) AS i FROM q)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sxx
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
 """,
         "kll_quantiles_part_names": """
 WITH qs AS (
