@@ -1415,6 +1415,21 @@ def _q_quality_classifier_scores(sf_dir: str):
     )
 
 
+def _q_text_semdedup(sf_dir: str):
+    """End-to-end SEMANTIC dedup over the text corpus without any
+    embedding table: signed-hashing-trick vectors (featurize.py, the
+    fastText input layer) → distributed k-means → SemDeDup prune.
+    Rows-only (xxh64 token hashing is not SQL-expressible — same
+    convention as doc_fingerprints/minhash_signatures); the kernel carries
+    a scalar reference pytest and the pipeline a planted-exact-dup test
+    (tests/test_featurize.py)."""
+    from raydedup.featurize import text_semdedup
+
+    return text_semdedup(
+        _corpus_ds(sf_dir), dim=128, k=4, n_iter=2, threshold=0.999
+    )
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Distributed exact second-moment matrix of the quantized embeddings
     (raydedup/pca.py vector_moments — stage 1 of PCA/whitening): upper
@@ -2139,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_survivors": _q_semdedup_survivors,
         "quality_classifier_scores": _q_quality_classifier_scores,
         "embedding_covariance": _q_embedding_covariance,
+        "text_semdedup": _q_text_semdedup,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_token_shards": _q_pack_token_shards,
