@@ -1440,17 +1440,19 @@ def _q_embedding_covariance(sf_dir: str):
     import pyarrow as pa
     import ray.data
 
-    from raydedup.pca import vector_moments
+    from raydedup.pca import vector_moments_exact
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    _, m, _ = vector_moments(emb)
-    dim = m.shape[0]
+    _, ss, _ = vector_moments_exact(emb)
+    # triangle length -> dim (exact Python ints end-to-end: no float53
+    # rounding between the engine and DuckDB's HUGEINT sums)
+    dim = int((np.sqrt(8 * len(ss) + 1) - 1) // 2)
     iu = np.triu_indices(dim)
     return pa.table(
         {
             "i": pa.array((iu[0] + 1).astype(np.int64)),
             "j": pa.array((iu[1] + 1).astype(np.int64)),
-            "sxx": pa.array(m[iu].astype(np.int64)),
+            "sxx": pa.array([int(v) for v in ss], pa.int64()),
         }
     )
 

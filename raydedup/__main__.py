@@ -229,17 +229,24 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
         keep=args.keep,
     ).materialize()
     out.write_parquet(os.path.join(args.out, "semdedup"))
+    # distributed reduction — the driver never streams the result rows
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    dropped = 0
-    for b in out.iter_batches(batch_format="pyarrow", batch_size=65536):
-        dropped += int(pc.sum(pc.invert(b.column("kept"))).as_py() or 0)
+    total = out.count()
+    kept = int(
+        out.map_batches(
+            lambda b: pa.table({"k": pc.cast(b.column("kept"), pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("k")
+        or 0
+    )
     print(
         json.dumps(
             {
                 "cmd": "semdedup",
-                "rows": out.count(),
-                "dropped": dropped,
+                "rows": total,
+                "dropped": total - kept,
                 "k": args.k,
                 "out": os.path.join(args.out, "semdedup"),
             }

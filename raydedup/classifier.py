@@ -46,6 +46,11 @@ W_SCALE = 16777216.0  # 2^24
 X_SCALE = 1048576.0  # 2^20
 Z_SCALE = W_SCALE * X_SCALE  # 2^44
 
+# per-term gradient bound |x_q * r| <= 2^44, so int64 matmuls are exact
+# only up to 2^18 rows at a time — Ray's default 128 MiB blocks hold far
+# more rows for low-dim vectors, so blocks are folded in enforced chunks
+GRAD_ROW_CHUNK = 1 << 18
+
 
 def _forward_resid(
     xq: np.ndarray, y: np.ndarray, w_q: np.ndarray, b_q: int
@@ -79,9 +84,11 @@ def _grad_aggregate(col: str, label_col: str, w_ref, dim: int):
             xq = quantized_matrix(block, col).astype(np.int64)
             y = block.column(label_col).to_numpy().astype(np.int64)
             r = _forward_resid(xq, y, w_q, b_q)
-            gd = xq.T @ r  # int64-exact per block
-            g = [int(a) + int(b) for a, b in zip(g, gd)]
-            gb += int(r.sum())
+            for c0 in range(0, len(r), GRAD_ROW_CHUNK):
+                c1 = c0 + GRAD_ROW_CHUNK
+                gd = xq[c0:c1].T @ r[c0:c1]  # int64-exact: <=2^18 * 2^44
+                g = [int(a) + int(b) for a, b in zip(g, gd)]
+                gb += int(r[c0:c1].sum())
             n += len(r)
         return pickle.dumps((g, gb, n))
 
@@ -167,7 +174,7 @@ def logreg_scores(
         if not batch.num_rows:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
                     "z": pa.array([], pa.int64()),
                     "pred": pa.array([], pa.bool_()),
                 }

@@ -168,6 +168,10 @@ def kmeans_fit(
         if init != "prototype":
             raise ValueError(f"unknown init: {init!r}")
         cent = smallest_k_rows(ds, k, id_col, col)
+        if cent.size == 0:
+            raise ValueError("empty dataset")
+        # fewer rows than k: train the n centroids we have (the
+        # embed.kmeans_centroids rule; the SQL oracle's LIMIT k agrees)
     else:
         cent = np.asarray(init, dtype=np.float64)
     k, dim = cent.shape
@@ -194,8 +198,12 @@ def kmeans_assign(
     def fn(batch: pa.Table) -> pa.Table:
         cent = ray.get(ref)
         if not batch.num_rows:
+            id_type = batch.schema.field(id_col).type
             return pa.table(
-                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+                {
+                    id_col: pa.array([], id_type),
+                    "cluster": pa.array([], pa.int64()),
+                }
             )
         a = _assign(quantized_matrix(batch, col), cent)
         return pa.table(
@@ -225,8 +233,9 @@ def _semdedup_cluster_kept(
     s = (qm @ c) / (norms * cn)
     # keep-priority: LOW centroid similarity first (the SemDeDup rule —
     # the cluster's most atypical member survives its duplicate group),
-    # id as the tie-break
-    order = np.lexsort((ids, s))
+    # id as the tie-break (rank-encoded so string ids sort too)
+    _, id_rank = np.unique(ids, return_inverse=True)
+    order = np.lexsort((id_rank, s))
     qs = qm[order]
     ns = norms[order]
     dropped = np.zeros(n, dtype=bool)
@@ -284,9 +293,10 @@ def semdedup(
     def fn(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         if not batch.num_rows:
+            id_type = batch.schema.field(id_col).type
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], id_type),
                     "cluster": pa.array([], pa.int64()),
                     "part": pa.array([], pa.int64()),
                 }
@@ -303,7 +313,7 @@ def semdedup(
     def part_fn(block: pa.Table) -> pa.Table:
         c = ray.get(ref)
         clusters = block.column("cluster").to_numpy()
-        ids = block.column(id_col).to_numpy()
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
         qm = quantized_matrix(block, col)
         order = np.argsort(clusters, kind="stable")
         cs, qs, idss = clusters[order], qm[order], ids[order]
@@ -317,7 +327,8 @@ def semdedup(
             )
         return pa.table(
             {
-                id_col: pa.array(idss, pa.int64()),
+                # preserve the input id type (string ids work end-to-end)
+                id_col: pa.array(idss, block.schema.field(id_col).type),
                 "cluster": pa.array(cs, pa.int64()),
                 "kept": pa.array(kept),
             }

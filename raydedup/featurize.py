@@ -70,7 +70,7 @@ def hashing_vectors(
         if not batch.num_rows:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
                     out_col: pa.array([], pa.list_(pa.float64())),
                 }
             )
@@ -96,9 +96,13 @@ def text_semdedup(
 ):
     """End-to-end semantic dedup over a TEXT corpus: hashed-count vectors →
     distributed k-means → SemDeDup within-cluster prune. Returns
-    (id_col, cluster, kept). Exact duplicate texts always hash to identical
-    vectors (cosine 1.0), so every exact-dup group loses all but one member
-    at any threshold; near-dups fall off by token-multiset overlap.
+    (id_col, cluster, kept). NON-EMPTY exact duplicate texts always hash
+    to identical vectors (cosine 1.0), so each such group loses all but
+    one member at any threshold; near-dups fall off by token-multiset
+    overlap. Empty/whitespace-only documents hash to the zero vector,
+    whose guarded cosine is 0 — they are all KEPT, never deduped; run an
+    emptiness filter (textstats quality rules) before this stage if empty
+    duplicates matter.
 
     The vector table is materialized once (dim x 8 B/row in plasma, ~1 KB
     at dim=128) because k-means makes n_iter+2 passes over it; at corpus

@@ -4,9 +4,10 @@ vector column.
 The standard pre-ANN / pre-clustering embedding conditioning stage (center,
 decorrelate, optionally whiten) expressed Ray-Data-first: ONE streaming
 pass accumulates the exact integer first- and second-moment matrices of the
-2^20-quantized vectors (per-block int64 partials, merged as
-arbitrary-precision Python ints through Ray's combiner tree — exact at any
-corpus size, the raydedup/classifier.py contract), the tiny (dim x dim)
+2^20-quantized vectors (vectorized int64 partials through Ray's combiner
+tree, promoted to arbitrary-precision Python ints at the int64 envelope —
+exact at any corpus size, the raydedup/classifier.py contract), the tiny
+(dim x dim)
 eigendecomposition happens on the driver, and the projection is a
 stateless map_batches against the broadcast basis.
 
@@ -29,41 +30,70 @@ from .cluster import quantized_matrix
 from .embed import QUANT_SCALE
 
 
+# int64 fast path bounds: per-chunk second-moment partial <= 2^20 rows x
+# 2^40 = 2^60; two addends each < 2^61 cannot overflow int64; promotion to
+# Python ints keeps exactness beyond that (reachable only past ~2 x 10^6
+# near-full-scale rows per accumulator lineage)
+_PROMOTE = 1 << 61
+_ROW_CHUNK = 1 << 20
+
+
 def _moment_aggregate(col: str, dim: int):
-    """AggregateFn carrying (sum_x int, sum_xxT int upper triangle, n)."""
+    """AggregateFn carrying (sum_x, sum_xxT upper triangle, n) — int64
+    numpy state on the hot path (one vectorized add per block, no
+    per-entry Python), promoted to arbitrary-precision Python ints the
+    moment any entry nears the int64 envelope."""
     from ray.data.aggregate import AggregateFn
 
     tri = dim * (dim + 1) // 2
+    iu = np.triu_indices(dim)
+
+    def _zero() -> tuple:
+        return ("i64", np.zeros(dim, np.int64), np.zeros(tri, np.int64), 0)
+
+    def _add(state: tuple, s2, ss2, n2: int) -> tuple:
+        kind, s, ss, n = state
+        if kind == "i64" and isinstance(s2, np.ndarray):
+            ns, nss = s + s2, ss + ss2
+            if (
+                np.abs(ns).max(initial=0) < _PROMOTE
+                and np.abs(nss).max(initial=0) < _PROMOTE
+            ):
+                return ("i64", ns, nss, n + n2)
+            # near the envelope: redo the add in Python ints
+            s, ss = [int(v) for v in s], [int(v) for v in ss]
+            kind = "obj"
+        if isinstance(s2, np.ndarray):
+            s2, ss2 = [int(v) for v in s2], [int(v) for v in ss2]
+        if kind == "i64":
+            s, ss = [int(v) for v in s], [int(v) for v in ss]
+        return (
+            "obj",
+            [a + b for a, b in zip(s, s2)],
+            [a + b for a, b in zip(ss, ss2)],
+            n + n2,
+        )
 
     def acc(state: bytes | None, block: pa.Table) -> bytes:
-        s, ss, n = (
-            pickle.loads(state) if state else ([0] * dim, [0] * tri, 0)
-        )
+        st = pickle.loads(state) if state else _zero()
         if block.num_rows:
             xq = quantized_matrix(block, col).astype(np.int64)
-            bs = xq.sum(axis=0)  # |sum| <= 2^20 * block_rows — int64-safe
-            # second moment: int64-exact while block_rows * 2^40 < 2^63
-            m = xq.T @ xq
-            iu = np.triu_indices(dim)
-            s = [int(a) + int(b) for a, b in zip(s, bs)]
-            ss = [int(a) + int(b) for a, b in zip(ss, m[iu])]
-            n += block.num_rows
-        return pickle.dumps((s, ss, n))
+            for c0 in range(0, len(xq), _ROW_CHUNK):
+                chunk = xq[c0 : c0 + _ROW_CHUNK]
+                # int64-exact per chunk: <= 2^20 rows x 2^40 per entry
+                st = _add(
+                    st, chunk.sum(axis=0), (chunk.T @ chunk)[iu], len(chunk)
+                )
+        return pickle.dumps(st)
 
     def merge(a: bytes | None, b: bytes | None) -> bytes:
         if not a:
-            return b or pickle.dumps(([0] * dim, [0] * tri, 0))
+            return b or pickle.dumps(_zero())
         if not b:
             return a
-        sa, ssa, na = pickle.loads(a)
-        sb, ssb, nb = pickle.loads(b)
-        return pickle.dumps(
-            (
-                [x + y for x, y in zip(sa, sb)],
-                [x + y for x, y in zip(ssa, ssb)],
-                na + nb,
-            )
-        )
+        sa = pickle.loads(a)
+        _, sb_s, sb_ss, sb_n = pickle.loads(b)
+        return pickle.dumps(_add(sa, sb_s, sb_ss, sb_n))
 
     return AggregateFn(
         init=lambda key: None,
@@ -74,21 +104,34 @@ def _moment_aggregate(col: str, dim: int):
     )
 
 
-def vector_moments(
+def vector_moments_exact(
     ds, col: str = "embedding", dim: int | None = None
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Exact integer moments of the quantized vectors in ONE streaming
-    pass: (sum_x (dim,), sum_xxT (dim, dim) symmetric, n). Values are
-    float64 holding exact integers while they stay < 2^53 (2^40-scale
-    second moments x up to ~8k rows; beyond that the Python-int combiner
-    state is still exact — convert with care)."""
+) -> tuple[list[int], list[int], int]:
+    """Exact arbitrary-precision integer moments of the quantized vectors
+    in ONE streaming pass: (sum_x [dim], upper-triangle sum_xxT
+    [dim*(dim+1)/2] row-major, n) as Python ints — bit-exact at any corpus
+    size (the embedding_covariance oracle consumes THIS form, so no
+    float53 rounding sits between the engine and DuckDB's HUGEINT sums)."""
     if dim is None:
         first = ds.take(1)
         if not first:
             raise ValueError("empty dataset")
         dim = len(first[0][col])
     state = ds.aggregate(_moment_aggregate(col, dim))["pca_moments"]
-    s, ss, n = pickle.loads(state)
+    _, s, ss, n = pickle.loads(state)
+    return [int(v) for v in s], [int(v) for v in ss], n
+
+
+def vector_moments(
+    ds, col: str = "embedding", dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Float64 view of vector_moments_exact: (sum_x (dim,), sum_xxT
+    (dim, dim) symmetric, n). Exact while entries stay < 2^53; beyond
+    that the conversion rounds to the nearest double (fine for fit_pca's
+    covariance — ulp-level — NOT fine for bit-exact consumers: use
+    vector_moments_exact)."""
+    s, ss, n = vector_moments_exact(ds, col, dim)
+    dim = len(s)
     sum_x = np.array([float(v) for v in s])
     m = np.zeros((dim, dim))
     iu = np.triu_indices(dim)
@@ -156,7 +199,7 @@ def pca_project(
         if not batch.num_rows:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
                     "projected": pa.array([], pa.list_(pa.float64())),
                 }
             )

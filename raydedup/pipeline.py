@@ -571,10 +571,11 @@ def near_edges(
         broadcast+actor cost beats its ~4.5× all-to-all byte reduction;
         measured crossover in BASELINE.md round-4), budget 20% of the
         cluster's object-store capacity (or 2 GiB if Ray can't report
-        it) — else 'bucket'. The estimate is rows × the exact per-row
-        sketch footprint (kmv k·hash_bytes + minhash + band keys),
-        computed from the materialized signature table's count, so the
-        decision costs no extra pass.
+        it) — else 'bucket'. The estimate is rows × the broadcast table's
+        exact per-row footprint (id + theta + the kmv blob: 16 +
+        kmv_k·hash_bytes — the hybrid broadcast carries ONLY these, not
+        minhash or band keys), computed from the materialized signature
+        table's count, so the decision costs no extra pass.
       'bucket' (default): one shuffle carrying sketches, block-vectorized
         in-bucket verify + owner-band uniqueness — fully distributed, no
         driver involvement.

@@ -99,3 +99,35 @@ def test_empty_dataset_raises(ray_session):
     )
     with pytest.raises(ValueError):
         train_logreg(ray.data.from_arrow(t))
+
+
+def test_grad_chunking_exact(monkeypatch):
+    """The per-block int64 fold is chunk-size-invariant (the 2^18 guard):
+    driving the aggregate's acc directly in-process with a tiny chunk."""
+    import pickle
+
+    import raydedup.classifier as cl
+
+    vecs, y = _fixture(n=53, dim=5, seed=2)
+    xq = quantize(vecs.astype(np.float64)).astype(np.int64)
+    w_q = np.arange(5, dtype=np.int64) * 1000 - 2000
+    b_q = 37
+    t = pa.table(
+        {
+            "embedding": pa.array(list(vecs.astype(float))),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    ref_state = cl._grad_aggregate("embedding", "y", (w_q, b_q), 5).accumulate_block(
+        None, t
+    )
+    monkeypatch.setattr(cl, "GRAD_ROW_CHUNK", 7)
+    chunked = cl._grad_aggregate("embedding", "y", (w_q, b_q), 5).accumulate_block(
+        None, t
+    )
+    assert pickle.loads(ref_state) == pickle.loads(chunked)
+    # and matches the direct integer expression
+    r = cl._forward_resid(xq, y.astype(np.int64), w_q, b_q)
+    g, gb, n = pickle.loads(chunked)
+    assert g == [int(v) for v in (xq.T @ r)]
+    assert gb == int(r.sum()) and n == 53

@@ -186,3 +186,32 @@ def test_kmeans_bad_init_raises(ray_session):
     vecs = _fixture(n=20, dim=4)
     with pytest.raises(ValueError):
         kmeans_fit(_ds(ray_session, vecs), k=2, n_iter=1, init="bogus")
+
+
+def test_semdedup_string_ids(ray_session):
+    """Non-int64 id columns survive the whole path (review finding): the
+    output preserves the arrow string type and the keep rule uses the ids'
+    natural order as the tie-break."""
+    import ray.data
+
+    vecs = _fixture(n=40, dim=8, seed=31)
+    allv = np.vstack([vecs, vecs[:5]])
+    names = [f"doc-{i:03d}" for i in range(40)] + [f"dup-{i:03d}" for i in range(5)]
+    t = pa.table(
+        {
+            "doc": pa.array(names),
+            "embedding": pa.array(list(allv.astype(float))),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    cent = kmeans_fit(ds, k=2, n_iter=2, id_col="doc")
+    out = (
+        semdedup(ds, cent, threshold=0.999, id_col="doc")
+        .to_pandas()
+        .set_index("doc")
+    )
+    assert len(out) == 45 and out.index.dtype == object
+    for i in range(5):
+        a, b = f"doc-{i:03d}", f"dup-{i:03d}"
+        assert out.loc[a, "cluster"] == out.loc[b, "cluster"]
+        assert int(out.loc[a, "kept"]) + int(out.loc[b, "kept"]) == 1

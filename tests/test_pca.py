@@ -90,3 +90,26 @@ def test_empty_and_tiny_raise(ray_session):
     )
     with pytest.raises(ValueError):
         fit_pca(ray.data.from_arrow(t), n_components=1)
+
+
+def test_moment_state_promotion_exact(monkeypatch):
+    """Forcing a tiny int64 envelope promotes the combiner state to Python
+    ints without changing any value (exactness across the promotion)."""
+    import pickle
+
+    import raydedup.pca as pcamod
+
+    vecs = _fixture(n=60, dim=4, seed=8)
+    t = pa.table({"embedding": pa.array(list(vecs.astype(float)))})
+    agg_ref = pcamod._moment_aggregate("embedding", 4)
+    st_ref = pickle.loads(agg_ref.accumulate_block(None, t))
+    monkeypatch.setattr(pcamod, "_PROMOTE", 1)
+    agg = pcamod._moment_aggregate("embedding", 4)
+    half1, half2 = t.slice(0, 30), t.slice(30)
+    a = agg.accumulate_block(None, half1)
+    b = agg.accumulate_block(None, half2)
+    st = pickle.loads(agg.merge(a, b))
+    assert st[0] == "obj"  # promoted
+    assert [int(v) for v in st[1]] == [int(v) for v in st_ref[1]]
+    assert [int(v) for v in st[2]] == [int(v) for v in st_ref[2]]
+    assert st[3] == st_ref[3] == 60
