@@ -1389,6 +1389,21 @@ def _q_semdedup_survivors(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style pack-and-chop (raydedup/scan.py pack_and_chop): the
+    concatenated token stream cut at exact 512-token boundaries, one row
+    per (document, sequence) overlap — documents split across boundaries,
+    unlike pack_token_shards' whole-document routing."""
+    import ray.data
+
+    from raydedup.scan import pack_and_chop
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_and_chop(docs, budget=512)
+
+
 def _q_quality_classifier_scores(sf_dir: str):
     """Fixed-point distributed logistic regression (raydedup/classifier.py):
     train 2 full-batch GD iterations predicting label==0 from the
@@ -2157,6 +2172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_scores": _q_quality_classifier_scores,
         "embedding_covariance": _q_embedding_covariance,
         "text_semdedup": _q_text_semdedup,
+        "pack_sequences": _q_pack_sequences,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "pack_token_shards": _q_pack_token_shards,
@@ -3502,6 +3518,29 @@ SELECT doc_id, n_tokens,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
             // 8192 AS BIGINT) AS shard_id
 FROM t
+""",
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''),
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS nt
+  FROM documents),
+c AS (
+  SELECT doc_id, nt,
+         CAST(SUM(nt) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+           AS BIGINT) AS s
+  FROM t),
+x AS (
+  SELECT doc_id, nt, s,
+         unnest(generate_series(s // 512, (s + nt - 1) // 512)) AS sq
+  FROM c WHERE nt > 0)
+SELECT doc_id,
+       CAST(sq AS BIGINT) AS seq_id,
+       CAST(greatest(s, sq * 512) - sq * 512 AS BIGINT) AS seq_off,
+       CAST(greatest(s, sq * 512) - s AS BIGINT) AS doc_off,
+       CAST(least(s + nt, (sq + 1) * 512) - greatest(s, sq * 512) AS BIGINT) AS n
+FROM x
 """,
         "token_counts": r"""
 SELECT doc_id,

@@ -296,3 +296,82 @@ def deterministic_shuffle_shards(
         )
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing: concatenate → chop at exact token boundaries
+# ---------------------------------------------------------------------------
+
+
+def pack_and_chop(
+    docs: "ray.data.Dataset",
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_kind: str = "bpe_tokens",
+) -> "ray.data.Dataset":
+    """Pack-and-chop sequence assignment (the GPT pretraining layout):
+    concatenate every document's token stream in id order and cut the
+    stream into training sequences of EXACTLY ``budget`` tokens (documents
+    split across boundaries; the final sequence may be partial).
+
+    Emits one row per (document, sequence) overlap:
+      (id_col, seq_id, seq_off, doc_off, n) — the document contributes its
+    tokens [doc_off, doc_off+n) at positions [seq_off, seq_off+n) of
+    sequence seq_id. Zero-token documents emit nothing.
+
+    Unlike pack_token_shards (whole-document shard routing, no splits),
+    this is the exact chopped layout a sequence-packing dataloader
+    materializes. Cost: the one sort + two streaming passes of
+    ordered_prefix_sum, then a stateless explode (each doc spans
+    ceil-ish (n_tokens/budget)+1 sequences at most) — no extra shuffle.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from raydedup.textstats import token_counts
+
+    toks = docs.map_batches(
+        lambda b: token_counts(b, text_col=text_col).select([id_col, token_kind]),
+        batch_format="pyarrow",
+    )
+    scanned = ordered_prefix_sum(toks, id_col, token_kind)
+
+    def _explode(b: pa.Table) -> pa.Table:
+        start = b.column("cum_exclusive").to_numpy(zero_copy_only=False)
+        n = b.column(token_kind).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        keep = n > 0
+        start, n, ids = start[keep], n[keep], ids[keep]
+        end = start + n
+        first = start // budget
+        last = (end - 1) // budget
+        reps = (last - first + 1).astype(np.int64)
+        if not len(reps) or int(reps.sum()) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b.schema.field(id_col).type),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_off": pa.array([], pa.int64()),
+                    "doc_off": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ridx = np.repeat(np.arange(len(reps)), reps)
+        # within-doc sequence index 0..reps-1 via the offset-subtraction trick
+        offs = np.arange(len(ridx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        seq = first[ridx] + offs
+        span_lo = np.maximum(start[ridx], seq * budget)
+        span_hi = np.minimum(end[ridx], (seq + 1) * budget)
+        return pa.table(
+            {
+                id_col: pa.array(ids[ridx], b.schema.field(id_col).type),
+                "seq_id": pa.array(seq, pa.int64()),
+                "seq_off": pa.array(span_lo - seq * budget, pa.int64()),
+                "doc_off": pa.array(span_lo - start[ridx], pa.int64()),
+                "n": pa.array(span_hi - span_lo, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(_explode, batch_format="pyarrow")

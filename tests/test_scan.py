@@ -188,3 +188,67 @@ def test_deterministic_shuffle_shards(ray_session):
     assert (out["shard"].to_numpy() != rank // 2337).any()
     first_shard_ids = out[out["shard"] == 0]["id"].to_numpy()
     assert not (np.sort(first_shard_ids) == ids[:100]).all()
+
+
+def test_pack_and_chop_exact_layout(ray_session):
+    """pack_and_chop vs a scalar replay: spans tile every sequence exactly,
+    reconstruct each document contiguously, and split docs across budget
+    boundaries."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.scan import pack_and_chop
+    from raydedup.textstats import token_counts
+
+    rng = np.random.default_rng(17)
+    texts = [
+        " ".join(f"w{rng.integers(100)}" for _ in range(int(rng.integers(0, 40))))
+        for _ in range(120)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    budget = 37
+    out = (
+        pack_and_chop(ray.data.from_arrow(t).repartition(7), budget=budget)
+        .to_pandas()
+        .sort_values(["seq_id", "seq_off"])
+        .reset_index(drop=True)
+    )
+    nt = token_counts(t)["bpe_tokens"].to_numpy()
+    total = int(nt.sum())
+    # scalar replay
+    cum = np.concatenate([[0], np.cumsum(nt)[:-1]])
+    rows = []
+    for i in range(120):
+        s, e = int(cum[i]), int(cum[i] + nt[i])
+        while s < e:
+            seq = s // budget
+            hi = min(e, (seq + 1) * budget)
+            rows.append((i, seq, s - seq * budget, s - int(cum[i]), hi - s))
+            s = hi
+    import pandas as pd
+
+    ref = (
+        pd.DataFrame(rows, columns=["doc_id", "seq_id", "seq_off", "doc_off", "n"])
+        .sort_values(["seq_id", "seq_off"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(ref.astype(out.dtypes.to_dict()))
+    # every full sequence is tiled end-to-end with no gaps
+    per_seq = out.groupby("seq_id")["n"].sum()
+    n_full = total // budget
+    assert (per_seq.loc[: n_full - 1] == budget).all()
+    if total % budget:
+        assert per_seq.loc[n_full] == total % budget
+    # per-doc reconstruction is contiguous
+    for d, g in out.groupby("doc_id"):
+        g = g.sort_values("doc_off")
+        assert g["doc_off"].iloc[0] == 0
+        assert (g["doc_off"] + g["n"]).iloc[-1] == nt[d]
+        assert (g["doc_off"].to_numpy()[1:] == (g["doc_off"] + g["n"]).to_numpy()[:-1]).all()
+    # at least one doc actually splits across a boundary
+    assert (out.groupby("doc_id").size() > 1).any()
