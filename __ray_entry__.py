@@ -1472,6 +1472,74 @@ def _q_embedding_covariance(sf_dir: str):
     )
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product quantization (raydedup/pq.py): per-subspace distributed
+    Lloyd's (m=2 halves of the 64-dim vectors, 4 codes, 2 iterations) then
+    stateless nearest-code encoding, exploded to (vec_id, subspace, code)
+    rows. Codebooks live on the 2^20-quantized integer grid and argmin ties
+    break to the lowest code, so the chained-CTE oracle replays training
+    AND encoding bit-exactly per subspace."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.pq import _codes_matrix, pq_encode, pq_train
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    books = pq_train(emb, m=2, k_codes=4, n_iter=2)
+    enc = pq_encode(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        books,
+    )
+    m = books.shape[0]
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        codes = _codes_matrix(b) if len(ids) else np.empty((0, m), np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, m), pa.int64()),
+                "subspace": pa.array(
+                    np.tile(np.arange(m, dtype=np.int64), len(ids))
+                ),
+                "code": pa.array(codes.ravel(), pa.int64()),
+            }
+        )
+
+    return enc.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_pq_adc_topk(sf_dir: str):
+    """ADC top-10 over the PQ-encoded corpus (raydedup/pq.py pq_adc_topk):
+    LUT gathers + row sums per batch, tie-deterministic (dist asc, vec_id
+    asc) pre-cut, combiner-tree merge. Every sub-distance is an exact
+    integer < 2^53 on the quantized grid, so the oracle reconstructs each
+    row's ADC distance from the replayed codes + codebooks and row_numbers
+    the same total order."""
+    import ray.data
+
+    from raydedup.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    books = pq_train(emb, m=2, k_codes=4, n_iter=2)
+    enc = pq_encode(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        books,
+    )
+    first = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    return pq_adc_topk(
+        enc, books, queries, first["vec_id"].to_numpy(), k=10
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data
 
@@ -2172,6 +2240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_scores": _q_quality_classifier_scores,
         "embedding_covariance": _q_embedding_covariance,
         "text_semdedup": _q_text_semdedup,
+        "pq_codes": _q_pq_codes,
+        "pq_adc_topk": _q_pq_adc_topk,
         "pack_sequences": _q_pack_sequences,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -2224,42 +2294,68 @@ def _kmeans_cte_chain(k: int, n_iter: int) -> str:
     cluster), centroid update floor(sum/count) per dimension, empty
     clusters keep their previous centroid. Ends with centroids c{n_iter}
     and the final assignment a{n_iter+1}f(vec_id, cluster)."""
-    parts = [
-        """q AS MATERIALIZED (
+    return ",\n".join(
+        [_QUANT_Q_CTE, *_kmeans_cte_core(k, n_iter, src="q", p="")]
+    )
+
+
+_QUANT_Q_CTE = """q AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
-  FROM embeddings)""",
-        f"""c0 AS (
+  FROM embeddings)"""
+
+
+def _kmeans_cte_core(k: int, n_iter: int, src: str, p: str) -> list[str]:
+    """The Lloyd's round CTEs over source ``src(vec_id, qe)``, every CTE
+    name prefixed with ``p`` (so pq oracles can instantiate the chain once
+    per subspace). Emits {p}c0 .. {p}c{n_iter} and {p}a{n_iter+1}f."""
+    parts = [
+        f"""{p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qe
-  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k}))""",
+  FROM (SELECT vec_id, qe FROM {src} ORDER BY vec_id LIMIT {k}))""",
     ]
     for t in range(1, n_iter + 2):
         parts.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
   SELECT q.vec_id, c.cluster,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY
            list_inner_product(q.qe, q.qe)
              - 2 * list_inner_product(q.qe, c.qe)
              + list_inner_product(c.qe, c.qe) ASC, c.cluster ASC) AS rn
-  FROM q CROSS JOIN c{t - 1} c),
-a{t}f AS MATERIALIZED (SELECT vec_id, cluster FROM a{t} WHERE rn = 1)"""
+  FROM {src} q CROSS JOIN {p}c{t - 1} c),
+{p}a{t}f AS MATERIALIZED (SELECT vec_id, cluster FROM {p}a{t} WHERE rn = 1)"""
         )
         if t <= n_iter:
             parts.append(
-                f"""e{t} AS (
+                f"""{p}e{t} AS (
   SELECT a.cluster, unnest(q.qe) AS v,
          unnest(range(1, len(q.qe) + 1)) AS i
-  FROM a{t}f a JOIN q ON a.vec_id = q.vec_id),
-u{t} AS (
+  FROM {p}a{t}f a JOIN {src} q ON a.vec_id = q.vec_id),
+{p}u{t} AS (
   SELECT cluster, i,
          CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-  FROM e{t} GROUP BY cluster, i),
-c{t} AS MATERIALIZED (
+  FROM {p}e{t} GROUP BY cluster, i),
+{p}c{t} AS MATERIALIZED (
   SELECT p.cluster, coalesce(n.qe, p.qe) AS qe
-  FROM c{t - 1} p LEFT JOIN
-       (SELECT cluster, list(cv ORDER BY i) AS qe FROM u{t} GROUP BY cluster) n
+  FROM {p}c{t - 1} p LEFT JOIN
+       (SELECT cluster, list(cv ORDER BY i) AS qe FROM {p}u{t} GROUP BY cluster) n
     ON p.cluster = n.cluster)"""
             )
+    return parts
+
+
+def _pq_cte_chain(m: int, k_codes: int, n_iter: int, dsub: int) -> str:
+    """Product-quantization oracle (raydedup/pq.py): the Lloyd's chain
+    instantiated once per contiguous subspace slice, ending in each
+    subspace's final assignment — the PQ code."""
+    parts = [_QUANT_Q_CTE]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(
+            f"""s{j}v AS MATERIALIZED (
+  SELECT vec_id, list_slice(qe, {lo}, {hi}) AS qe FROM q)"""
+        )
+        parts.extend(_kmeans_cte_core(k_codes, n_iter, src=f"s{j}v", p=f"s{j}"))
     return ",\n".join(parts)
 
 
@@ -3193,6 +3289,33 @@ WHERE list_inner_product(a.qe, b.qe)
         "kmeans_clusters": f"""
 WITH {_kmeans_cte_chain(4, 2)}
 SELECT vec_id, cluster FROM a3f
+""",
+        "pq_codes": f"""
+WITH {_pq_cte_chain(2, 4, 2, 32)}
+SELECT vec_id, CAST(0 AS BIGINT) AS subspace, cluster AS code FROM s0a3f
+UNION ALL
+SELECT vec_id, CAST(1 AS BIGINT) AS subspace, cluster AS code FROM s1a3f
+""",
+        "pq_adc_topk": f"""
+WITH {_pq_cte_chain(2, 4, 2, 32)},
+qv AS (SELECT vec_id AS query_id, qe FROM q ORDER BY vec_id LIMIT 3),
+adc AS (
+  SELECT qv.query_id, a0.vec_id,
+         (list_inner_product(list_slice(qv.qe, 1, 32), list_slice(qv.qe, 1, 32))
+            - 2 * list_inner_product(list_slice(qv.qe, 1, 32), c0.qe)
+            + list_inner_product(c0.qe, c0.qe))
+       + (list_inner_product(list_slice(qv.qe, 33, 64), list_slice(qv.qe, 33, 64))
+            - 2 * list_inner_product(list_slice(qv.qe, 33, 64), c1.qe)
+            + list_inner_product(c1.qe, c1.qe)) AS d
+  FROM qv
+  CROSS JOIN s0a3f a0
+  JOIN s1a3f a1 ON a1.vec_id = a0.vec_id
+  JOIN s0c2 c0 ON c0.cluster = a0.cluster
+  JOIN s1c2 c1 ON c1.cluster = a1.cluster)
+SELECT query_id, vec_id, CAST(d AS DOUBLE) AS adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY d ASC, vec_id ASC) AS rn FROM adc)
+WHERE rn <= 10
 """,
         "semdedup_survivors": f"""
 WITH {_kmeans_cte_chain(4, 2)},
