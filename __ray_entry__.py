@@ -1540,6 +1540,82 @@ def _q_pq_adc_topk(sf_dir: str):
     )
 
 
+def _q_ivfpq_codes(sf_dir: str):
+    """IVF-PQ encoding (raydedup/ivfpq.py): coarse 2-list Lloyd's, exact
+    integer residuals, per-subspace residual codebooks (m=2, 4 codes),
+    exploded to (vec_id, list_id, subspace, code). The residual view's
+    power-of-two quantization round-trip is lossless, so the chained-CTE
+    oracle replays coarse training, residual extraction, PQ training and
+    encoding bit-exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.ivfpq import ivfpq_encode, ivfpq_train
+    from raydedup.pq import _codes_matrix
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    coarse, books = ivfpq_train(
+        emb, n_lists=2, m=2, k_codes=4, n_iter_coarse=1, n_iter_pq=1, dim=64
+    )
+    enc = ivfpq_encode(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        coarse,
+        books,
+    )
+    m = books.shape[0]
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        lid = b.column("list_id").to_numpy()
+        codes = _codes_matrix(b) if len(ids) else np.empty((0, m), np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, m), pa.int64()),
+                "list_id": pa.array(np.repeat(lid, m), pa.int64()),
+                "subspace": pa.array(
+                    np.tile(np.arange(m, dtype=np.int64), len(ids))
+                ),
+                "code": pa.array(codes.ravel(), pa.int64()),
+            }
+        )
+
+    return enc.map_batches(explode, batch_format="pyarrow")
+
+
+def _q_ivfpq_adc_topk(sf_dir: str):
+    """Residual-ADC top-10 with REAL pruning in the oracle's sight:
+    nprobe=1 of 2 lists, so the SQL must replay probe selection (exact
+    integer L2 query-vs-centroid argmin) and score only the probed list's
+    rows — the full IVFADC pipeline (raydedup/ivfpq.py ivfpq_adc_topk)
+    checked end to end."""
+    import ray.data
+
+    from raydedup.ivfpq import ivfpq_adc_topk, ivfpq_encode, ivfpq_train
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    coarse, books = ivfpq_train(
+        emb, n_lists=2, m=2, k_codes=4, n_iter_coarse=1, n_iter_pq=1, dim=64
+    )
+    enc = ivfpq_encode(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        coarse,
+        books,
+    )
+    first = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    return ivfpq_adc_topk(
+        enc, coarse, books, queries, first["vec_id"].to_numpy(), k=10, nprobe=1
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data
 
@@ -2242,6 +2318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_semdedup": _q_text_semdedup,
         "pq_codes": _q_pq_codes,
         "pq_adc_topk": _q_pq_adc_topk,
+        "ivfpq_codes": _q_ivfpq_codes,
+        "ivfpq_adc_topk": _q_ivfpq_adc_topk,
         "pack_sequences": _q_pack_sequences,
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -2356,6 +2434,36 @@ def _pq_cte_chain(m: int, k_codes: int, n_iter: int, dsub: int) -> str:
   SELECT vec_id, list_slice(qe, {lo}, {hi}) AS qe FROM q)"""
         )
         parts.extend(_kmeans_cte_core(k_codes, n_iter, src=f"s{j}v", p=f"s{j}"))
+    return ",\n".join(parts)
+
+
+def _ivfpq_cte_chain(
+    n_lists: int, n_iter_coarse: int, m: int, k_codes: int, n_iter_pq: int, dsub: int
+) -> str:
+    """IVF-PQ oracle (raydedup/ivfpq.py): the coarse Lloyd's chain (prefix
+    ``g``), exact integer residuals against the final coarse centroids
+    (the residual view's power-of-two round-trip is lossless, so SQL and
+    engine quantize to the same integers), then the PQ Lloyd's chain per
+    residual subspace. Ends with ``res(vec_id, list_id, qe)``, coarse
+    centroids ``gc{n_iter_coarse}``, codebooks ``s{j}c{n_iter_pq}`` and
+    codes ``s{j}a{n_iter_pq + 1}f``."""
+    parts = [_QUANT_Q_CTE]
+    parts.extend(_kmeans_cte_core(n_lists, n_iter_coarse, src="q", p="g"))
+    t_final = n_iter_coarse + 1
+    parts.append(
+        f"""res AS MATERIALIZED (
+  SELECT q.vec_id, a.cluster AS list_id,
+         list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] - c.qe[i]) AS qe
+  FROM q JOIN ga{t_final}f a USING (vec_id)
+         JOIN gc{n_iter_coarse} c ON c.cluster = a.cluster)"""
+    )
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(
+            f"""s{j}v AS MATERIALIZED (
+  SELECT vec_id, list_slice(qe, {lo}, {hi}) AS qe FROM res)"""
+        )
+        parts.extend(_kmeans_cte_core(k_codes, n_iter_pq, src=f"s{j}v", p=f"s{j}"))
     return ",\n".join(parts)
 
 
@@ -3312,6 +3420,47 @@ adc AS (
   JOIN s1a3f a1 ON a1.vec_id = a0.vec_id
   JOIN s0c2 c0 ON c0.cluster = a0.cluster
   JOIN s1c2 c1 ON c1.cluster = a1.cluster)
+SELECT query_id, vec_id, CAST(d AS DOUBLE) AS adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY d ASC, vec_id ASC) AS rn FROM adc)
+WHERE rn <= 10
+""",
+        "ivfpq_codes": f"""
+WITH {_ivfpq_cte_chain(2, 1, 2, 4, 1, 32)}
+SELECT r.vec_id, r.list_id, CAST(0 AS BIGINT) AS subspace, a.cluster AS code
+FROM res r JOIN s0a2f a USING (vec_id)
+UNION ALL
+SELECT r.vec_id, r.list_id, CAST(1 AS BIGINT) AS subspace, a.cluster AS code
+FROM res r JOIN s1a2f a USING (vec_id)
+""",
+        "ivfpq_adc_topk": f"""
+WITH {_ivfpq_cte_chain(2, 1, 2, 4, 1, 32)},
+qv AS (SELECT vec_id AS query_id, qe FROM q ORDER BY vec_id LIMIT 3),
+probe AS (
+  SELECT query_id, cluster AS list_id FROM (
+    SELECT qv.query_id, c.cluster,
+           row_number() OVER (PARTITION BY qv.query_id ORDER BY
+             list_inner_product(qv.qe, qv.qe)
+               - 2 * list_inner_product(qv.qe, c.qe)
+               + list_inner_product(c.qe, c.qe) ASC, c.cluster ASC) AS rn
+    FROM qv CROSS JOIN gc1 c) WHERE rn <= 1),
+qr AS (
+  SELECT p.query_id, p.list_id,
+         list_transform(range(1, len(qv.qe) + 1), i -> qv.qe[i] - c.qe[i]) AS qe
+  FROM probe p JOIN qv USING (query_id) JOIN gc1 c ON c.cluster = p.list_id),
+adc AS (
+  SELECT qr.query_id, r.vec_id,
+      (list_inner_product(list_slice(qr.qe, 1, 32), list_slice(qr.qe, 1, 32))
+         - 2 * list_inner_product(list_slice(qr.qe, 1, 32), c0.qe)
+         + list_inner_product(c0.qe, c0.qe))
+    + (list_inner_product(list_slice(qr.qe, 33, 64), list_slice(qr.qe, 33, 64))
+         - 2 * list_inner_product(list_slice(qr.qe, 33, 64), c1.qe)
+         + list_inner_product(c1.qe, c1.qe)) AS d
+  FROM qr JOIN res r ON r.list_id = qr.list_id
+  JOIN s0a2f a0 ON a0.vec_id = r.vec_id
+  JOIN s1a2f a1 ON a1.vec_id = r.vec_id
+  JOIN s0c1 c0 ON c0.cluster = a0.cluster
+  JOIN s1c1 c1 ON c1.cluster = a1.cluster)
 SELECT query_id, vec_id, CAST(d AS DOUBLE) AS adc_dist
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY d ASC, vec_id ASC) AS rn FROM adc)
