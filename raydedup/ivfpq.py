@@ -317,6 +317,7 @@ def write_ivfpq_index(
     col: str = "embedding",
     id_col: str = "vec_id",
     coarse_init: np.ndarray | str = "prototype",
+    train_ds=None,
     overwrite: bool = False,
 ) -> dict:
     """Persist the IVF-PQ index under ``path``: ``centroids.parquet`` +
@@ -327,7 +328,12 @@ def write_ivfpq_index(
     embed.write_ivf_index: ``meta.json`` is the completion marker; a
     resumed partial build reuses the persisted model files so list
     partitions written before a crash can never disagree with the
-    centroids/codebooks they are read against."""
+    centroids/codebooks they are read against.
+
+    ``train_ds`` (optional) trains the quantizers on a SAMPLE dataset
+    instead of the full corpus — the 100 TB path: training is
+    m × (n_iter+1) streaming passes, so pay them over ~1M sampled rows
+    and keep the full corpus to the single encode pass."""
     import json
     import os
     import shutil
@@ -351,7 +357,7 @@ def write_ivfpq_index(
         coarse, books = read_ivfpq_model(path)
     else:
         coarse, books = ivfpq_train(
-            embeddings,
+            train_ds if train_ds is not None else embeddings,
             n_lists=n_lists,
             m=m,
             k_codes=k_codes,

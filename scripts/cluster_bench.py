@@ -113,10 +113,61 @@ def main() -> None:
     assert logreg_scores(read(), w_q, b_q).count() == args.rows
     res["logreg_score_sec"] = round(time.time() - t0, 1)
 
+    # IVF-PQ: quantizers trained on ONE 100k shard (the sampled-training
+    # path), full corpus encoded once into a codes-only persisted index,
+    # then a 32-query probe that reads only nprobe/n_lists of the lists
+    import shutil
+
+    from raydedup.ivfpq import ann_topk_ivfpq_indexed, write_ivfpq_index
+
+    idx = os.path.join(OUT, f"ivfpq_{args.rows}_{args.cpus}")
+    shutil.rmtree(idx, ignore_errors=True)
+    sample = ray.data.read_parquet(
+        os.path.join(corpus, f"part-{0:010d}.parquet")
+    )
+    t0 = time.time()
+    write_ivfpq_index(
+        read(), idx, n_lists=32, m=8, k_codes=256,
+        n_iter_coarse=2, n_iter_pq=2, train_ds=sample,
+    )
+    res["ivfpq_build_sec"] = round(time.time() - t0, 1)
+    raw_bytes = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    idx_bytes = sum(
+        os.path.getsize(os.path.join(idx, "lists", f))
+        for f in os.listdir(os.path.join(idx, "lists"))
+    )
+    res["ivfpq_index_mb"] = round(idx_bytes / 1e6, 1)
+    res["ivfpq_corpus_mb"] = round(raw_bytes / 1e6, 1)
+    rng = np.random.default_rng(7)
+    q_ids = rng.choice(args.rows, size=32, replace=False)
+    q_ids.sort()
+    import pyarrow.parquet as pqt
+
+    qvecs = []
+    for qid in q_ids:
+        shard = (qid // 100_000) * 100_000
+        t = pqt.read_table(
+            os.path.join(corpus, f"part-{shard:010d}.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        qvecs.append(t.column("embedding")[int(qid - shard)].as_py())
+    qvecs = np.asarray(qvecs, dtype=np.float64)
+    t0 = time.time()
+    out = ann_topk_ivfpq_indexed(idx, qvecs, q_ids, k=10, nprobe=4).to_pandas()
+    res["ivfpq_query32_nprobe4_sec"] = round(time.time() - t0, 1)
+    own = sum(
+        int(q in set(out[out["query_id"] == q]["vec_id"])) for q in q_ids
+    )
+    res["ivfpq_self_recall_32"] = own  # corpus-member queries finding themselves
+
     for key in (
         "kmeans_fit_2iter_sec",
         "semdedup_sec",
         "logreg_train_2iter_sec",
+        "ivfpq_build_sec",
     ):
         res[key.replace("_sec", "_rows_per_sec")] = round(args.rows / res[key], 0)
     print(json.dumps(res))

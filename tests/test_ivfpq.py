@@ -221,6 +221,28 @@ def test_indexed_parity_and_pruned_reads(ray_session, tmp_path):
         assert mine.iloc[0]["vec_id"] == q or mine["adc_dist"].min() <= 1e-9
 
 
+def test_index_sample_training_path(ray_session, tmp_path):
+    """train_ds trains the quantizers on a sample while the FULL corpus is
+    encoded — model equals ivfpq_train(sample), lists cover every row."""
+    import ray.data
+
+    vecs = _fixture(n=240, dim=8, n_blobs=4, seed=11)
+    full = _ds(ray_session, vecs, blocks=6)
+    sample = _ds(ray_session, vecs[:80], blocks=2)
+    idx = str(tmp_path / "ivfpq_s")
+    meta = write_ivfpq_index(
+        full, idx, n_lists=3, m=2, k_codes=4,
+        n_iter_coarse=1, n_iter_pq=1, train_ds=sample,
+    )
+    assert meta["rows"] == 240
+    coarse, books = read_ivfpq_model(idx)
+    want_c, want_b = ivfpq_train(
+        sample, n_lists=3, m=2, k_codes=4, n_iter_coarse=1, n_iter_pq=1
+    )
+    assert np.array_equal(coarse, want_c)
+    assert np.array_equal(books, want_b)
+
+
 def test_index_write_protocol(ray_session, tmp_path):
     import ray.data
 
