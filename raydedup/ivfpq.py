@@ -180,6 +180,8 @@ class IvfPqAdcScorer:
         coarse = np.asarray(_get(coarse_ref), dtype=np.float64)
         books = np.asarray(_get(codebooks_ref), dtype=np.float64)
         m, kc, dsub = books.shape
+        from .cluster import _sq_dists
+
         probed = probe_lists(qq, coarse, nprobe)
         self.query_ids = np.asarray(query_ids)
         self.k = k
@@ -192,13 +194,7 @@ class IvfPqAdcScorer:
             qr = qq[q_idx] - coarse[l]
             lut = np.empty((len(q_idx), m, kc), dtype=np.float64)
             for j in range(m):
-                qs = qr[:, j * dsub : (j + 1) * dsub]
-                c = books[j]
-                lut[:, j, :] = (
-                    (qs * qs).sum(axis=1)[:, None]
-                    - 2.0 * (qs @ c.T)
-                    + (c * c).sum(axis=1)[None, :]
-                )
+                lut[:, j, :] = _sq_dists(qr[:, j * dsub : (j + 1) * dsub], books[j])
             self.lists[int(l)] = (q_idx, lut)
 
     @staticmethod
@@ -281,12 +277,13 @@ def ivfpq_adc_topk(
     c_ref = ray.put(np.asarray(coarse, dtype=np.float64))
     b_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    concurrency, _ = _pool()
     scored = encoded.map_batches(
         IvfPqAdcScorer,
         fn_constructor_args=(q_ref, np.asarray(query_ids), c_ref, b_ref, k, nprobe),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling (min, max) pool bounds, the embed.py convention — a
+        # fixed cap would serialize ADC scoring onto one actor
+        concurrency=_pool(),
         batch_size=16384,
     )
     merged = _final_topk(scored, k)
@@ -352,9 +349,21 @@ def write_ivfpq_index(
                 "to rebuild (required when the corpus changed)"
             )
         shutil.rmtree(path)
+    elif overwrite and os.path.exists(path):
+        # an explicit rebuild request also clears a crashed PARTIAL build —
+        # silently resuming it would drop the caller's new hyperparameters
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     if os.path.exists(cent_path) and os.path.exists(book_path):
         coarse, books = read_ivfpq_model(path)
+        dim = coarse.shape[1]
+        if len(coarse) != n_lists or books.shape != (m, k_codes, dim // m):
+            raise ValueError(
+                f"resuming a partial build at {path} whose persisted model "
+                f"(n_lists={len(coarse)}, books={books.shape}) does not match "
+                f"the requested (n_lists={n_lists}, m={m}, k_codes={k_codes}); "
+                "pass overwrite=True to discard it"
+            )
     else:
         coarse, books = ivfpq_train(
             train_ds if train_ds is not None else embeddings,
@@ -438,6 +447,15 @@ def read_ivfpq_model(path: str) -> tuple[np.ndarray, np.ndarray]:
     return coarse, flat.reshape(m, kc, -1)
 
 
+def _list_id_from_path(path: str) -> int:
+    """List id from a ``part-<id>.parquet`` file path. The 05d in the file
+    name is a MINIMUM width — parse the full digit run, not a fixed slice
+    (ids >= 100000 would otherwise be truncated)."""
+    import os
+
+    return int(os.path.basename(path).split("-")[1].split(".")[0])
+
+
 def ann_topk_ivfpq_indexed(
     path: str,
     queries: np.ndarray,
@@ -479,9 +497,7 @@ def ann_topk_ivfpq_indexed(
     def unpack(batch: pa.Table) -> pa.Table:
         paths = np.asarray(batch.column("path").to_pylist(), dtype=object)
         uniq, inv = np.unique(paths, return_inverse=True)
-        lids = np.array(
-            [int(os.path.basename(str(u))[5:10]) for u in uniq], dtype=np.int64
-        )
+        lids = np.array([_list_id_from_path(str(u)) for u in uniq], dtype=np.int64)
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),

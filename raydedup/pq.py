@@ -141,18 +141,14 @@ class PqAdcScorer:
         )
         from .embed import quantize
 
+        from .cluster import _sq_dists
+
         qq = quantize(np.asarray(q, dtype=np.float64))
         m, kc, dsub = books.shape
         # LUT[nq, m, kc]: exact integer ||q_sub - code||^2
         self.lut = np.empty((len(qq), m, kc), dtype=np.float64)
         for j in range(m):
-            qs = qq[:, j * dsub : (j + 1) * dsub]
-            c = books[j]
-            self.lut[:, j, :] = (
-                (qs * qs).sum(axis=1)[:, None]
-                - 2.0 * (qs @ c.T)
-                + (c * c).sum(axis=1)[None, :]
-            )
+            self.lut[:, j, :] = _sq_dists(qq[:, j * dsub : (j + 1) * dsub], books[j])
         self.query_ids = np.asarray(query_ids)
         self.k = k
         self.m = m
@@ -215,12 +211,13 @@ def pq_adc_topk(
     books = np.asarray(codebooks, dtype=np.float64)
     c_ref = ray.put(books)
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    concurrency, _ = _pool()
     scored = encoded.map_batches(
         PqAdcScorer,
         fn_constructor_args=(q_ref, np.asarray(query_ids), c_ref, k),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling (min, max) pool bounds, the embed.py convention — a
+        # fixed cap would serialize ADC scoring onto one actor
+        concurrency=_pool(),
         batch_size=16384,
     )
     merged = _final_topk(scored, k)

@@ -265,3 +265,29 @@ def test_index_write_protocol(ray_session, tmp_path):
     meta = write_ivfpq_index(ds, idx, n_lists=2, m=2, k_codes=4,
                              n_iter_coarse=1, n_iter_pq=1, overwrite=True)
     assert meta["n_lists"] == 2
+
+
+def test_partial_resume_rejects_changed_params(ray_session, tmp_path):
+    """A crashed partial build must not silently serve a model trained
+    under DIFFERENT hyperparameters; overwrite=True clears partials too."""
+    import ray.data
+
+    idx = str(tmp_path / "ivfpq")
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    write_ivfpq_index(ds, idx, n_lists=4, m=2, k_codes=8,
+                      n_iter_coarse=1, n_iter_pq=1)
+    os.remove(os.path.join(idx, "meta.json"))  # simulate mid-encode crash
+    with pytest.raises(ValueError, match="does not match"):
+        write_ivfpq_index(ds, idx, n_lists=8, m=2, k_codes=8,
+                          n_iter_coarse=1, n_iter_pq=1)
+    meta = write_ivfpq_index(ds, idx, n_lists=8, m=4, k_codes=8,
+                             n_iter_coarse=1, n_iter_pq=1, overwrite=True)
+    assert meta["n_lists"] == 8 and meta["m"] == 4
+
+
+def test_list_id_parse_full_digit_run():
+    from raydedup.ivfpq import _list_id_from_path
+
+    assert _list_id_from_path("/x/lists/part-00042.parquet") == 42
+    # 05d is a minimum width: 6-digit ids must parse whole, not truncate
+    assert _list_id_from_path("/x/lists/part-123456.parquet") == 123456
