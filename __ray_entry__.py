@@ -129,6 +129,16 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_corpus_ds(sf_dir), _cfg(), threshold=0.7)
 
 
+def _q_ngram_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup pairs (raydedup/njaccard.py
+    ngram_containment_pairs): max-direction shingle-set containment >= 0.8
+    — the quote / partial-copy case Jaccard under-scores. Exact tier: the
+    oracle recomputes both containments from the SQL shingle lists."""
+    from raydedup.njaccard import ngram_containment_pairs
+
+    return ngram_containment_pairs(_corpus_ds(sf_dir), _cfg(), threshold=0.8)
+
+
 def _mod10_split(corpus, want_eval: bool):
     """The decontam queries' deterministic corpus split: eval = id % 10 == 0
     (mirrored verbatim by both SQL oracles)."""
@@ -2255,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _q_dedup_survivors,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
         "decontam_pairs": _q_decontam_pairs,
         "repetition_signals": _q_repetition_signals,
         "boilerplate_line_dedup": _q_boilerplate_line_dedup,
@@ -2939,6 +2950,18 @@ pj AS (
       / len(list_distinct(list_concat(sa.sh, sb.sh))) jaccard
   FROM cand JOIN shing sa ON sa.id = cand.src JOIN shing sb ON sb.id = cand.dst)
 SELECT src, dst, jaccard FROM pj WHERE jaccard >= 0.7
+""",
+        "ngram_containment_pairs": f"""
+WITH {corpus}, {_SHINGLES_CTE},
+e AS (SELECT id, unnest(sh) g FROM shing),
+cand AS (SELECT DISTINCT a.id src, b.id dst FROM e a JOIN e b ON a.g = b.g AND a.id < b.id),
+pc AS (
+  SELECT src, dst,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) cont_src,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) cont_dst
+  FROM cand JOIN shing sa ON sa.id = cand.src JOIN shing sb ON sb.id = cand.dst)
+SELECT src, dst, cont_src, cont_dst
+FROM pc WHERE greatest(cont_src, cont_dst) >= 0.8
 """,
         "repetition_signals": """
 WITH l AS (

@@ -279,6 +279,24 @@ def drop_contaminated(
     )
 
 
+def _overlap_counts(
+    corpus: "ray.data.Dataset",
+    cfg: SigConfig,
+    max_posting: int | None,
+) -> "ray.data.Dataset":
+    """Shared candidate machinery: exploded unique-shingle postings → one
+    hash-partitioned pair emission → (src, dst, count(), max(na), max(nb))
+    where count() is the EXACT shingle-set intersection size (one pair row
+    per shared shingle) and na/nb the docs' unique-shingle counts."""
+    postings = corpus.select_columns(["id", "content"]).map_batches(
+        ShingleExplode(cfg), batch_format="pyarrow"
+    )
+    from .pipeline import grouped_blocks
+
+    pairs = grouped_blocks(postings, "sh", _pairs_block(max_posting))
+    return pairs.groupby(["src", "dst"]).aggregate(Count(), Max("na"), Max("nb"))
+
+
 def ngram_jaccard_pairs(
     corpus: "ray.data.Dataset",
     cfg: SigConfig = DEFAULT_CONFIG,
@@ -286,13 +304,7 @@ def ngram_jaccard_pairs(
     max_posting: int | None = None,
 ) -> "ray.data.Dataset":
     """→ Dataset(src:int64, dst:int64, jaccard:float64), src < dst, J >= threshold."""
-    postings = corpus.select_columns(["id", "content"]).map_batches(
-        ShingleExplode(cfg), batch_format="pyarrow"
-    )
-    from .pipeline import grouped_blocks
-
-    pairs = grouped_blocks(postings, "sh", _pairs_block(max_posting))
-    agg = pairs.groupby(["src", "dst"]).aggregate(Count(), Max("na"), Max("nb"))
+    agg = _overlap_counts(corpus, cfg, max_posting)
 
     def finish(batch: pa.Table) -> pa.Table:
         c = batch.column("count()").to_numpy().astype(np.float64)
@@ -305,6 +317,43 @@ def ngram_jaccard_pairs(
                 "src": batch.column("src").filter(pa.array(keep)),
                 "dst": batch.column("dst").filter(pa.array(keep)),
                 "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    corpus: "ray.data.Dataset",
+    cfg: SigConfig = DEFAULT_CONFIG,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> "ray.data.Dataset":
+    """Asymmetric near-dup detection: pairs where one document's shingle
+    set is mostly CONTAINED in the other's — the quote / partial-copy /
+    superset case Jaccard under-scores (a 100-line file pasted into a
+    5000-line file has J ≈ 0.02 but containment ≈ 1.0).
+
+    → Dataset(src:int64, dst:int64, cont_src:float64, cont_dst:float64),
+    src < dst, where cont_src = |A∩B| / |A| (fraction of src inside dst)
+    and cont_dst = |A∩B| / |B|; rows kept when max(cont_src, cont_dst)
+    >= threshold. Same exact posting-intersection machinery (and the same
+    single all-to-all) as :func:`ngram_jaccard_pairs`."""
+    agg = _overlap_counts(corpus, cfg, max_posting)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("count()").to_numpy().astype(np.float64)
+        na = batch.column("max(na)").to_numpy().astype(np.float64)
+        nb = batch.column("max(nb)").to_numpy().astype(np.float64)
+        ca = c / na
+        cb = c / nb
+        keep = np.maximum(ca, cb) >= threshold
+        return pa.table(
+            {
+                "src": batch.column("src").filter(pa.array(keep)),
+                "dst": batch.column("dst").filter(pa.array(keep)),
+                "cont_src": pa.array(ca[keep], type=pa.float64()),
+                "cont_dst": pa.array(cb[keep], type=pa.float64()),
             }
         )
 

@@ -143,6 +143,64 @@ def test_ngram_jaccard_matches_bruteforce(ray_session):
         assert got[k] == pytest.approx(want[k], abs=1e-12)
 
 
+def test_ngram_containment_matches_bruteforce(ray_session):
+    import ray.data
+
+    from raydedup.njaccard import ngram_containment_pairs
+
+    tbl = _mini_corpus(n_base=30)
+    pairs = ngram_containment_pairs(
+        ray.data.from_arrow(tbl), CFG, threshold=0.5
+    ).to_pandas()
+    got = {(r.src, r.dst): (r.cont_src, r.cont_dst) for r in pairs.itertuples()}
+    ids = tbl.column("id").to_pylist()
+    contents = tbl.column("content").to_pylist()
+    sh = [shingle_set(c.split(), CFG.shingle_k, CFG.seed) for c in contents]
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if not sh[i] or not sh[j]:
+                continue
+            inter = len(sh[i] & sh[j])
+            ca, cb = inter / len(sh[i]), inter / len(sh[j])
+            if max(ca, cb) >= 0.5:
+                want[(ids[i], ids[j])] = (ca, cb)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-12)
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session):
+    """The operator's reason to exist: a small doc fully pasted into a much
+    larger one has tiny Jaccard but containment 1.0."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.njaccard import ngram_containment_pairs, ngram_jaccard_pairs
+
+    small = " ".join(f"tok{i}" for i in range(30))
+    big = small + " " + " ".join(f"filler{i}" for i in range(600))
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "content": pa.array([small, big]),
+        }
+    )
+    cont = ngram_containment_pairs(
+        ray.data.from_arrow(tbl), CFG, threshold=0.9
+    ).to_pandas()
+    assert len(cont) == 1
+    row = cont.iloc[0]
+    assert (row["src"], row["dst"]) == (1, 2)
+    assert row["cont_src"] == pytest.approx(1.0)
+    assert row["cont_dst"] < 0.2
+    jac = ngram_jaccard_pairs(
+        ray.data.from_arrow(tbl), CFG, threshold=0.5
+    ).to_pandas()
+    assert len(jac) == 0  # Jaccard misses exactly this pair
+
+
 def test_containment_actor_stage(ray_session):
     import ray.data
 
