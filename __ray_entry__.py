@@ -1992,6 +1992,75 @@ def _q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "quality"])
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule filter (raydedup/gopher.py, Rae et al. 2021
+    Appendix A1): the 7 document-shape rules evaluated in INTEGER
+    arithmetic over the quality-varied docs fixture (raw docs + five
+    mutated tiers that each fire one rule). Stateless map_batches, no
+    shuffle; the oracle is generated from the SAME module constants."""
+    import ray.data
+
+    from raydedup.corpus import qdocs_parquet_path
+    from raydedup.gopher import gopher_rules
+
+    docs = ray.data.read_parquet(qdocs_parquet_path(sf_dir))
+    return docs.map_batches(gopher_rules, batch_format="pyarrow")
+
+
+def _gopher_rules_sql() -> str:
+    """DuckDB mirror of raydedup.gopher.gopher_rules over the qdocs
+    fixture — thresholds and word lists are read from the module constants
+    so the two sides can never drift; every rule is an integer
+    cross-multiplication (no floats to mismatch)."""
+    from raydedup import gopher as g
+    from raydedup.corpus import qdocs_sql
+
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    stop_list = ", ".join(f"'{w}'" for w in g.STOP_WORDS)
+    bullet_like = " OR ".join(f"l LIKE '{p}%'" for p in g.BULLET_PREFIXES)
+    return rf"""
+WITH gd AS ({qdocs_sql("documents")}),
+t AS (SELECT doc_id, coalesce(text, '') txt FROM gd),
+w AS (
+  SELECT doc_id, txt,
+    CASE WHEN trim(txt, {ws}) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(txt, {ws}), '\s+') END words,
+    string_split(txt, chr(10)) lines
+  FROM t),
+m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) n_words,
+    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) word_chars,
+    CAST((length(txt) - length(replace(txt, '#', '')))
+       + (length(txt) - length(replace(txt, '{g.ELLIPSIS_SUFFIX}', ''))) // 3 AS BIGINT) n_symbols,
+    CAST(len(lines) AS BIGINT) n_lines,
+    CAST(len(list_filter(lines, l -> {bullet_like})) AS BIGINT) n_bullet_lines,
+    CAST(len(list_filter(lines, l -> l LIKE '%{g.ELLIPSIS_SUFFIX}')) AS BIGINT) n_ellipsis_lines,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) n_alpha_words,
+    CAST(len(list_filter([{stop_list}], s -> list_contains(words, s))) AS BIGINT) n_stop_hits
+  FROM w)
+SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet_lines,
+       n_ellipsis_lines, n_alpha_words, n_stop_hits,
+  (n_words >= {g.MIN_WORDS} AND n_words <= {g.MAX_WORDS}) word_count_ok,
+  ({g.MIN_MEAN_WORD_LEN} * n_words <= word_chars
+     AND word_chars <= {g.MAX_MEAN_WORD_LEN} * n_words) mean_word_len_ok,
+  (10 * n_symbols <= n_words) symbol_ok,
+  (10 * n_bullet_lines <= 9 * n_lines) bullet_ok,
+  (10 * n_ellipsis_lines <= 3 * n_lines) ellipsis_ok,
+  (5 * n_alpha_words >= 4 * n_words) alpha_ok,
+  (n_stop_hits >= {g.MIN_STOP_HITS}) stop_ok,
+  ((n_words >= {g.MIN_WORDS} AND n_words <= {g.MAX_WORDS})
+   AND ({g.MIN_MEAN_WORD_LEN} * n_words <= word_chars
+        AND word_chars <= {g.MAX_MEAN_WORD_LEN} * n_words)
+   AND (10 * n_symbols <= n_words)
+   AND (10 * n_bullet_lines <= 9 * n_lines)
+   AND (10 * n_ellipsis_lines <= 3 * n_lines)
+   AND (5 * n_alpha_words >= 4 * n_words)
+   AND (n_stop_hits >= {g.MIN_STOP_HITS})) gopher_pass
+FROM m
+"""
+
+
 def _q_cap_docs_per_source(sf_dir: str):
     """Corpus curation: keep at most 18 docs per source domain (smallest
     doc_id wins). One hash-partition shuffle + vectorized run-rank filter
@@ -2351,6 +2420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": _q_windowed_events,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "quality_scores": _q_quality_scores,
+        "gopher_rules": _q_gopher_rules,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -3691,6 +3761,7 @@ FROM events GROUP BY 1, 2
         "redact_pii": _redact_pii_sql(),
         "strip_markup": _strip_markup_sql(),
         "quality_scores": _quality_sql("documents", "doc_id", "text"),
+        "gopher_rules": _gopher_rules_sql(),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},
 e AS (SELECT id, unnest(sh) g FROM shing),
