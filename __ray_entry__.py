@@ -2061,6 +2061,57 @@ FROM m
 """
 
 
+_C4_MIN_SENTENCES = 1  # the fixture pages carry ~2 sentences; C4's own
+# default is 5 (raydedup.c4filter.MIN_SENTENCES) — documented knob
+
+
+def _q_c4_page_filter(sf_dir: str):
+    """C4-style line+page cleaning (raydedup/c4filter.py, Raffel et al.
+    2020 §2.2) over the synthetic web-pages fixture: line survives iff
+    terminal-punctuated, >= 3 words, no 'javascript'; page survives iff no
+    'lorem ipsum' / '{' and >= min_sentences sentences in the kept text.
+    Stateless map_batches, no shuffle."""
+    import ray.data
+
+    from raydedup.c4filter import c4_filter
+    from raydedup.corpus import webpages_parquet_path
+
+    pages = ray.data.read_parquet(webpages_parquet_path(sf_dir))
+    return c4_filter(pages, min_sentences=_C4_MIN_SENTENCES)
+
+
+def _c4_page_filter_sql() -> str:
+    """DuckDB mirror of raydedup.c4filter.c4_page_filter over the
+    webpages fixture — regexes, word/sentence thresholds, and block
+    substrings read from the module constants so the sides cannot drift."""
+    from raydedup import c4filter as c4
+    from raydedup.corpus import webpages_sql
+
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    blocks = " AND ".join(
+        f"NOT contains(lower(text), '{s}')" for s in c4.BLOCK_SUBSTRINGS
+    )
+    return rf"""
+WITH wp AS ({webpages_sql("documents")}),
+l0 AS (SELECT page_id, text,
+        list_transform(string_split(text, chr(10)), l -> trim(l, {ws})) lines
+       FROM wp),
+k AS (SELECT page_id, text,
+        list_filter(lines, l -> regexp_matches(l, '{c4.TERMINAL_PUNCT_RE}')
+                    AND len(regexp_extract_all(l, '\S+')) >= {c4.MIN_LINE_WORDS}
+                    AND NOT contains(lower(l), '{c4.JS_WORD}')) kept
+      FROM l0),
+f AS (SELECT page_id,
+        coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') text_clean,
+        CAST(len(kept) AS BIGINT) n_lines_kept
+      FROM k WHERE {blocks})
+SELECT page_id, text_clean, n_lines_kept,
+       CAST(len(regexp_extract_all(text_clean, '{c4.SENTENCE_MARK_RE}')) AS BIGINT) n_sentences
+FROM f
+WHERE len(regexp_extract_all(text_clean, '{c4.SENTENCE_MARK_RE}')) >= {_C4_MIN_SENTENCES}
+"""
+
+
 def _q_cap_docs_per_source(sf_dir: str):
     """Corpus curation: keep at most 18 docs per source domain (smallest
     doc_id wins). One hash-partition shuffle + vectorized run-rank filter
@@ -2421,6 +2472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "quality_scores": _q_quality_scores,
         "gopher_rules": _q_gopher_rules,
+        "c4_page_filter": _q_c4_page_filter,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -3762,6 +3814,7 @@ FROM events GROUP BY 1, 2
         "strip_markup": _strip_markup_sql(),
         "quality_scores": _quality_sql("documents", "doc_id", "text"),
         "gopher_rules": _gopher_rules_sql(),
+        "c4_page_filter": _c4_page_filter_sql(),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},
 e AS (SELECT id, unnest(sh) g FROM shing),
