@@ -2061,6 +2061,70 @@ FROM m
 """
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (raydedup/dsir.py, Xie et al. 2023): every
+    document scored by the cross-normalized target-vs-raw bigram-model
+    count ratio; target = the mod-10 split (decontam's convention). Two
+    count passes + one broadcast + one map-side score pass; the oracle
+    replays both models and the exact double op sequence in SQL."""
+    import ray.data
+
+    from raydedup.dsir import dsir_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _target_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b.column("doc_id").to_numpy() % 10 == 0))
+
+    target = docs.map_batches(_target_rows, batch_format="pyarrow")
+    return dsir_weights(
+        docs,
+        target,
+        _cfg(),
+        min_count=_LM_MIN_COUNT,
+        id_col="doc_id",
+        content_col="text",
+    )
+
+
+def _dsir_weights_sql() -> str:
+    """DuckDB mirror of raydedup.dsir.dsir_weights over documents with the
+    mod-10 target split — string bigrams stand in for the engine's 64-bit
+    bigram hashes (the repo-wide exact-string oracle assumption); the
+    weight replays the engine's exact IEEE sequence."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, ''), {ws}), '\s+') tl
+  FROM documents WHERE trim(coalesce(text, ''), {ws}) <> ''),
+bg0 AS (
+  SELECT doc_id,
+         [list_aggregate(tl[i:i+1], 'string_agg', ' ') for i in range(1, len(tl))] bs
+  FROM toks WHERE len(tl) >= 2),
+bg AS (SELECT doc_id, unnest(bs) w FROM bg0),
+mt AS (SELECT w, count(*) c FROM bg WHERE doc_id % 10 = 0
+       GROUP BY w HAVING count(*) >= {_LM_MIN_COUNT}),
+mr AS (SELECT w, count(*) c FROM bg
+       GROUP BY w HAVING count(*) >= {_LM_MIN_COUNT}),
+nt AS (SELECT coalesce(sum(c), 0) m FROM mt),
+nr AS (SELECT coalesce(sum(c), 0) m FROM mr),
+sc AS (
+  SELECT bg.doc_id, count(*) n_bigrams,
+         coalesce(sum(t.c), 0) hit_sum_t, coalesce(sum(r.c), 0) hit_sum_r
+  FROM bg LEFT JOIN mt t ON bg.w = t.w LEFT JOIN mr r ON bg.w = r.w
+  GROUP BY bg.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) n_bigrams,
+  CAST(coalesce(sc.hit_sum_t, 0) AS BIGINT) hit_sum_t,
+  CAST(coalesce(sc.hit_sum_r, 0) AS BIGINT) hit_sum_r,
+  (1.0 + CAST(coalesce(sc.hit_sum_t, 0) AS DOUBLE) * CAST((SELECT m FROM nr) AS DOUBLE))
+  / (1.0 + CAST(coalesce(sc.hit_sum_r, 0) AS DOUBLE) * CAST((SELECT m FROM nt) AS DOUBLE)) weight
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+
 _C4_MIN_SENTENCES = 1  # the fixture pages carry ~2 sentences; C4's own
 # default is 5 (raydedup.c4filter.MIN_SENTENCES) — documented knob
 
@@ -2473,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "gopher_rules": _q_gopher_rules,
         "c4_page_filter": _q_c4_page_filter,
+        "dsir_weights": _q_dsir_weights,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -3815,6 +3880,7 @@ FROM events GROUP BY 1, 2
         "quality_scores": _quality_sql("documents", "doc_id", "text"),
         "gopher_rules": _gopher_rules_sql(),
         "c4_page_filter": _c4_page_filter_sql(),
+        "dsir_weights": _dsir_weights_sql(),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},
 e AS (SELECT id, unnest(sh) g FROM shing),
