@@ -2125,6 +2125,88 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
 
+def _q_ngram_repetition(sf_dir: str):
+    """Gopher n-gram repetition signals (raydedup/ngramrep.py, Rae et al.
+    2021 §A1.1): top-{2,3,4}-gram char fractions + de-overlapped
+    dup-{5..10}-gram char coverage per document. Stateless vectorized
+    map_batches — one split, one token-hash pass, one sliding window +
+    lexsort per n; no shuffle."""
+    import ray.data
+
+    from raydedup.ngramrep import ngram_repetition_signals
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(ngram_repetition_signals, batch_format="pyarrow")
+
+
+def _ngram_rep_sql() -> str:
+    """DuckDB mirror of raydedup.ngramrep.ngram_repetition_signals —
+    generated per n from the module's TOP_NS/DUP_NS so the sides cannot
+    drift. String grams stand in for the engine's xxh64 gram hashes (the
+    repo-wide exact-string oracle assumption)."""
+    from raydedup.ngramrep import DUP_NS, TOP_NS
+
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    ctes = [
+        rf"""toks AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, ''), {ws}), '\s+') tl,
+         length(list_aggregate(string_split_regex(trim(coalesce(text, ''), {ws}), '\s+'),
+                               'string_agg', ' ')) dl
+  FROM documents WHERE trim(coalesce(text, ''), {ws}) <> '')"""
+    ]
+    sel = ["d.doc_id"]
+    joins = ["LEFT JOIN toks k ON k.doc_id = d.doc_id"]
+    for n in TOP_NS + DUP_NS:
+        ctes.append(
+            f"""g{n} AS (
+  SELECT doc_id, p, list_aggregate(tl[p:p+{n - 1}], 'string_agg', ' ') gram
+  FROM toks, UNNEST(generate_series(1, len(tl) - {n} + 1)) AS u(p))"""
+        )
+        if n in TOP_NS:
+            ctes.append(
+                f"""t{n} AS (
+  SELECT doc_id, cnt * glen num FROM (
+    SELECT doc_id, count(*) cnt, length(gram) glen,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, length(gram) DESC) rk
+    FROM g{n} GROUP BY doc_id, gram)
+  WHERE rk = 1)"""
+            )
+            sel.append(
+                f"floor(coalesce(t{n}.num, 0) / greatest(coalesce(k.dl, 0), 1)"
+                f" * 1e6) / 1e6 top_{n}gram_char_frac"
+            )
+            joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = d.doc_id")
+        else:
+            ctes.append(
+                f"""d{n} AS (
+  SELECT cov.doc_id, sum(length(t.tl[cov.tp])) dup_chars FROM (
+    SELECT DISTINCT doc_id, tp FROM (
+      SELECT g.doc_id, unnest(generate_series(g.p, g.p + {n - 1})) tp
+      FROM g{n} g
+      JOIN (SELECT doc_id, gram FROM g{n}
+            GROUP BY doc_id, gram HAVING count(*) >= 2) dd
+        ON g.doc_id = dd.doc_id AND g.gram = dd.gram)) cov
+  JOIN toks t ON t.doc_id = cov.doc_id
+  GROUP BY cov.doc_id)"""
+            )
+            sel.append(
+                f"floor(coalesce(d{n}.dup_chars, 0) / greatest(coalesce(k.dl, 0), 1)"
+                f" * 1e6) / 1e6 dup_{n}gram_char_frac"
+            )
+            joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = d.doc_id")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT "
+        + ",\n  ".join(sel)
+        + "\nFROM documents d\n"
+        + "\n".join(joins)
+    )
+
+
 _C4_MIN_SENTENCES = 1  # the fixture pages carry ~2 sentences; C4's own
 # default is 5 (raydedup.c4filter.MIN_SENTENCES) — documented knob
 
@@ -2538,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "c4_page_filter": _q_c4_page_filter,
         "dsir_weights": _q_dsir_weights,
+        "ngram_repetition": _q_ngram_repetition,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -3881,6 +3964,7 @@ FROM events GROUP BY 1, 2
         "gopher_rules": _gopher_rules_sql(),
         "c4_page_filter": _c4_page_filter_sql(),
         "dsir_weights": _dsir_weights_sql(),
+        "ngram_repetition": _ngram_rep_sql(),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},
 e AS (SELECT id, unnest(sh) g FROM shing),
