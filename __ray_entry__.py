@@ -2009,18 +2009,25 @@ def _q_gopher_rules(sf_dir: str):
 
 def _gopher_rules_sql() -> str:
     """DuckDB mirror of raydedup.gopher.gopher_rules over the qdocs
-    fixture — thresholds and word lists are read from the module constants
-    so the two sides can never drift; every rule is an integer
+    fixture (see :func:`_gopher_rules_core`)."""
+    from raydedup.corpus import qdocs_sql
+
+    return f"WITH gd AS ({qdocs_sql('documents')}),{_gopher_rules_core('gd')}"
+
+
+def _gopher_rules_core(rel: str) -> str:
+    """CTE chain + final SELECT (no leading WITH) mirroring
+    raydedup.gopher.gopher_rules over any (doc_id, text) relation —
+    thresholds and word lists are read from the module constants so the
+    two sides can never drift; every rule is an integer
     cross-multiplication (no floats to mismatch)."""
     from raydedup import gopher as g
-    from raydedup.corpus import qdocs_sql
 
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
     stop_list = ", ".join(f"'{w}'" for w in g.STOP_WORDS)
     bullet_like = " OR ".join(f"l LIKE '{p}%'" for p in g.BULLET_PREFIXES)
     return rf"""
-WITH gd AS ({qdocs_sql("documents")}),
-t AS (SELECT doc_id, coalesce(text, '') txt FROM gd),
+t AS (SELECT doc_id, coalesce(text, '') txt FROM {rel}),
 w AS (
   SELECT doc_id, txt,
     CASE WHEN trim(txt, {ws}) = '' THEN CAST([] AS VARCHAR[])
@@ -2141,11 +2148,13 @@ def _q_ngram_repetition(sf_dir: str):
     return docs.map_batches(ngram_repetition_signals, batch_format="pyarrow")
 
 
-def _ngram_rep_sql() -> str:
-    """DuckDB mirror of raydedup.ngramrep.ngram_repetition_signals —
-    generated per n from the module's TOP_NS/DUP_NS so the sides cannot
-    drift. String grams stand in for the engine's xxh64 gram hashes (the
-    repo-wide exact-string oracle assumption)."""
+def _ngram_rep_sql(rel: str = "documents") -> str:
+    """DuckDB mirror of raydedup.ngramrep.ngram_repetition_signals over
+    any (doc_id, text) relation — generated per n from the module's
+    TOP_NS/DUP_NS so the sides cannot drift. String grams stand in for
+    the engine's xxh64 gram hashes (the repo-wide exact-string oracle
+    assumption). Returns a full WITH...SELECT (nestable as a DuckDB
+    parenthesized subquery)."""
     from raydedup.ngramrep import DUP_NS, TOP_NS
 
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
@@ -2154,7 +2163,7 @@ def _ngram_rep_sql() -> str:
   SELECT doc_id, string_split_regex(trim(coalesce(text, ''), {ws}), '\s+') tl,
          length(list_aggregate(string_split_regex(trim(coalesce(text, ''), {ws}), '\s+'),
                                'string_agg', ' ')) dl
-  FROM documents WHERE trim(coalesce(text, ''), {ws}) <> '')"""
+  FROM {rel} WHERE trim(coalesce(text, ''), {ws}) <> '')"""
     ]
     sel = ["d.doc_id"]
     joins = ["LEFT JOIN toks k ON k.doc_id = d.doc_id"]
@@ -2202,9 +2211,76 @@ def _ngram_rep_sql() -> str:
         + ",\n".join(ctes)
         + "\nSELECT "
         + ",\n  ".join(sel)
-        + "\nFROM documents d\n"
+        + f"\nFROM {rel} d\n"
         + "\n".join(joins)
     )
+
+
+def _rep_signals_sql(rel: str) -> str:
+    """DuckDB mirror of raydedup.textstats.repetition_signals over any
+    (doc_id, text) relation (full WITH...SELECT, nestable as a subquery)."""
+    return f"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+  FROM {rel}
+),
+g AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+      FROM l WHERE line != '' GROUP BY doc_id, line),
+d AS (SELECT doc_id,
+             SUM(cnt) AS n_lines,
+             COUNT(*) AS n_distinct,
+             SUM(cnt * len) AS total_chars,
+             SUM((cnt - 1) * len) AS dup_chars
+      FROM g GROUP BY doc_id)
+SELECT doc_id,
+       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+       coalesce(floor((n_lines - n_distinct) / greatest(n_lines, 1) * 1e6)
+                / 1e6, 0.0) AS dup_line_frac,
+       coalesce(floor(dup_chars / greatest(total_chars, 1) * 1e6) / 1e6,
+                0.0) AS dup_char_frac
+FROM {rel} LEFT JOIN d USING (doc_id)
+"""
+
+
+def _q_gopher_full_filter(sf_dir: str):
+    """The complete Gopher Table-A1 filter (raydedup/gopher.py
+    gopher_full_filter): shape rules AND line-repetition AND n-gram
+    repetition thresholds, survivors over the quality-varied docs
+    fixture. All three signal families in ONE stateless map_batches."""
+    import ray.data
+
+    from raydedup.corpus import qdocs_parquet_path
+    from raydedup.gopher import gopher_full_filter
+
+    docs = ray.data.read_parquet(qdocs_parquet_path(sf_dir))
+    return gopher_full_filter(docs)
+
+
+def _gopher_full_filter_sql() -> str:
+    """Composed mirror: the three signal-family oracles (each already
+    hash-green standalone) nested as subqueries over the same qdocs
+    fixture, ANDed with the module thresholds."""
+    from raydedup import gopher as g
+    from raydedup.corpus import qdocs_sql
+    from raydedup.ngramrep import DUP_THRESHOLDS, TOP_THRESHOLDS
+
+    ng_conds = [
+        f"ng.top_{n}gram_char_frac <= {thr}" for n, thr in TOP_THRESHOLDS.items()
+    ] + [
+        f"ng.dup_{n}gram_char_frac <= {thr}" for n, thr in DUP_THRESHOLDS.items()
+    ]
+    return f"""
+WITH gd AS ({qdocs_sql("documents")}),
+r AS (WITH {_gopher_rules_core("gd")}),
+rep AS ({_rep_signals_sql("gd")}),
+ng AS ({_ngram_rep_sql("gd")})
+SELECT r.doc_id
+FROM r JOIN rep USING (doc_id) JOIN ng USING (doc_id)
+WHERE r.gopher_pass
+  AND rep.dup_line_frac <= {g.DUP_LINE_FRAC_MAX}
+  AND rep.dup_char_frac <= {g.DUP_LINE_CHAR_FRAC_MAX}
+  AND {" AND ".join(ng_conds)}
+"""
 
 
 _C4_MIN_SENTENCES = 1  # the fixture pages carry ~2 sentences; C4's own
@@ -2621,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_page_filter": _q_c4_page_filter,
         "dsir_weights": _q_dsir_weights,
         "ngram_repetition": _q_ngram_repetition,
+        "gopher_full_filter": _q_gopher_full_filter,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -3233,27 +3310,7 @@ pc AS (
 SELECT src, dst, cont_src, cont_dst
 FROM pc WHERE greatest(cont_src, cont_dst) >= 0.8
 """,
-        "repetition_signals": """
-WITH l AS (
-  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
-  FROM documents
-),
-g AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
-      FROM l WHERE line != '' GROUP BY doc_id, line),
-d AS (SELECT doc_id,
-             SUM(cnt) AS n_lines,
-             COUNT(*) AS n_distinct,
-             SUM(cnt * len) AS total_chars,
-             SUM((cnt - 1) * len) AS dup_chars
-      FROM g GROUP BY doc_id)
-SELECT doc_id,
-       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
-       coalesce(floor((n_lines - n_distinct) / greatest(n_lines, 1) * 1e6)
-                / 1e6, 0.0) AS dup_line_frac,
-       coalesce(floor(dup_chars / greatest(total_chars, 1) * 1e6) / 1e6,
-                0.0) AS dup_char_frac
-FROM documents LEFT JOIN d USING (doc_id)
-""",
+        "repetition_signals": _rep_signals_sql("documents"),
         "boilerplate_line_dedup": f"""
 WITH pages AS ({_pages_cte_sql()}),
 l AS (
@@ -3965,6 +4022,7 @@ FROM events GROUP BY 1, 2
         "c4_page_filter": _c4_page_filter_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "ngram_repetition": _ngram_rep_sql(),
+        "gopher_full_filter": _gopher_full_filter_sql(),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},
 e AS (SELECT id, unnest(sh) g FROM shing),

@@ -58,6 +58,11 @@ MAX_MEAN_WORD_LEN = 10
 # alpha_words >= 4/5, expressed as integer cross-multiplications below
 MIN_STOP_HITS = 2
 
+# Gopher A1.1 line-repetition removal thresholds (the two line-level
+# signals computed by raydedup.textstats.repetition_signals)
+DUP_LINE_FRAC_MAX = 0.30
+DUP_LINE_CHAR_FRAC_MAX = 0.20
+
 
 def _flat_words(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
     """(flat word array, per-row word counts) under the repo tokenization
@@ -174,6 +179,50 @@ def gopher_rules(
             "gopher_pass": pa.array(gopher_pass),
         }
     )
+
+
+def gopher_full_filter(
+    ds: "ray.data.Dataset",  # noqa: F821 - ray imported lazily by callers
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> "ray.data.Dataset":
+    """The COMPLETE Gopher quality filter (Rae et al. 2021 Table A1):
+    the 7 document-shape rules (:func:`gopher_rules`) AND the two
+    line-repetition thresholds (dup_line_frac <= 0.30, dup_char_frac <=
+    0.20, via :func:`raydedup.textstats.repetition_signals`) AND the nine
+    n-gram repetition thresholds (top-{2,3,4} / dup-{5..10} char
+    fractions, via :func:`raydedup.ngramrep.ngram_repetition_signals`).
+    Survivors only, id + keep_cols. All three signal families are
+    computed on the same batch in ONE stateless map_batches — no shuffle,
+    nothing materialized."""
+    from .ngramrep import (
+        DUP_THRESHOLDS,
+        TOP_THRESHOLDS,
+        ngram_repetition_signals,
+    )
+    from .textstats import repetition_signals
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rules = gopher_rules(batch, text_col=text_col, id_col=id_col)
+        mask = rules.column("gopher_pass").to_numpy(zero_copy_only=False).copy()
+        rep = repetition_signals(batch, text_col=text_col, id_col=id_col)
+        mask &= (
+            rep.column("dup_line_frac").to_numpy() <= DUP_LINE_FRAC_MAX
+        )
+        mask &= (
+            rep.column("dup_char_frac").to_numpy() <= DUP_LINE_CHAR_FRAC_MAX
+        )
+        ng = ngram_repetition_signals(batch, text_col=text_col, id_col=id_col)
+        for n, thr in TOP_THRESHOLDS.items():
+            mask &= ng.column(f"top_{n}gram_char_frac").to_numpy() <= thr
+        for n, thr in DUP_THRESHOLDS.items():
+            mask &= ng.column(f"dup_{n}gram_char_frac").to_numpy() <= thr
+        return batch.select([id_col, *keep_cols]).filter(pa.array(mask))
+
+    return ds.select_columns(
+        list(dict.fromkeys([id_col, text_col, *keep_cols]))
+    ).map_batches(fn, batch_format="pyarrow")
 
 
 def gopher_filter(

@@ -52,6 +52,11 @@ TOP_NS = (2, 3, 4)
 DUP_NS = (5, 6, 7, 8, 9, 10)
 _Q = 1e6
 
+# Gopher Table A1 removal thresholds: a document is removed when a signal
+# EXCEEDS its threshold (filters keep frac <= threshold)
+TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
 
 def ngram_repetition_signals(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"

@@ -172,6 +172,29 @@ def test_matches_scalar_reference():
         assert got["gopher_pass"][i] == want_pass, i
 
 
+def test_gopher_full_filter_drops_repetitive_docs(ray_session):
+    """Composition check: a doc that passes every SHAPE rule but is
+    dominated by one repeated bigram must be dropped by the n-gram
+    repetition thresholds; a repeated-line doc by the line thresholds."""
+    import ray.data
+
+    from raydedup.gopher import gopher_full_filter
+
+    # GOOD is deliberately repetitive ("running" x55) and must be dropped
+    # by the n-gram thresholds; `varied` has 60 distinct words and passes
+    varied = "the be " + " ".join(f"word{i:03d}" for i in range(58))
+    repetitive = "the be " + " ".join(["spam", "ham"] * 40)  # top-2gram heavy
+    dup_lines = "\n".join([varied] * 10)  # dup_line_frac 0.9
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([varied, repetitive, dup_lines, GOOD]),
+        }
+    )
+    out = gopher_full_filter(ray.data.from_arrow(t)).to_pandas()
+    assert list(out["doc_id"]) == [1]
+
+
 def test_gopher_filter_dataset(ray_session):
     import ray.data
 
