@@ -2334,6 +2334,39 @@ WHERE len(regexp_extract_all(text_clean, '{c4.SENTENCE_MARK_RE}')) >= {_C4_MIN_S
 """
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail LM-quality bucketing (Wenzek et al. 2019
+    §4.4: split the corpus into perplexity terciles; train preferentially
+    on the head). Engine: the corpus-trained bigram LM score
+    (raydedup/lm.py) chained into the exact distributed global-rank scan
+    (raydedup/scan.py), bucketed by INTEGER rank cross-multiplication —
+    tail: 3*(rank-1) < (n-1), middle: < 2*(n-1), else head — so the
+    boundary decision has no float to drift. One sort + O(blocks) driver
+    state; scores never materialize driver-side."""
+    from raydedup.lm import lm_scores
+    from raydedup.scan import global_ranks
+
+    scored = lm_scores(
+        _corpus_ds(sf_dir), _cfg(), min_count=_LM_MIN_COUNT
+    ).select_columns(["id", "score"])
+    ranked = global_ranks(scored, "score", "id")
+    n = ranked.count()
+
+    def bucket(b: pa.Table) -> pa.Table:
+        r = b.column("rank").to_numpy().astype(np.int64)
+        k = 3 * (r - 1)
+        lab = np.where(k < n - 1, "tail", np.where(k < 2 * (n - 1), "middle", "head"))
+        return pa.table(
+            {
+                "id": b.column("id"),
+                "score": b.column("score"),
+                "bucket": pa.array(lab.astype(object), pa.string()),
+            }
+        )
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
 def _q_cap_docs_per_source(sf_dir: str):
     """Corpus curation: keep at most 18 docs per source domain (smallest
     doc_id wins). One hash-partition shuffle + vectorized run-rank filter
@@ -2698,6 +2731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "ngram_repetition": _q_ngram_repetition,
         "gopher_full_filter": _q_gopher_full_filter,
+        "ccnet_buckets": _q_ccnet_buckets,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -3231,6 +3265,18 @@ WITH q AS ({sql["quality_scores"]})
 SELECT doc_id, quality,
        rank() OVER (ORDER BY quality) AS rank,
        floor(percent_rank() OVER (ORDER BY quality) * 1e6) / 1e6 AS pct_rank
+FROM q
+"""
+    # CCNet terciles wrap the lm_quality_scores oracle verbatim; the
+    # bucket boundaries are integer rank cross-multiplications (no floats)
+    sql["ccnet_buckets"] = f"""
+WITH q AS ({sql["lm_quality_scores"]})
+SELECT id, score,
+  CASE WHEN 3 * (rank() OVER (ORDER BY score) - 1) < count(*) OVER () - 1
+         THEN 'tail'
+       WHEN 3 * (rank() OVER (ORDER BY score) - 1) < 2 * (count(*) OVER () - 1)
+         THEN 'middle'
+       ELSE 'head' END AS bucket
 FROM q
 """
     # the composed curation pipeline: each engine stage mirrored as a CTE,

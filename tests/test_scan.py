@@ -252,3 +252,35 @@ def test_pack_and_chop_exact_layout(ray_session):
         assert (g["doc_off"].to_numpy()[1:] == (g["doc_off"] + g["n"]).to_numpy()[:-1]).all()
     # at least one doc actually splits across a boundary
     assert (out.groupby("doc_id").size() > 1).any()
+
+
+def test_ccnet_tercile_bucketing_integer_boundaries(ray_session):
+    """The ccnet_buckets rank->bucket rule (3*(rank-1) vs n-1 integer
+    cross-multiplication) splits exact terciles and keeps tie runs in one
+    bucket; mirrors the driver query's bucket map."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.scan import global_ranks
+
+    vals = [float(v) for v in [1, 1, 1, 2, 3, 4, 5, 6, 7]]  # tie run at min
+    t = pa.table(
+        {
+            "id": pa.array(list(range(9)), pa.int64()),
+            "score": pa.array(vals, pa.float64()),
+        }
+    )
+    ranked = global_ranks(ray.data.from_arrow(t), "score", "id")
+    df = ranked.to_pandas()
+    n = len(df)
+    k = 3 * (df["rank"].to_numpy(dtype=np.int64) - 1)
+    bucket = np.where(k < n - 1, "tail", np.where(k < 2 * (n - 1), "middle", "head"))
+    df["bucket"] = bucket
+    by_id = df.set_index("id")["bucket"]
+    # the three tied minima share rank 1 -> all tail
+    assert set(by_id[[0, 1, 2]]) == {"tail"}
+    assert by_id[8] == "head"
+    # buckets are monotone in score
+    order = df.sort_values(["score", "id"])["bucket"].tolist()
+    assert order == sorted(order, key=["tail", "middle", "head"].index)
