@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max
+from ray.data.aggregate import Count
 
 from .config import DEFAULT_CONFIG, SigConfig
 from .shingle import segment_unique, shingle_hashes
@@ -66,13 +66,21 @@ def _pairs_block(max_posting: int | None):
     groupby('sh').map_groups paid a python call per posting list, ruinous for
     millions of mostly-singleton shingles). All pairs of all runs are built
     in one segmented-arange pass: element a of an m-long run is src for
-    (m-1-a) pairs, its dsts are the next 1..(m-1-a) elements."""
+    (m-1-a) pairs, its dsts are the next 1..(m-1-a) elements.
+
+    Output is PRE-COMBINED per distinct (src, dst) within the partition
+    (column ``c`` = shared-shingle count seen here): a near-dup pair shares
+    many shingles, and every one landing in this partition would otherwise
+    ship its own row through the downstream combine — the map-side combine
+    collapses them to one row. :func:`_combine_pairs_block` then sums the
+    partials across partitions in a second grouped_blocks pass."""
 
     def emit(block: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "src": pa.array([], pa.int64()),
                 "dst": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
                 "na": pa.array([], pa.int32()),
                 "nb": pa.array([], pa.int32()),
             }
@@ -103,12 +111,21 @@ def _pairs_block(max_posting: int | None):
         dst_idx = src_idx + 1 + pair_loc
         # ids ascend within each run and are distinct per shingle
         # (segment_unique emits one posting per (sh, id)), so src < dst holds
+        s, d = ids[src_idx], ids[dst_idx]
+        na_, nb_ = nsh[src_idx], nsh[dst_idx]
+        o = np.lexsort((d, s))
+        s, d, na_, nb_ = s[o], d[o], na_[o], nb_[o]
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        idx = np.flatnonzero(first)
+        c = np.diff(np.concatenate([idx, [len(s)]]))
         return pa.table(
             {
-                "src": pa.array(ids[src_idx], type=pa.int64()),
-                "dst": pa.array(ids[dst_idx], type=pa.int64()),
-                "na": pa.array(nsh[src_idx], type=pa.int32()),
-                "nb": pa.array(nsh[dst_idx], type=pa.int32()),
+                "src": pa.array(s[idx], type=pa.int64()),
+                "dst": pa.array(d[idx], type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+                "na": pa.array(na_[idx], type=pa.int32()),
+                "nb": pa.array(nb_[idx], type=pa.int32()),
             }
         )
 
@@ -279,22 +296,64 @@ def drop_contaminated(
     )
 
 
+def _combine_pairs_block(block: pa.Table) -> pa.Table:
+    """Final combine for ONE src-hash partition of pre-combined pair
+    partials: sum ``c`` per (src, dst) — one lexsort + one reduceat. na/nb
+    are per-DOC unique-shingle counts (identical on every partial of a
+    pair), so the first value is exact."""
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "na": pa.array([], pa.int32()),
+            "nb": pa.array([], pa.int32()),
+        }
+    )
+    if block.num_rows == 0:
+        return empty
+    s = block.column("src").to_numpy()
+    d = block.column("dst").to_numpy()
+    c = block.column("c").to_numpy()
+    na = block.column("na").to_numpy()
+    nb = block.column("nb").to_numpy()
+    o = np.lexsort((d, s))
+    s, d, c, na, nb = s[o], d[o], c[o], na[o], nb[o]
+    first = np.ones(len(s), dtype=bool)
+    first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    idx = np.flatnonzero(first)
+    csum = np.add.reduceat(c, idx)
+    return pa.table(
+        {
+            "src": pa.array(s[idx], pa.int64()),
+            "dst": pa.array(d[idx], pa.int64()),
+            "c": pa.array(csum.astype(np.int64), pa.int64()),
+            "na": pa.array(na[idx], pa.int32()),
+            "nb": pa.array(nb[idx], pa.int32()),
+        }
+    )
+
+
 def _overlap_counts(
     corpus: "ray.data.Dataset",
     cfg: SigConfig,
     max_posting: int | None,
 ) -> "ray.data.Dataset":
     """Shared candidate machinery: exploded unique-shingle postings → one
-    hash-partitioned pair emission → (src, dst, count(), max(na), max(nb))
-    where count() is the EXACT shingle-set intersection size (one pair row
-    per shared shingle) and na/nb the docs' unique-shingle counts."""
+    hash-partitioned pair emission (pre-combined per partition) → one
+    src-hash-partitioned vectorized combine → (src, dst, c, na, nb) where
+    c is the EXACT shingle-set intersection size and na/nb the docs'
+    unique-shingle counts. Both wide steps are grouped_blocks passes —
+    ray.data's groupby().aggregate() paid sort-aggregate overhead per
+    GROUP, ruinous for the ~1 group/row pair table (measured 50x slower
+    at sf0.1: 250 s vs 5 s for the whole tier)."""
     postings = corpus.select_columns(["id", "content"]).map_batches(
         ShingleExplode(cfg), batch_format="pyarrow"
     )
     from .pipeline import grouped_blocks
 
     pairs = grouped_blocks(postings, "sh", _pairs_block(max_posting))
-    return pairs.groupby(["src", "dst"]).aggregate(Count(), Max("na"), Max("nb"))
+    return grouped_blocks(pairs, "src", _combine_pairs_block)
 
 
 def ngram_jaccard_pairs(
@@ -307,9 +366,9 @@ def ngram_jaccard_pairs(
     agg = _overlap_counts(corpus, cfg, max_posting)
 
     def finish(batch: pa.Table) -> pa.Table:
-        c = batch.column("count()").to_numpy().astype(np.float64)
-        na = batch.column("max(na)").to_numpy().astype(np.float64)
-        nb = batch.column("max(nb)").to_numpy().astype(np.float64)
+        c = batch.column("c").to_numpy().astype(np.float64)
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nb = batch.column("nb").to_numpy().astype(np.float64)
         j = c / (na + nb - c)
         keep = j >= threshold
         return pa.table(
@@ -342,9 +401,9 @@ def ngram_containment_pairs(
     agg = _overlap_counts(corpus, cfg, max_posting)
 
     def finish(batch: pa.Table) -> pa.Table:
-        c = batch.column("count()").to_numpy().astype(np.float64)
-        na = batch.column("max(na)").to_numpy().astype(np.float64)
-        nb = batch.column("max(nb)").to_numpy().astype(np.float64)
+        c = batch.column("c").to_numpy().astype(np.float64)
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nb = batch.column("nb").to_numpy().astype(np.float64)
         ca = c / na
         cb = c / nb
         keep = np.maximum(ca, cb) >= threshold
