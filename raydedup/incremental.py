@@ -521,7 +521,9 @@ def incremental_dedup_indexed(
         )
         t = cfg.winnow_k + cfg.winnow_window - 1
         min_shared = max(1, (cfg.min_substring_tokens - t) // cfg.winnow_window)
-        counted = fp_pairs.groupby(["src", "dst"]).count()
+        from .pipeline import pair_counts
+
+        counted = pair_counts(fp_pairs)
 
         def keep_shared(batch: pa.Table) -> pa.Table:
             kept = batch.filter(

@@ -20,7 +20,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count
 
 from .config import DEFAULT_CONFIG, SigConfig
 from .shingle import segment_unique, shingle_hashes
@@ -220,7 +219,9 @@ def decontaminate_pairs(
     pairs = grouped_blocks(
         p_train.union(p_eval), "sh", _cross_pairs_block(max_posting)
     )
-    agg = pairs.groupby(["train_id", "eval_id"]).aggregate(Count())
+    from .pipeline import pair_counts
+
+    agg = pair_counts(pairs, a="train_id", b="eval_id")
 
     def finish(batch: pa.Table) -> pa.Table:
         c = batch.column("count()").to_numpy()

@@ -91,6 +91,49 @@ def grouped_blocks(
     )
 
 
+def pair_counts(
+    pairs: "ray.data.Dataset",
+    a: str = "src",
+    b: str = "dst",
+    out: str = "count()",
+) -> "ray.data.Dataset":
+    """Exact occurrence counts per (a, b) pair — the vectorized replacement
+    for ``pairs.groupby([a, b]).count()``, whose sort-aggregate pays
+    per-GROUP overhead: ruinous on pair tables with ~1 group per row
+    (measured 28-64x slower on the sf0.1 exact n-gram tier). One
+    grouped_blocks pass hash-partitioned on ``a`` co-locates every
+    occurrence of a pair; the block fn is one lexsort + run-boundary diff.
+    Both id columns must be int64; the count column is int64 and named
+    ``out`` (default matches ray.data's ``count()`` for drop-in reuse)."""
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    a: pa.array([], pa.int64()),
+                    b: pa.array([], pa.int64()),
+                    out: pa.array([], pa.int64()),
+                }
+            )
+        x = t.column(a).to_numpy()
+        y = t.column(b).to_numpy()
+        o = np.lexsort((y, x))
+        x, y = x[o], y[o]
+        first = np.ones(len(x), dtype=bool)
+        first[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        idx = np.flatnonzero(first)
+        c = np.diff(np.concatenate([idx, [len(x)]]))
+        return pa.table(
+            {
+                a: pa.array(x[idx], pa.int64()),
+                b: pa.array(y[idx], pa.int64()),
+                out: pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return grouped_blocks(pairs, a, block)
+
+
 def key_codes(col) -> np.ndarray:
     """Int64-sortable codes for a key column of any dtype: integer columns
     pass through zero-copy; string/float/other columns are factorized with
@@ -711,7 +754,7 @@ def substring_edges(
     pairs = grouped_blocks(
         fp_rows, "fp", _fp_block_pairs(cfg.max_bucket_size, cross_min_id)
     )
-    counted = pairs.groupby(["src", "dst"]).count()
+    counted = pair_counts(pairs)
 
     def keep_shared(batch: pa.Table) -> pa.Table:
         mask = pc.greater_equal(batch.column("count()"), min_shared)
