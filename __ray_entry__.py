@@ -2349,8 +2349,7 @@ def _q_ccnet_buckets(sf_dir: str):
     scored = lm_scores(
         _corpus_ds(sf_dir), _cfg(), min_count=_LM_MIN_COUNT
     ).select_columns(["id", "score"])
-    ranked = global_ranks(scored, "score", "id")
-    n = ranked.count()
+    ranked, n = global_ranks(scored, "score", "id", with_count=True)
 
     def bucket(b: pa.Table) -> pa.Table:
         r = b.column("rank").to_numpy().astype(np.int64)

@@ -205,20 +205,27 @@ def gopher_full_filter(
 
     def fn(batch: pa.Table) -> pa.Table:
         rules = gopher_rules(batch, text_col=text_col, id_col=id_col)
-        mask = rules.column("gopher_pass").to_numpy(zero_copy_only=False).copy()
-        rep = repetition_signals(batch, text_col=text_col, id_col=id_col)
+        shape_ok = rules.column("gopher_pass").to_numpy(zero_copy_only=False)
+        # the cheap shape rules reject most of a real web corpus — compute
+        # the 11 repetition signals only on their survivors (pure AND
+        # composition, so the short-circuit cannot change the result)
+        sub = batch.filter(pa.array(shape_ok))
+        if sub.num_rows == 0:
+            return sub.select([id_col, *keep_cols])
+        mask = np.ones(sub.num_rows, dtype=bool)
+        rep = repetition_signals(sub, text_col=text_col, id_col=id_col)
         mask &= (
             rep.column("dup_line_frac").to_numpy() <= DUP_LINE_FRAC_MAX
         )
         mask &= (
             rep.column("dup_char_frac").to_numpy() <= DUP_LINE_CHAR_FRAC_MAX
         )
-        ng = ngram_repetition_signals(batch, text_col=text_col, id_col=id_col)
+        ng = ngram_repetition_signals(sub, text_col=text_col, id_col=id_col)
         for n, thr in TOP_THRESHOLDS.items():
             mask &= ng.column(f"top_{n}gram_char_frac").to_numpy() <= thr
         for n, thr in DUP_THRESHOLDS.items():
             mask &= ng.column(f"dup_{n}gram_char_frac").to_numpy() <= thr
-        return batch.select([id_col, *keep_cols]).filter(pa.array(mask))
+        return sub.select([id_col, *keep_cols]).filter(pa.array(mask))
 
     return ds.select_columns(
         list(dict.fromkeys([id_col, text_col, *keep_cols]))

@@ -112,12 +112,10 @@ def _pairs_block(max_posting: int | None):
         # (segment_unique emits one posting per (sh, id)), so src < dst holds
         s, d = ids[src_idx], ids[dst_idx]
         na_, nb_ = nsh[src_idx], nsh[dst_idx]
-        o = np.lexsort((d, s))
+        from .pipeline import pair_run_bounds
+
+        o, idx, c = pair_run_bounds(s, d)
         s, d, na_, nb_ = s[o], d[o], na_[o], nb_[o]
-        first = np.ones(len(s), dtype=bool)
-        first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
-        idx = np.flatnonzero(first)
-        c = np.diff(np.concatenate([idx, [len(s)]]))
         return pa.table(
             {
                 "src": pa.array(s[idx], type=pa.int64()),
@@ -318,11 +316,10 @@ def _combine_pairs_block(block: pa.Table) -> pa.Table:
     c = block.column("c").to_numpy()
     na = block.column("na").to_numpy()
     nb = block.column("nb").to_numpy()
-    o = np.lexsort((d, s))
+    from .pipeline import pair_run_bounds
+
+    o, idx, _ = pair_run_bounds(s, d)
     s, d, c, na, nb = s[o], d[o], c[o], na[o], nb[o]
-    first = np.ones(len(s), dtype=bool)
-    first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
-    idx = np.flatnonzero(first)
     csum = np.add.reduceat(c, idx)
     return pa.table(
         {

@@ -104,7 +104,8 @@ def global_ranks(
     id_col: str,
     out_rank: str = "rank",
     out_pct: str = "pct_rank",
-) -> "ray.data.Dataset":
+    with_count: bool = False,
+):
     """Exact SQL ``rank()`` / ``percent_rank()`` over the WHOLE dataset
     (ORDER BY value_col): rank = 1 + count of strictly smaller values,
     pct = (rank-1)/(n-1). The training-data use is percentile-normalizing a
@@ -186,7 +187,13 @@ def global_ranks(
             out_pct, pa.array(np.asarray(pct, dtype=np.float64), pa.float64())
         )
 
-    return sorted_ds.map_batches(_apply, batch_size=None, batch_format="pyarrow")
+    ranked = sorted_ds.map_batches(
+        _apply, batch_size=None, batch_format="pyarrow"
+    )
+    # with_count exposes the already-computed row total so callers that
+    # need n (e.g. integer tercile boundaries) don't pay an extra
+    # execution of the rank map just to count rows
+    return (ranked, n_total) if with_count else ranked
 
 
 def pack_token_shards(
