@@ -255,6 +255,47 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_filter(args: argparse.Namespace) -> int:
+    """Quality filtering over an (id, text) parquet corpus: Gopher shape
+    rules, the full Gopher Table-A1 filter (shape + repetition), or C4
+    line/page cleaning. Writes the survivors; prints a JSON summary."""
+    import ray.data
+
+    _init_ray(args.num_cpus)
+    ds = ray.data.read_parquet(args.inputs)
+    if args.mode == "c4":
+        from .c4filter import c4_filter
+
+        out = c4_filter(
+            ds,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_sentences=args.min_sentences,
+        )
+    elif args.mode == "gopher":
+        from .gopher import gopher_filter
+
+        out = gopher_filter(ds, text_col=args.text_col, id_col=args.id_col)
+    else:
+        from .gopher import gopher_full_filter
+
+        out = gopher_full_filter(ds, text_col=args.text_col, id_col=args.id_col)
+    out = out.materialize()
+    dest = os.path.join(args.out, "filtered")
+    out.write_parquet(dest)
+    print(
+        json.dumps(
+            {
+                "cmd": "filter",
+                "mode": args.mode,
+                "survivors": out.count(),
+                "out": dest,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_convert(args: argparse.Namespace) -> int:
     """Streaming format conversion (jsonl ↔ parquet) through Ray Data —
     corpora arrive as JSONL more often than parquet; every other command
@@ -428,6 +469,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep", choices=["dominance", "greedy"], default="dominance")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_semdedup)
+
+    p = sub.add_parser(
+        "filter",
+        help="quality filtering: gopher rules / full gopher / c4 cleaning",
+    )
+    p.add_argument("inputs", nargs="+", help="input parquet file(s)/dir(s)")
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--mode",
+        choices=["gopher", "gopher-full", "c4"],
+        default="gopher-full",
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    from .c4filter import MIN_SENTENCES as _C4_MIN
+
+    p.add_argument("--min-sentences", type=int, default=_C4_MIN)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_filter)
 
     p = sub.add_parser("convert", help="streaming jsonl ↔ parquet conversion")
     p.add_argument("inputs", nargs="+", help="input file(s)/dir(s)")

@@ -196,3 +196,28 @@ def test_cli_semdedup(tmp_path):
     assert n == 500
     assert kept == 500 - out["dropped"]
     assert 0 < out["dropped"] < 100  # matches the sf0.001 thr=0.4 regime
+
+
+def test_cli_filter(tmp_path):
+    import pyarrow.parquet as pq
+
+    from raydedup.corpus import qdocs_parquet_path
+
+    docs = qdocs_parquet_path("/root/testdata/sf0.001")
+    out = _run(
+        ["filter", docs, "--out", str(tmp_path / "f1"),
+         "--mode", "gopher-full", "--num-cpus", "4"]
+    )
+    assert out["cmd"] == "filter" and out["mode"] == "gopher-full"
+    written = pq.read_table(out["out"])
+    assert written.num_rows == out["survivors"] > 0
+    assert "doc_id" in written.column_names
+    total = pq.read_metadata(docs).num_rows
+    assert out["survivors"] < total  # the fixture plants failing tiers
+
+    out2 = _run(
+        ["filter", docs, "--out", str(tmp_path / "f2"),
+         "--mode", "gopher", "--num-cpus", "4"]
+    )
+    # shape-only is a superset of the full filter's survivors
+    assert out2["survivors"] >= out["survivors"]
