@@ -2366,6 +2366,53 @@ def _q_ccnet_buckets(sf_dir: str):
     return ranked.map_batches(bucket, batch_format="pyarrow")
 
 
+def _q_repo_overlap_matrix(sf_dir: str):
+    """Sketch-warehouse pairwise overlap (theta/JaccardSimilarity.java's
+    real deployment shape): ONE distributed aggregate pass builds a
+    serialized theta sketch of distinct contents per repo
+    (aggregates.theta_sketch_agg — the store-per-partition-sketches
+    pattern, theta/package-info.java:20-26), then query-time set algebra
+    (kmv.intersection + estimates) runs pairwise over the collected sketch
+    table. Driver state is bounded: n_repos sketches x <= k cells; the
+    pairwise loop is n_repos^2 over in-memory sketches (the
+    corpus-analytics regime — repos/sources/partitions, not documents).
+    Exact regime (distinct contents per repo << k=4096) so the oracle's
+    exact distinct-intersection counts hash-match; jaccard is ONE IEEE
+    division of exact integers on both sides."""
+    from raydedup.aggregates import theta_sketch_agg
+    from raydedup.kmv import KmvSketch, intersection
+
+    corpus = _corpus_ds(sf_dir).select_columns(["repo", "content"])
+    agg = corpus.groupby("repo").aggregate(
+        theta_sketch_agg("content", k=THETA_K, name="sk")
+    )
+    rows = agg.take_all()  # bounded: one row per repo
+    sk = {r["repo"]: KmvSketch.deserialize(r["sk"]) for r in rows}
+    repos = sorted(sk)
+    est = {r: int(round(sk[r].estimate())) for r in repos}
+    out_a: list = []
+    out_b: list = []
+    out_c: list = []
+    out_j: list = []
+    for i, ra in enumerate(repos):
+        for rb in repos[i + 1 :]:
+            inter = int(round(intersection(sk[ra], sk[rb]).estimate()))
+            if inter == 0:
+                continue
+            out_a.append(ra)
+            out_b.append(rb)
+            out_c.append(inter)
+            out_j.append(float(inter) / float(est[ra] + est[rb] - inter))
+    return pa.table(
+        {
+            "repo_a": pa.array(out_a, pa.string()),
+            "repo_b": pa.array(out_b, pa.string()),
+            "n_common": pa.array(out_c, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
 def _q_cap_docs_per_source(sf_dir: str):
     """Corpus curation: keep at most 18 docs per source domain (smallest
     doc_id wins). One hash-partition shuffle + vectorized run-rank filter
@@ -2731,6 +2778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": _q_ngram_repetition,
         "gopher_full_filter": _q_gopher_full_filter,
         "ccnet_buckets": _q_ccnet_buckets,
+        "repo_overlap_matrix": _q_repo_overlap_matrix,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -4067,6 +4115,17 @@ FROM events GROUP BY 1, 2
         "c4_page_filter": _c4_page_filter_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "ngram_repetition": _ngram_rep_sql(),
+        "repo_overlap_matrix": f"""
+WITH {corpus},
+s AS (SELECT DISTINCT repo, content FROM corpus),
+pr AS (SELECT a.repo ra, b.repo rb, CAST(count(*) AS BIGINT) n_common
+       FROM s a JOIN s b ON a.content = b.content AND a.repo < b.repo
+       GROUP BY 1, 2),
+sz AS (SELECT repo, CAST(count(*) AS BIGINT) n FROM s GROUP BY repo)
+SELECT ra AS repo_a, rb AS repo_b, n_common,
+       CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common) AS jaccard
+FROM pr JOIN sz za ON za.repo = pr.ra JOIN sz zb ON zb.repo = pr.rb
+""",
         "gopher_full_filter": _gopher_full_filter_sql(),
         "top_dup_repos": f"""
 WITH {corpus}, {_SHINGLES_CTE},

@@ -169,3 +169,32 @@ def test_build_sketch_sampling_p():
     assert exact.theta == MAX_THETA and exact.estimate() == len(np.unique(h[:100]))
     with pytest.raises(SketchesArgumentError):
         build_sketch(h, k=16, p=0.0)
+
+
+def test_sketch_warehouse_pairwise_overlap_exact_regime(ray_session):
+    """The repo_overlap_matrix shape: per-group serialized sketches from
+    ONE aggregate pass, pairwise intersection at query time — exact in
+    the k >> |set| regime."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.aggregates import theta_sketch_agg
+    from raydedup.kmv import KmvSketch, intersection
+
+    groups = {
+        "g0": [f"d{i}" for i in range(40)],
+        "g1": [f"d{i}" for i in range(20, 50)],  # |∩ g0| = 20
+        "g2": [f"x{i}" for i in range(10)],  # disjoint
+    }
+    rows_g, rows_v = [], []
+    for g, vals in groups.items():
+        rows_g += [g] * len(vals)
+        rows_v += vals
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(rows_g), "v": pa.array(rows_v)})
+    )
+    agg = ds.groupby("g").aggregate(theta_sketch_agg("v", k=4096, name="sk"))
+    sk = {r["g"]: KmvSketch.deserialize(r["sk"]) for r in agg.take_all()}
+    assert round(intersection(sk["g0"], sk["g1"]).estimate()) == 20
+    assert round(intersection(sk["g0"], sk["g2"]).estimate()) == 0
+    assert round(sk["g0"].estimate()) == 40
