@@ -2376,9 +2376,9 @@ def _q_repo_overlap_matrix(sf_dir: str):
     table. Driver state is bounded: n_repos sketches x <= k cells; the
     pairwise loop is n_repos^2 over in-memory sketches (the
     corpus-analytics regime — repos/sources/partitions, not documents).
-    Exact regime (distinct contents per repo << k=4096) so the oracle's
-    exact distinct-intersection counts hash-match; jaccard is ONE IEEE
-    division of exact integers on both sides."""
+    Exact regime (distinct contents per repo << k=THETA_K=131072) so the
+    oracle's exact distinct-intersection counts hash-match; jaccard is
+    ONE IEEE division of exact integers on both sides."""
     from raydedup.aggregates import theta_sketch_agg
     from raydedup.kmv import KmvSketch, intersection
 

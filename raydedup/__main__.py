@@ -264,22 +264,36 @@ def cmd_filter(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     ds = ray.data.read_parquet(args.inputs)
     if args.mode == "c4":
-        from .c4filter import c4_filter
+        from .c4filter import MIN_SENTENCES, c4_filter
 
         out = c4_filter(
             ds,
             text_col=args.text_col,
             id_col=args.id_col,
-            min_sentences=args.min_sentences,
+            min_sentences=(
+                MIN_SENTENCES
+                if args.min_sentences is None
+                else args.min_sentences
+            ),
         )
     elif args.mode == "gopher":
         from .gopher import gopher_filter
 
-        out = gopher_filter(ds, text_col=args.text_col, id_col=args.id_col)
+        out = gopher_filter(
+            ds,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            keep_cols=(args.text_col,),
+        )
     else:
         from .gopher import gopher_full_filter
 
-        out = gopher_full_filter(ds, text_col=args.text_col, id_col=args.id_col)
+        out = gopher_full_filter(
+            ds,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            keep_cols=(args.text_col,),
+        )
     out = out.materialize()
     dest = os.path.join(args.out, "filtered")
     out.write_parquet(dest)
@@ -483,9 +497,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
-    from .c4filter import MIN_SENTENCES as _C4_MIN
-
-    p.add_argument("--min-sentences", type=int, default=_C4_MIN)
+    # default None → resolved to c4filter.MIN_SENTENCES inside cmd_filter
+    # (importing it here would pull numpy/pyarrow at argparse build time)
+    p.add_argument("--min-sentences", type=int, default=None)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_filter)
 

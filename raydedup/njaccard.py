@@ -114,8 +114,8 @@ def _pairs_block(max_posting: int | None):
         na_, nb_ = nsh[src_idx], nsh[dst_idx]
         from .pipeline import pair_run_bounds
 
-        o, idx, c = pair_run_bounds(s, d)
-        s, d, na_, nb_ = s[o], d[o], na_[o], nb_[o]
+        o, idx, c, s, d = pair_run_bounds(s, d)
+        na_, nb_ = na_[o], nb_[o]
         return pa.table(
             {
                 "src": pa.array(s[idx], type=pa.int64()),
@@ -318,8 +318,8 @@ def _combine_pairs_block(block: pa.Table) -> pa.Table:
     nb = block.column("nb").to_numpy()
     from .pipeline import pair_run_bounds
 
-    o, idx, _ = pair_run_bounds(s, d)
-    s, d, c, na, nb = s[o], d[o], c[o], na[o], nb[o]
+    o, idx, _, s, d = pair_run_bounds(s, d)
+    c, na, nb = c[o], na[o], nb[o]
     csum = np.add.reduceat(c, idx)
     return pa.table(
         {

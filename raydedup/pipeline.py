@@ -93,20 +93,23 @@ def grouped_blocks(
 
 def pair_run_bounds(
     x: np.ndarray, y: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Group two parallel int arrays by (x, y): returns ``(order,
-    first_idx, run_counts)`` where ``order`` lexsorts by (x, y),
-    ``first_idx`` indexes (into the sorted view) the first element of each
-    distinct (x, y) run and ``run_counts`` its length. The shared kernel
-    behind every vectorized pair combine (:func:`pair_counts`,
-    njaccard's pre-combine and final combine)."""
+    first_idx, run_counts, x_sorted, y_sorted)`` where ``order`` lexsorts
+    by (x, y), ``first_idx`` indexes (into the sorted view) the first
+    element of each distinct (x, y) run and ``run_counts`` its length.
+    The sorted key arrays are returned because every caller needs them —
+    re-gathering ``x[order]`` at the call site would pay a second O(n)
+    fancy-index per key column. The shared kernel behind every vectorized
+    pair combine (:func:`pair_counts`, njaccard's pre-combine and final
+    combine)."""
     o = np.lexsort((y, x))
     xs, ys = x[o], y[o]
     first = np.ones(len(xs), dtype=bool)
     first[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
     idx = np.flatnonzero(first)
     counts = np.diff(np.concatenate([idx, [len(xs)]]))
-    return o, idx, counts
+    return o, idx, counts, xs, ys
 
 
 def pair_counts(
@@ -135,8 +138,7 @@ def pair_counts(
             )
         x = t.column(a).to_numpy()
         y = t.column(b).to_numpy()
-        o, idx, c = pair_run_bounds(x, y)
-        x, y = x[o], y[o]
+        _, idx, c, x, y = pair_run_bounds(x, y)
         return pa.table(
             {
                 a: pa.array(x[idx], pa.int64()),
