@@ -2216,12 +2216,18 @@ def _ngram_rep_sql(rel: str = "documents") -> str:
     )
 
 
-def _rep_signals_sql(rel: str) -> str:
-    """DuckDB mirror of raydedup.textstats.repetition_signals over any
-    (doc_id, text) relation (full WITH...SELECT, nestable as a subquery)."""
+def _rep_signals_sql(
+    rel: str,
+    sep: str = "chr(10)",
+    names: tuple = ("n_lines", "dup_line_frac", "dup_char_frac"),
+) -> str:
+    """DuckDB mirror of raydedup.textstats.repetition_signals (and, with
+    sep=chr(10)||chr(10) + renamed columns, para_repetition_signals) over
+    any (doc_id, text) relation (full WITH...SELECT, nestable as a
+    subquery)."""
     return f"""
 WITH l AS (
-  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), {sep})) AS line
   FROM {rel}
 ),
 g AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
@@ -2233,13 +2239,30 @@ d AS (SELECT doc_id,
              SUM((cnt - 1) * len) AS dup_chars
       FROM g GROUP BY doc_id)
 SELECT doc_id,
-       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(n_lines, 0) AS BIGINT) AS {names[0]},
        coalesce(floor((n_lines - n_distinct) / greatest(n_lines, 1) * 1e6)
-                / 1e6, 0.0) AS dup_line_frac,
+                / 1e6, 0.0) AS {names[1]},
        coalesce(floor(dup_chars / greatest(total_chars, 1) * 1e6) / 1e6,
-                0.0) AS dup_char_frac
+                0.0) AS {names[2]}
 FROM {rel} LEFT JOIN d USING (doc_id)
 """
+
+
+_PARA_NAMES = ("n_paras", "dup_para_frac", "dup_para_char_frac")
+
+
+def _q_para_repetition(sf_dir: str):
+    """Paragraph-granularity Gopher repetition signals
+    (raydedup/textstats.py para_repetition_signals) over the
+    quality-varied fixture (its duplicated-paragraph tier fires the
+    thresholds). Stateless vectorized map_batches."""
+    import ray.data
+
+    from raydedup.corpus import qdocs_parquet_path
+    from raydedup.textstats import para_repetition_signals
+
+    docs = ray.data.read_parquet(qdocs_parquet_path(sf_dir))
+    return docs.map_batches(para_repetition_signals, batch_format="pyarrow")
 
 
 def _q_gopher_full_filter(sf_dir: str):
@@ -2273,14 +2296,31 @@ def _gopher_full_filter_sql() -> str:
 WITH gd AS ({qdocs_sql("documents")}),
 r AS (WITH {_gopher_rules_core("gd")}),
 rep AS ({_rep_signals_sql("gd")}),
+par AS ({_rep_signals_sql("gd", sep="chr(10) || chr(10)", names=_PARA_NAMES)}),
 ng AS ({_ngram_rep_sql("gd")})
 SELECT r.doc_id
-FROM r JOIN rep USING (doc_id) JOIN ng USING (doc_id)
+FROM r JOIN rep USING (doc_id) JOIN par USING (doc_id) JOIN ng USING (doc_id)
 WHERE r.gopher_pass
   AND rep.dup_line_frac <= {g.DUP_LINE_FRAC_MAX}
   AND rep.dup_char_frac <= {g.DUP_LINE_CHAR_FRAC_MAX}
+  AND par.dup_para_frac <= {g.DUP_PARA_FRAC_MAX}
+  AND par.dup_para_char_frac <= {g.DUP_PARA_CHAR_FRAC_MAX}
   AND {" AND ".join(ng_conds)}
 """
+
+
+def _para_repetition_sql() -> str:
+    """Paragraph-repetition mirror over the qdocs fixture (the line mirror
+    with a blank-line separator and the paragraph column names)."""
+    from raydedup.corpus import qdocs_sql
+
+    inner = _rep_signals_sql(
+        "gd", sep="chr(10) || chr(10)", names=_PARA_NAMES
+    )
+    return (
+        f"WITH gd AS ({qdocs_sql('documents')}),\n"
+        f"x AS ({inner})\nSELECT * FROM x"
+    )
 
 
 _C4_MIN_SENTENCES = 1  # the fixture pages carry ~2 sentences; C4's own
@@ -2779,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_full_filter": _q_gopher_full_filter,
         "ccnet_buckets": _q_ccnet_buckets,
         "repo_overlap_matrix": _q_repo_overlap_matrix,
+        "para_repetition": _q_para_repetition,
         "quality_percentiles": _q_quality_percentiles,
         "cap_docs_per_source": _q_cap_docs_per_source,
         "curate_corpus": _q_curate_corpus,
@@ -3404,6 +3445,7 @@ SELECT src, dst, cont_src, cont_dst
 FROM pc WHERE greatest(cont_src, cont_dst) >= 0.8
 """,
         "repetition_signals": _rep_signals_sql("documents"),
+        "para_repetition": _para_repetition_sql(),
         "boilerplate_line_dedup": f"""
 WITH pages AS ({_pages_cte_sql()}),
 l AS (

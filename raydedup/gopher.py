@@ -58,10 +58,12 @@ MAX_MEAN_WORD_LEN = 10
 # alpha_words >= 4/5, expressed as integer cross-multiplications below
 MIN_STOP_HITS = 2
 
-# Gopher A1.1 line-repetition removal thresholds (the two line-level
-# signals computed by raydedup.textstats.repetition_signals)
+# Gopher A1.1 line/paragraph-repetition removal thresholds (computed by
+# raydedup.textstats.repetition_signals / para_repetition_signals)
 DUP_LINE_FRAC_MAX = 0.30
 DUP_LINE_CHAR_FRAC_MAX = 0.20
+DUP_PARA_FRAC_MAX = 0.30
+DUP_PARA_CHAR_FRAC_MAX = 0.20
 
 
 def _flat_words(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
@@ -188,12 +190,14 @@ def gopher_full_filter(
     keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """The COMPLETE Gopher quality filter (Rae et al. 2021 Table A1):
-    the 7 document-shape rules (:func:`gopher_rules`) AND the two
-    line-repetition thresholds (dup_line_frac <= 0.30, dup_char_frac <=
-    0.20, via :func:`raydedup.textstats.repetition_signals`) AND the nine
+    the 7 document-shape rules (:func:`gopher_rules`) AND the four
+    line/paragraph-repetition thresholds (dup fraction <= 0.30, dup char
+    fraction <= 0.20 at both granularities, via
+    :func:`raydedup.textstats.repetition_signals` /
+    :func:`~raydedup.textstats.para_repetition_signals`) AND the nine
     n-gram repetition thresholds (top-{2,3,4} / dup-{5..10} char
     fractions, via :func:`raydedup.ngramrep.ngram_repetition_signals`).
-    Survivors only, id + keep_cols. All three signal families are
+    Survivors only, id + keep_cols. All four signal families are
     computed on the same batch in ONE stateless map_batches — no shuffle,
     nothing materialized."""
     from .ngramrep import (
@@ -201,7 +205,7 @@ def gopher_full_filter(
         TOP_THRESHOLDS,
         ngram_repetition_signals,
     )
-    from .textstats import repetition_signals
+    from .textstats import para_repetition_signals, repetition_signals
 
     def fn(batch: pa.Table) -> pa.Table:
         rules = gopher_rules(batch, text_col=text_col, id_col=id_col)
@@ -219,6 +223,12 @@ def gopher_full_filter(
         )
         mask &= (
             rep.column("dup_char_frac").to_numpy() <= DUP_LINE_CHAR_FRAC_MAX
+        )
+        par = para_repetition_signals(sub, text_col=text_col, id_col=id_col)
+        mask &= par.column("dup_para_frac").to_numpy() <= DUP_PARA_FRAC_MAX
+        mask &= (
+            par.column("dup_para_char_frac").to_numpy()
+            <= DUP_PARA_CHAR_FRAC_MAX
         )
         ng = ngram_repetition_signals(sub, text_col=text_col, id_col=id_col)
         for n, thr in TOP_THRESHOLDS.items():

@@ -212,29 +212,51 @@ def fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def repetition_signals(
+def para_repetition_signals(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
-    """Gopher-style within-document repetition signals (Rae et al. 2021
-    §A1.1): per doc, over its NON-EMPTY lines —
+    """The PARAGRAPH half of Gopher §A1.1's repetition signals: identical
+    kernel to :func:`repetition_signals` with units split on blank lines
+    (``\\n\\n``) instead of ``\\n`` — columns ``n_paras``,
+    ``dup_para_frac``, ``dup_para_char_frac``."""
+    return repetition_signals(
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        sep="\n\n",
+        names=("n_paras", "dup_para_frac", "dup_para_char_frac"),
+    )
 
-    * ``n_lines``        — count of non-empty lines;
-    * ``dup_line_frac``  — fraction of lines that are repeats of an
-      earlier identical line, (n_lines − n_distinct) / n_lines;
+
+def repetition_signals(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    names: tuple = ("n_lines", "dup_line_frac", "dup_char_frac"),
+) -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1): per doc, over its NON-EMPTY units (``sep``-separated — lines
+    by default; :func:`para_repetition_signals` passes ``\\n\\n`` for the
+    appendix's paragraph variant) —
+
+    * ``n_lines``        — count of non-empty units;
+    * ``dup_line_frac``  — fraction of units that are repeats of an
+      earlier identical unit, (n_lines − n_distinct) / n_lines;
     * ``dup_char_frac``  — fraction of characters sitting in those repeat
       occurrences, Σ(cnt−1)·len / Σ cnt·len.
 
-    Docs with no non-empty lines get (0, 0.0, 0.0). Fractions are
+    Docs with no non-empty units get (0, 0.0, 0.0). Fractions are
     floor-quantized to 1e-6 (same convention as :func:`quality_score`) so
     the DuckDB oracle compares bit-exactly. Fully vectorized: one split,
-    one xxh64 pass over the flat line buffer, one lexsort; line equality is
+    one xxh64 pass over the flat unit buffer, one lexsort; unit equality is
     64-bit-hash equality (the repo-wide convention — collisions are
     2^-64-scale and shared with the oracle's assumption)."""
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     n_docs = len(text)
-    lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    lines = pc.split_pattern(pc.fill_null(text, ""), sep)
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     flat_lines = lines.flatten()
@@ -261,9 +283,9 @@ def repetition_signals(
     return pa.table(
         {
             id_col: batch.column(id_col),
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
-            "dup_char_frac": pa.array(dup_char_frac, pa.float64()),
+            names[0]: pa.array(n_lines, pa.int64()),
+            names[1]: pa.array(dup_line_frac, pa.float64()),
+            names[2]: pa.array(dup_char_frac, pa.float64()),
         }
     )
 

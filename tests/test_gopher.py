@@ -212,3 +212,27 @@ def test_gopher_filter_dataset(ray_session):
     ).to_pandas()
     assert list(out["doc_id"]) == [1]
     assert list(out["source"]) == ["a"]
+
+
+def test_para_repetition_and_full_filter_para_threshold(ray_session):
+    """A doc whose text is repeated as a second paragraph has
+    dup_para_frac 0.5 and must be dropped by the full filter even though
+    its lines and n-grams are within thresholds per paragraph."""
+    import ray.data
+
+    from raydedup.gopher import gopher_full_filter
+    from raydedup.textstats import para_repetition_signals
+
+    varied = "the be " + " ".join(f"word{i:03d}" for i in range(58))
+    dup_para = varied + "\n\n" + varied
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([varied, dup_para]),
+        }
+    )
+    sig = para_repetition_signals(t).to_pydict()
+    assert sig["n_paras"] == [1, 2]
+    assert sig["dup_para_frac"] == [0.0, 0.5]
+    out = gopher_full_filter(ray.data.from_arrow(t)).to_pandas()
+    assert list(out["doc_id"]) == [1]
