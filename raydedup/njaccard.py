@@ -252,7 +252,32 @@ def drop_contaminated(
     left-outer anti-join (same pattern as pipeline.assign_clusters)."""
     from .pipeline import join_partitions
 
-    flagged = pairs.groupby("train_id").count().materialize()
+    # distinct flagged train ids via one co-locating grouped_blocks pass —
+    # groupby().count() paid per-group overhead over up-to-|train| groups
+    # (the pair-counting pathology; see pipeline.pair_counts)
+    from .pipeline import grouped_blocks
+
+    def _distinct_block(t: pa.Table) -> pa.Table:
+        # "flag" marks right-side matches in the anti-join fallback (the
+        # join drops the redundant right key column itself)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "train_id": pa.array([], pa.int64()),
+                    "flag": pa.array([], pa.int8()),
+                }
+            )
+        v = np.unique(t.column("train_id").to_numpy())
+        return pa.table(
+            {
+                "train_id": pa.array(v, pa.int64()),
+                "flag": pa.array(np.ones(len(v), np.int8)),
+            }
+        )
+
+    flagged = grouped_blocks(
+        pairs.select_columns(["train_id"]), "train_id", _distinct_block
+    ).materialize()
     n_flagged = flagged.count()
     if n_flagged <= broadcast_limit:
         tables = [t for t in ray.get(flagged.to_arrow_refs()) if t.num_rows]
@@ -286,9 +311,9 @@ def drop_contaminated(
         on=(id_col,),
         right_on=("train_id",),
     )
-    drop = {"train_id", "count()"}
+    drop = {"train_id", "flag"}
     return joined.map_batches(
-        lambda b: b.filter(pc.is_null(b.column("count()"))).select(
+        lambda b: b.filter(pc.is_null(b.column("flag"))).select(
             [c for c in b.column_names if c not in drop]
         ),
         batch_format="pyarrow",
