@@ -2026,6 +2026,12 @@ def _gopher_rules_core(rel: str) -> str:
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
     stop_list = ", ".join(f"'{w}'" for w in g.STOP_WORDS)
     bullet_like = " OR ".join(f"l LIKE '{p}%'" for p in g.BULLET_PREFIXES)
+    ell_like = " OR ".join(f"l LIKE '%{e}'" for e in g.ELLIPSIS_SUFFIXES)
+    # per-suffix occurrence counts (length diff / suffix char length)
+    ell_count = " + ".join(
+        f"(length(txt) - length(replace(txt, '{e}', ''))) // {len(e)}"
+        for e in g.ELLIPSIS_SUFFIXES
+    )
     return rf"""
 t AS (SELECT doc_id, coalesce(text, '') txt FROM {rel}),
 w AS (
@@ -2038,20 +2044,20 @@ m AS (
   SELECT doc_id,
     CAST(len(words) AS BIGINT) n_words,
     CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) word_chars,
-    CAST((length(txt) - length(replace(txt, '#', '')))
-       + (length(txt) - length(replace(txt, '{g.ELLIPSIS_SUFFIX}', ''))) // 3 AS BIGINT) n_symbols,
+    CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) n_hash_symbols,
+    CAST({ell_count} AS BIGINT) n_ellipsis_symbols,
     CAST(len(lines) AS BIGINT) n_lines,
     CAST(len(list_filter(lines, l -> {bullet_like})) AS BIGINT) n_bullet_lines,
-    CAST(len(list_filter(lines, l -> l LIKE '%{g.ELLIPSIS_SUFFIX}')) AS BIGINT) n_ellipsis_lines,
+    CAST(len(list_filter(lines, l -> {ell_like})) AS BIGINT) n_ellipsis_lines,
     CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) n_alpha_words,
     CAST(len(list_filter([{stop_list}], s -> list_contains(words, s))) AS BIGINT) n_stop_hits
   FROM w)
-SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet_lines,
-       n_ellipsis_lines, n_alpha_words, n_stop_hits,
+SELECT doc_id, n_words, word_chars, n_hash_symbols, n_ellipsis_symbols,
+       n_lines, n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
   (n_words >= {g.MIN_WORDS} AND n_words <= {g.MAX_WORDS}) word_count_ok,
   ({g.MIN_MEAN_WORD_LEN} * n_words <= word_chars
      AND word_chars <= {g.MAX_MEAN_WORD_LEN} * n_words) mean_word_len_ok,
-  (10 * n_symbols <= n_words) symbol_ok,
+  (10 * n_hash_symbols <= n_words AND 10 * n_ellipsis_symbols <= n_words) symbol_ok,
   (10 * n_bullet_lines <= 9 * n_lines) bullet_ok,
   (10 * n_ellipsis_lines <= 3 * n_lines) ellipsis_ok,
   (5 * n_alpha_words >= 4 * n_words) alpha_ok,
@@ -2059,7 +2065,7 @@ SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet_lines,
   ((n_words >= {g.MIN_WORDS} AND n_words <= {g.MAX_WORDS})
    AND ({g.MIN_MEAN_WORD_LEN} * n_words <= word_chars
         AND word_chars <= {g.MAX_MEAN_WORD_LEN} * n_words)
-   AND (10 * n_symbols <= n_words)
+   AND (10 * n_hash_symbols <= n_words AND 10 * n_ellipsis_symbols <= n_words)
    AND (10 * n_bullet_lines <= 9 * n_lines)
    AND (10 * n_ellipsis_lines <= 3 * n_lines)
    AND (5 * n_alpha_words >= 4 * n_words)

@@ -319,13 +319,17 @@ def cmd_convert(args: argparse.Namespace) -> int:
     fmt_in = args.input_format
     if fmt_in == "auto":
         # Detect from EVERY input, not just the first: a mixed list or an
-        # extension-less path (e.g. a directory) must be an explicit error
-        # rather than a silent wrong-reader read.
+        # extension-less FILE must be an explicit error rather than a
+        # silent wrong-reader read. Directories are parquet — the format
+        # every write_parquet in this repo produces and every other
+        # subcommand consumes.
         def _detect(path: str) -> str | None:
             p = path.rstrip("/")
             if p.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
                 return "jsonl"
             if p.endswith((".parquet", ".pq")):
+                return "parquet"
+            if os.path.isdir(path):
                 return "parquet"
             return None
 

@@ -539,6 +539,54 @@ def bpe_word_tokenization(
     return word_table.map_batches(decode, batch_format="pyarrow")
 
 
+def _collect_word_table(
+    train_result: dict, with_bpe: bool
+) -> tuple[np.ndarray, "np.ndarray | None", np.ndarray]:
+    """Driver-side collection of the trained word→segmentation table,
+    sorted by word for searchsorted lookup: (words, bpes-or-None, n_syms).
+    Shared by :func:`tokenize_with_merges` and :func:`bpe_encode_docs` so
+    the broadcast-prep logic cannot drift between them. The table is
+    bounded by the corpus vocabulary (the train-side invariant)."""
+    wt = bpe_word_tokenization(train_result["word_table"], train_result["symbols"])
+    parts = [b for b in wt.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return (
+            np.array([], dtype=str),
+            np.array([], dtype=object) if with_bpe else None,
+            np.zeros(0, np.int64),
+        )
+    t = pa.concat_tables(parts)
+    words = np.array(t.column("w").to_pylist())
+    bpes = (
+        np.array(t.column("bpe").to_pylist(), dtype=object) if with_bpe else None
+    )
+    nsyms = t.column("n_syms").to_numpy().astype(np.int64)
+    order = np.argsort(words)
+    return (
+        words[order],
+        bpes[order] if with_bpe else None,
+        nsyms[order],
+    )
+
+
+def _lookup_or_raise(
+    w_arr: np.ndarray, toks: np.ndarray
+) -> np.ndarray:
+    """Indices of ``toks`` in the sorted vocabulary ``w_arr``; raises
+    KeyError on out-of-vocabulary tokens (the shared apply-time contract:
+    BPE was trained on a different corpus — train on a superset or
+    pre-filter instead of silently mis-counting)."""
+    idx = np.searchsorted(w_arr, toks)
+    idx = np.clip(idx, 0, max(len(w_arr) - 1, 0))
+    hit = w_arr[idx] == toks if len(w_arr) else np.zeros(len(toks), bool)
+    if not hit.all():
+        missing = toks[~hit][:3]
+        raise KeyError(
+            f"tokens not in the trained vocabulary: {missing.tolist()}"
+        )
+    return idx
+
+
 def tokenize_with_merges(
     corpus: "ray.data.Dataset",  # noqa: F821
     train_result: dict,
@@ -548,19 +596,13 @@ def tokenize_with_merges(
     """Apply a trained BPE to documents → Dataset(id, n_bpe): per document
     the total BPE symbol count over its tokens. The word→n_syms table is
     broadcast ONCE (ray.put) and looked up map-side by searchsorted — no
-    shuffle of the corpus. Documents with zero tokens report 0."""
+    shuffle of the corpus. Documents with zero tokens report 0.
+    Out-of-vocabulary tokens raise KeyError (the same contract as
+    :func:`bpe_encode_docs` — a silent 0 count would corrupt token
+    budgets downstream)."""
     import ray
 
-    wt = bpe_word_tokenization(train_result["word_table"], train_result["symbols"])
-    parts = [b for b in wt.iter_batches(batch_format="pyarrow") if b.num_rows]
-    if parts:
-        t = pa.concat_tables(parts)
-        words = np.array(t.column("w").to_pylist())
-        nsyms = t.column("n_syms").to_numpy().astype(np.int64)
-        order = np.argsort(words)
-        words, nsyms = words[order], nsyms[order]
-    else:
-        words, nsyms = np.array([], dtype=str), np.zeros(0, np.int64)
+    words, _, nsyms = _collect_word_table(train_result, with_bpe=False)
     ref = ray.put((words, nsyms))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -575,12 +617,9 @@ def tokenize_with_merges(
         n = batch.num_rows
         out = np.zeros(n, np.int64)
         if len(toks):
-            idx = np.searchsorted(w_arr, toks)
-            idx = np.clip(idx, 0, max(len(w_arr) - 1, 0))
-            hit = w_arr[idx] == toks if len(w_arr) else np.zeros(len(toks), bool)
-            vals = np.where(hit, n_arr[idx], 0)
+            idx = _lookup_or_raise(w_arr, toks)
             row_of = np.repeat(np.arange(n, dtype=np.int64), per_row)
-            np.add.at(out, row_of, vals)
+            np.add.at(out, row_of, n_arr[idx])
         return pa.table(
             {
                 "id": batch.column(id_col),
@@ -612,19 +651,7 @@ def bpe_encode_docs(
 
     import ray
 
-    wt = bpe_word_tokenization(train_result["word_table"], train_result["symbols"])
-    parts = [b for b in wt.iter_batches(batch_format="pyarrow") if b.num_rows]
-    if parts:
-        t = pa.concat_tables(parts)
-        words = np.array(t.column("w").to_pylist())
-        bpes = np.array(t.column("bpe").to_pylist(), dtype=object)
-        nsyms = t.column("n_syms").to_numpy().astype(np.int64)
-        order = np.argsort(words)
-        words, bpes, nsyms = words[order], bpes[order], nsyms[order]
-    else:
-        words = np.array([], dtype=str)
-        bpes = np.array([], dtype=object)
-        nsyms = np.zeros(0, np.int64)
+    words, bpes, nsyms = _collect_word_table(train_result, with_bpe=True)
     ref = ray.put((words, bpes, nsyms))
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -634,14 +661,7 @@ def bpe_encode_docs(
         toks = np.array(flat.to_pylist())
         n = batch.num_rows
         if len(toks):
-            idx = np.searchsorted(w_arr, toks)
-            idx = np.clip(idx, 0, max(len(w_arr) - 1, 0))
-            hit = w_arr[idx] == toks
-            if not hit.all():
-                missing = toks[~hit][:3]
-                raise KeyError(
-                    f"tokens not in the trained vocabulary: {missing.tolist()}"
-                )
+            idx = _lookup_or_raise(w_arr, toks)
             seg = b_arr[idx]
             counts = n_arr[idx]
         else:

@@ -7,7 +7,7 @@ form):
 
 * it ends in a terminal punctuation mark (``.``, ``!``, ``?`` or a
   closing double quote — C4's rule verbatim);
-* it has at least ``min_line_words`` whitespace words (C4: 3);
+* it has at least ``min_line_words`` whitespace words (C4: 5);
 * it does not contain the word ``javascript`` (case-insensitive).
 
 Page rule — a page survives iff:
@@ -17,7 +17,7 @@ Page rule — a page survives iff:
   C4's naughty-word blocklist is the same mechanism with a longer list —
   pass it in);
 * its kept text has at least ``min_sentences`` sentences, counted as
-  terminal-punctuation marks ``[.!?]`` in the kept text (C4: 5; the
+  terminal-punctuation marks ``[.!?]`` in the kept text (C4: 3; the
   driver query passes 1 because the synthetic fixture pages carry ~2
   sentences).
 
@@ -41,8 +41,8 @@ _ASCII_WS = " \t\n\r\v\f"
 
 TERMINAL_PUNCT_RE = '[.!?"]$'
 SENTENCE_MARK_RE = "[.!?]"
-MIN_LINE_WORDS = 3
-MIN_SENTENCES = 5
+MIN_LINE_WORDS = 5
+MIN_SENTENCES = 3
 BLOCK_SUBSTRINGS = ("lorem ipsum", "{")
 JS_WORD = "javascript"
 

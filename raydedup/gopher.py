@@ -8,11 +8,13 @@ this module covers the document-shape rules:
 
 1.  ``word_count_ok``  — 50 <= n_words <= 100_000;
 2.  ``mean_word_len_ok`` — mean word length in [3, 10] characters;
-3.  ``symbol_ok``      — symbol-to-word ratio <= 0.1 (symbols: ``#`` and
-    the three-dot ellipsis ``...``);
+3.  ``symbol_ok``      — symbol-to-word ratio <= 0.1 for EACH symbol
+    class separately (the paper's "either the hash symbol or the
+    ellipsis" wording): ``#`` occurrences, and ellipsis occurrences
+    counting both ``...`` and the unicode ``…``;
 4.  ``bullet_ok``      — <= 90% of lines start with a bullet prefix
     (``- ``, ``* ``, ``• ``);
-5.  ``ellipsis_ok``    — <= 30% of lines end with ``...``;
+5.  ``ellipsis_ok``    — <= 30% of lines end with ``...`` or ``…``;
 6.  ``alpha_ok``       — >= 80% of words contain at least one alphabetic
     character;
 7.  ``stop_ok``        — at least 2 DISTINCT stop words from Gopher's
@@ -48,7 +50,8 @@ _ASCII_WS = " \t\n\r\v\f"
 # Gopher A1's "must contain at least 2 of the following English words"
 STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 BULLET_PREFIXES = ("- ", "* ", "• ")
-ELLIPSIS_SUFFIX = "..."
+ELLIPSIS_SUFFIXES = ("...", "…")
+ELLIPSIS_SUFFIX = "..."  # back-compat alias (first of ELLIPSIS_SUFFIXES)
 
 MIN_WORDS = 50
 MAX_WORDS = 100_000
@@ -116,12 +119,16 @@ def gopher_rules(
 
     # ---- symbols (counted over the RAW text; '...' non-overlapping
     # left-to-right, the shared str.count/replace-length semantics) ----
-    n_symbols = (
+    n_hash = (
         pc.count_substring(text, "#").to_numpy(zero_copy_only=False).astype(np.int64)
-        + pc.count_substring(text, ELLIPSIS_SUFFIX)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
     )
+    n_ell_sym = np.zeros(n_docs, dtype=np.int64)
+    for e in ELLIPSIS_SUFFIXES:
+        n_ell_sym += (
+            pc.count_substring(text, e)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
 
     # ---- lines (plain '\n' split; '' has one empty line, same as SQL) ----
     lines = pc.split_pattern(text, "\n")
@@ -134,11 +141,9 @@ def gopher_rules(
     for p in BULLET_PREFIXES:
         bullet |= pc.starts_with(flat_l, p).to_numpy(zero_copy_only=False)
     n_bullet = np.bincount(row_l, weights=bullet, minlength=n_docs).astype(np.int64)
-    ell = (
-        pc.ends_with(flat_l, ELLIPSIS_SUFFIX)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
+    ell = np.zeros(len(flat_l), dtype=np.int64)
+    for e in ELLIPSIS_SUFFIXES:
+        ell |= pc.ends_with(flat_l, e).to_numpy(zero_copy_only=False)
     n_ellipsis = np.bincount(row_l, weights=ell, minlength=n_docs).astype(np.int64)
 
     # ---- rules, all integer comparisons ----
@@ -146,7 +151,7 @@ def gopher_rules(
     mean_word_len_ok = (MIN_MEAN_WORD_LEN * n_words <= word_chars) & (
         word_chars <= MAX_MEAN_WORD_LEN * n_words
     )
-    symbol_ok = 10 * n_symbols <= n_words
+    symbol_ok = (10 * n_hash <= n_words) & (10 * n_ell_sym <= n_words)
     bullet_ok = 10 * n_bullet <= 9 * n_lines
     ellipsis_ok = 10 * n_ellipsis <= 3 * n_lines
     alpha_ok = 5 * n_alpha_words >= 4 * n_words
@@ -165,7 +170,8 @@ def gopher_rules(
             id_col: batch.column(id_col),
             "n_words": pa.array(n_words, pa.int64()),
             "word_chars": pa.array(word_chars, pa.int64()),
-            "n_symbols": pa.array(n_symbols, pa.int64()),
+            "n_hash_symbols": pa.array(n_hash, pa.int64()),
+            "n_ellipsis_symbols": pa.array(n_ell_sym, pa.int64()),
             "n_lines": pa.array(n_lines, pa.int64()),
             "n_bullet_lines": pa.array(n_bullet, pa.int64()),
             "n_ellipsis_lines": pa.array(n_ellipsis, pa.int64()),

@@ -651,6 +651,12 @@ def near_edges(
       'join': ids-only shuffle + hash-join verify — decouples shuffle bytes
         from sketch size at extreme scale."""
     if mode == "auto":
+        # materialize BEFORE counting: the count consumes the pipeline and
+        # every mode re-reads sigs, so an unmaterialized signature stage —
+        # the most expensive map in the flagship — would execute twice.
+        # dedup_clusters already passes a materialized table; this makes
+        # the invariant hold for direct near_edges(mode='auto') callers.
+        sigs = sigs.materialize()
         mode = _auto_near_mode(sigs, cfg, auto_broadcast_budget)
     if mode == "broadcast":
         return _near_edges_broadcast(sigs, cfg, hot)

@@ -115,9 +115,16 @@ def _codes_matrix(batch: pa.Table) -> np.ndarray:
     arr = batch.column("codes")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # a sliced list array keeps the FULL values buffer with absolute
+    # offsets — slice to the window and derive m from the offsets rather
+    # than len(values)//rows (which silently mis-decodes sliced inputs)
+    off = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    m = len(flat) // max(len(arr), 1)
-    return flat.reshape(len(arr), m)
+    base, end = int(off[0]), int(off[-1])
+    flat = flat[base:end]
+    n = len(arr)
+    m = (end - base) // max(n, 1)
+    return flat.reshape(n, m)
 
 
 class PqAdcScorer:

@@ -263,6 +263,14 @@ def _rewrite_block(keep_cols: tuple = ()):
         ss = spans.column("span_start").to_numpy().astype(np.int64)
         ee = spans.column("span_end").to_numpy().astype(np.int64)
         row_idx = np.searchsorted(doc_ids, sid)
+        # spans whose id has no doc row here (e.g. a precomputed span
+        # table applied to a filtered corpus) must be IGNORED, matching
+        # broadcast mode's equality-bounded lo/hi semantics — a raw
+        # searchsorted insertion point would alias another doc's row
+        pos = np.minimum(row_idx, len(doc_ids) - 1)
+        valid = doc_ids[pos] == sid
+        if not valid.all():
+            row_idx, ss, ee = pos[valid], ss[valid], ee[valid]
         return _rewrite_batch(
             docs, "id", "content", row_idx, ss, ee, keep_cols
         )

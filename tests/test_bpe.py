@@ -244,3 +244,36 @@ def test_bpe_encode_docs_matches_scalar(ray_session):
         row = out[out["id"] == i].iloc[0]
         assert row["bpe_text"] == want
         assert row["n_bpe"] == want_n
+
+
+def test_apply_raises_on_oov(ray_session):
+    """Both apply operators share one OOV contract: a token absent from
+    the training vocabulary raises KeyError (never a silent 0 count)."""
+    import pytest
+    import ray.data
+
+    from raydedup.bpe import bpe_encode_docs, tokenize_with_merges, train_bpe
+
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "content": pa.array(["low lower lowest", "low low lower"]),
+            }
+        )
+    )
+    other = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([9], pa.int64()),
+                "content": pa.array(["unseen tokens here"]),
+            }
+        )
+    )
+    res = train_bpe(train, 3, min_count=2)
+    for fn in (tokenize_with_merges, bpe_encode_docs):
+        with pytest.raises(Exception, match="not in the trained vocabulary"):
+            fn(other, res).to_pandas()
+    # in-vocabulary apply still works
+    ok = tokenize_with_merges(train, res).to_pandas()
+    assert (ok["n_bpe"] > 0).all()

@@ -26,16 +26,20 @@ def test_line_rules():
         [
             GOOD_LINE,  # kept
             "no terminal punctuation here",  # dropped: no punct
-            "too short.",  # dropped: 2 words < 3
+            "just four words here.",  # dropped: 4 words < 5
             "please enable JavaScript to continue browsing.",  # dropped: js
-            'he said "stop right there!"',  # kept: ends in quote
-            "is this a question?",  # kept
+            'he said "stop right there!"',  # kept: 5 words, ends in quote
+            "is this a real question?",  # kept: 5 words
         ]
     )
     r = _run([page], min_sentences=1)
     assert r["n_lines_kept"] == [3]
     kept = r["text_clean"][0].split("\n")
-    assert kept == [GOOD_LINE, 'he said "stop right there!"', "is this a question?"]
+    assert kept == [
+        GOOD_LINE,
+        'he said "stop right there!"',
+        "is this a real question?",
+    ]
 
 
 def test_page_block_substrings():
@@ -106,7 +110,7 @@ def test_matches_scalar_reference():
             l = l.strip(" \t\n\r\v\f")
             if (
                 re.search(r'[.!?"]$', l)
-                and len(re.findall(r"\S+", l)) >= 3
+                and len(re.findall(r"\S+", l)) >= 5
                 and "javascript" not in l.lower()
             ):
                 kept.append(l)

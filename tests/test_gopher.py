@@ -73,9 +73,15 @@ def test_symbol_ratio():
     bad = " ".join(base) + " " + "# " * 7  # '#'x7 → 70 > 67
     r = _rules([ok, bad])
     assert r["symbol_ok"] == [True, False]
-    # '....' counts as ONE non-overlapping '...' both engine- and SQL-side
-    r2 = _rules(["...." + GOOD])
-    assert r2["n_symbols"] == [1]
+    # the rule is PER symbol class (Gopher: "either the hash symbol or the
+    # ellipsis"): 4 '#' + 4 '...' on 67 words passes (40 <= 67 each) even
+    # though the combined count would fail a summed 0.1 ratio on 61 words
+    both = " ".join(base) + " #### " + "... ... ... ..."
+    assert _rules([both])["symbol_ok"] == [True]
+    # '....' counts as ONE non-overlapping '...'; unicode '…' also counts
+    r2 = _rules(["...." + GOOD, "… …" + GOOD])
+    assert r2["n_ellipsis_symbols"] == [1, 2]
+    assert r2["n_hash_symbols"] == [0, 0]
 
 
 def test_bullet_and_ellipsis_lines():
@@ -146,16 +152,18 @@ def test_matches_scalar_reference():
         lines = doc.split("\n")
         n_words = len(words)
         chars = sum(len(w) for w in words)
-        symbols = doc.count("#") + doc.count("...")
+        hashes = doc.count("#")
+        ell_syms = doc.count("...") + doc.count("…")
         bullets = sum(
             any(l.startswith(p) for p in BULLET_PREFIXES) for l in lines
         )
-        ells = sum(l.endswith("...") for l in lines)
+        ells = sum(l.endswith("...") or l.endswith("…") for l in lines)
         alpha = sum(any(c.isascii() and c.isalpha() for c in w) for w in words)
         stops = sum(sw in words for sw in STOP_WORDS)
         assert got["n_words"][i] == n_words
         assert got["word_chars"][i] == chars
-        assert got["n_symbols"][i] == symbols
+        assert got["n_hash_symbols"][i] == hashes
+        assert got["n_ellipsis_symbols"][i] == ell_syms
         assert got["n_bullet_lines"][i] == bullets
         assert got["n_ellipsis_lines"][i] == ells
         assert got["n_alpha_words"][i] == alpha
@@ -163,7 +171,8 @@ def test_matches_scalar_reference():
         want_pass = (
             MIN_WORDS <= n_words <= 100_000
             and 3 * n_words <= chars <= 10 * n_words
-            and 10 * symbols <= n_words
+            and 10 * hashes <= n_words
+            and 10 * ell_syms <= n_words
             and 10 * bullets <= 9 * len(lines)
             and 10 * ells <= 3 * len(lines)
             and 5 * alpha >= 4 * n_words

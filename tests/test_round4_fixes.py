@@ -185,11 +185,30 @@ def test_convert_rejects_mixed_inputs(tmp_path):
 
 
 def test_convert_rejects_undetectable_input(tmp_path):
-    d = tmp_path / "somedir"
-    d.mkdir()
-    proc = _convert([str(d), "--out", str(tmp_path / "o")])
+    # an extension-less FILE is undetectable and must be rejected;
+    # directories auto-detect as parquet (what write_parquet produces and
+    # what the argparse help advertises), covered below
+    f = tmp_path / "mystery"
+    f.write_text("not obviously any format")
+    proc = _convert([str(f), "--out", str(tmp_path / "o")])
     assert proc.returncode == 2
     assert "cannot auto-detect" in proc.stderr
+
+
+def test_convert_accepts_parquet_directory(tmp_path):
+    import duckdb
+
+    d = tmp_path / "pqdir"
+    d.mkdir()
+    duckdb.sql(
+        "COPY (SELECT 1 AS a, 'x' AS b) TO '"
+        + str(d / "part0.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    proc = _convert(
+        [str(d), "--out", str(tmp_path / "o2"), "--to", "jsonl"]
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
 
 
 # ---------------------------------------------------------------------------

@@ -187,3 +187,52 @@ def test_window_explode_positions():
     assert out.column("pos").to_pylist() == [1, 2, 3]
     w = out.column("w").to_numpy()
     assert len(np.unique(w)) == 3
+
+
+def test_strip_with_foreign_spans_filtered_corpus(ray_session):
+    """Spans precomputed on a FULL corpus applied to a filtered corpus:
+    spans whose id has no doc row must be ignored in BOTH modes (a raw
+    searchsorted in join mode used to alias another doc's row)."""
+    import ray.data
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.spans import duplicate_spans, strip_duplicate_spans
+
+    docs = _fixture_docs()
+    L = 20
+    full = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(list(docs), pa.int64()),
+                "content": pa.array([docs[i] for i in docs], pa.string()),
+            }
+        )
+    )
+    spans = duplicate_spans(full, window=L, cfg=DEFAULT_CONFIG).materialize()
+    span_ids = set(spans.to_pandas()["id"])
+    assert span_ids  # the fixture plants removable spans
+    # filter OUT one doc that carries spans, keep the rest
+    dropped = max(span_ids)
+    kept_ids = [i for i in docs if i != dropped]
+    filtered = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(kept_ids, pa.int64()),
+                "content": pa.array([docs[i] for i in kept_ids], pa.string()),
+            }
+        )
+    )
+    outs = {}
+    for mode in ("broadcast", "join"):
+        t = (
+            strip_duplicate_spans(
+                filtered, window=L, cfg=DEFAULT_CONFIG, spans=spans, mode=mode
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        outs[mode] = t
+        assert list(t["id"]) == kept_ids
+    # the two modes agree row for row
+    assert outs["broadcast"].equals(outs["join"])
