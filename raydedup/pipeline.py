@@ -654,9 +654,14 @@ def near_edges(
         # materialize BEFORE counting: the count consumes the pipeline and
         # every mode re-reads sigs, so an unmaterialized signature stage —
         # the most expensive map in the flagship — would execute twice.
-        # dedup_clusters already passes a materialized table; this makes
-        # the invariant hold for direct near_edges(mode='auto') callers.
-        sigs = sigs.materialize()
+        # dedup_clusters already passes a materialized table (for which
+        # this is a guarded no-op — re-materializing would copy blocks);
+        # this makes the invariant hold for direct near_edges(mode='auto')
+        # callers too.
+        from ray.data.dataset import MaterializedDataset
+
+        if not isinstance(sigs, MaterializedDataset):
+            sigs = sigs.materialize()
         mode = _auto_near_mode(sigs, cfg, auto_broadcast_budget)
     if mode == "broadcast":
         return _near_edges_broadcast(sigs, cfg, hot)
