@@ -20,6 +20,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+from raydedup.io import read_parquet as _read_parquet
 
 # Per-query sketch/signature parameters, chosen so the sf0.01 correctness
 # scale stays in exact mode (estimates == exact answers) while the same code
@@ -46,7 +47,7 @@ def _corpus_ds(sf_dir: str):
 
     from raydedup.corpus import corpus_parquet_path
 
-    return ray.data.read_parquet(corpus_parquet_path(sf_dir))
+    return _read_parquet(corpus_parquet_path(sf_dir))
 
 
 def entry() -> Any:
@@ -159,7 +160,7 @@ def _q_repetition_signals(sf_dir: str):
 
     from raydedup.textstats import repetition_signals
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(repetition_signals, batch_format="pyarrow")
@@ -177,7 +178,7 @@ def _q_boilerplate_line_dedup(sf_dir: str):
     from raydedup.corpus import pages_parquet_path
     from raydedup.paragraphs import dedup_paragraphs
 
-    pages = ray.data.read_parquet(pages_parquet_path(sf_dir))
+    pages = _read_parquet(pages_parquet_path(sf_dir))
     return dedup_paragraphs(pages, text_col="text", id_col="page_id", min_docs=10)
 
 
@@ -192,7 +193,7 @@ def _q_oov_rate(sf_dir: str):
 
     from raydedup.vocab import oov_stats
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return oov_stats(docs, v=20)
@@ -208,7 +209,7 @@ def _q_tfidf_top_terms(sf_dir: str):
 
     from raydedup.vocab import tfidf_top_terms
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return tfidf_top_terms(docs, v=20, k=3)
@@ -231,7 +232,7 @@ def _q_sample_sources(sf_dir: str):
 
     from raydedup.curate import sample_stratified
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     return sample_stratified(
@@ -308,7 +309,7 @@ def _q_url_dedup_survivors(sf_dir: str):
     from raydedup.urls import url_dedup_survivors, urls_parquet_path
 
     return url_dedup_survivors(
-        ray.data.read_parquet(urls_parquet_path(sf_dir))
+        _read_parquet(urls_parquet_path(sf_dir))
     )
 
 
@@ -326,7 +327,7 @@ def _q_chunk_documents(sf_dir: str):
 
     from raydedup.chunk import chunk_documents
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return chunk_documents(docs, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE)
@@ -346,7 +347,7 @@ def _q_profile_sources(sf_dir: str):
     from raydedup.aggregates import kll_quantile, theta_distinct
     from raydedup.vocab import _token_hashes, _ws_tokens
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
 
@@ -425,7 +426,7 @@ def _q_temperature_mix(sf_dir: str):
 
     from raydedup.curate import temperature_mix
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     return temperature_mix(
@@ -448,7 +449,7 @@ def _q_text_search_topk(sf_dir: str):
 
     from raydedup.search import text_search_topk
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return text_search_topk(docs, _SEARCH_TERMS, k=50)
@@ -468,7 +469,7 @@ def _q_text_search_indexed(sf_dir: str):
 
     idx = os.path.join(SCRATCH_ROOT, "textidx", _sf_tag(sf_dir))
     if not os.path.exists(os.path.join(idx, "meta.json")):
-        docs = ray.data.read_parquet(
+        docs = _read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         write_text_index(docs, idx)
@@ -501,7 +502,7 @@ def _q_snapshot_diff(sf_dir: str):
 
     return snapshot_diff(
         _corpus_ds(sf_dir),
-        ray.data.read_parquet(delta_parquet_path(sf_dir)),
+        _read_parquet(delta_parquet_path(sf_dir)),
     )
 
 
@@ -740,7 +741,7 @@ def _q_theta_distinct_orders(sf_dir: str):
 
     from raydedup.aggregates import theta_distinct
 
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
     )
     out = li.groupby("l_returnflag").aggregate(
@@ -764,7 +765,7 @@ def _q_theta_distinct_users_by_type(sf_dir: str):
 
     from raydedup.aggregates import theta_distinct
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     out = ev.groupby("event_type").aggregate(
@@ -791,7 +792,7 @@ def _q_cpc_distinct_customers(sf_dir: str):
 
     from raydedup.aggregates import cpc_distinct
 
-    cu = ray.data.read_parquet(
+    cu = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_custkey"]
     )
     out = cu.groupby("c_nationkey").aggregate(
@@ -823,7 +824,7 @@ def _q_alpha_distinct_parts(sf_dir: str):
 
     from raydedup.aggregates import alpha_distinct
 
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
     )
     out = li.groupby("l_returnflag").aggregate(
@@ -851,7 +852,7 @@ def _q_frequent_suppliers(sf_dir: str):
     from raydedup.aggregates import frequent_items
     from raydedup.sketches.freq import FrequentKeysSketch
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    li = _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
     res = li.aggregate(frequent_items("l_suppkey", max_map_size=FREQ_MAP, name="fi"))
     sk = FrequentKeysSketch.deserialize(res["fi"])
     n = sk.stream_len
@@ -874,7 +875,7 @@ def _q_hll_distinct_orders_by_priority(sf_dir: str):
 
     from raydedup.aggregates import hll_distinct
 
-    o = ray.data.read_parquet(
+    o = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderkey"]
     )
     out = o.groupby("o_orderpriority").aggregate(
@@ -904,7 +905,7 @@ def _q_req_quantiles_qty(sf_dir: str):
     from raydedup.aggregates import req_quantile
 
     ranks = [0.5, 0.9, 0.99, 0.999]
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    li = _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
     # k sized so level 0 never compacts at correctness scale -> exact
     res = li.aggregate(req_quantile("l_quantity", ranks, k=1 << 14, name="q"))
     return pa.table(
@@ -924,7 +925,7 @@ def _q_frequent_part_types(sf_dir: str):
     from raydedup.aggregates import frequent_items_generic
     from raydedup.sketches.freq import FrequentItemsSketch
 
-    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
+    pt = _read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
     res = pt.aggregate(frequent_items_generic("p_type", max_map_size=1024, name="fi"))
     sk = FrequentItemsSketch.deserialize(res["fi"])
     thr = max(1, sk.stream_len // 20)
@@ -950,7 +951,7 @@ def _q_top_tokens(sf_dir: str):
     from raydedup.sketches.freq import FrequentItemsSketch
     from raydedup.textstats import _ASCII_WS
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -985,7 +986,7 @@ def _q_kll_quantiles_price(sf_dir: str):
     from raydedup.aggregates import kll_quantile
 
     ranks = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    li = _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     res = li.aggregate(kll_quantile("l_extendedprice", ranks, k=1 << 17, name="q"))
     qs = res["q"]
     return pa.table(
@@ -1008,7 +1009,7 @@ def _q_ks_price_by_returnflag(sf_dir: str):
     from raydedup.aggregates import kll_sketch
     from raydedup.sketches.kll import KllSketch
 
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
     )
     rows = li.groupby("l_returnflag").aggregate(
@@ -1046,7 +1047,7 @@ def _q_hllmap_event_types_by_user(sf_dir: str):
 
     from raydedup.aggregates import hllmap_unique
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     res = ev.aggregate(hllmap_unique("user_id", "event_type", name="m"))
@@ -1071,7 +1072,7 @@ def _q_tuple_jaccard_priorities(sf_dir: str):
     from raydedup.aggregates import tuple_sketch
     from raydedup.sketches.tuple import tuple_jaccard
 
-    o = ray.data.read_parquet(
+    o = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey"]
     )
     def keep(batch: pa.Table) -> pa.Table:
@@ -1112,7 +1113,7 @@ def _q_theta_rollup_regions(sf_dir: str):
     from raydedup.aggregates import theta_sketch_agg, theta_union_sketches
 
     k = 1 << 15
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     # per-invocation warehouse dir: a fixed shared path would let two
@@ -1143,7 +1144,7 @@ def _q_theta_rollup_regions(sf_dir: str):
 
     try:
         rows = (
-            ray.data.read_parquet(warehouse)
+            _read_parquet(warehouse)
             .map_batches(add_region, batch_format="pyarrow")
             .groupby("region_key")
             .aggregate(theta_union_sketches("sk", k=k, name="distinct_customers"))
@@ -1177,7 +1178,7 @@ def _q_varopt_qty_by_flag(sf_dir: str):
     from raydedup.aggregates import varopt_sample
     from raydedup.sketches.sampling import VarOptItemsSketch
 
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
     )
     res = li.aggregate(varopt_sample("l_returnflag", "l_quantity", k=1 << 16, name="sk"))
@@ -1210,7 +1211,7 @@ def _q_reservoir_events_by_type(sf_dir: str):
 
     from raydedup.aggregates import reservoir_sample
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
     )
     rows = ev.groupby("event_type").aggregate(
@@ -1237,7 +1238,7 @@ def _q_doubles_quantiles_discount(sf_dir: str):
     from raydedup.aggregates import doubles_quantile
 
     ranks = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_discount"])
+    li = _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_discount"])
     res = li.aggregate(doubles_quantile("l_discount", ranks, k=1 << 15, name="q"))
     return pa.table(
         {
@@ -1255,7 +1256,7 @@ def _q_kll_quantiles_part_names(sf_dir: str):
     from raydedup.aggregates import kll_quantile_items
 
     ranks = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
-    pt = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    pt = _read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
     res = pt.aggregate(kll_quantile_items("p_name", ranks, k=1 << 15, name="q"))
     return pa.table(
         {
@@ -1270,11 +1271,11 @@ def _q_ann_topk(sf_dir: str):
 
     from raydedup.embed import ann_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     first = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     queries = np.stack(first["embedding"].to_numpy())
     out = ann_topk(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        _read_parquet(f"{sf_dir}/embeddings.parquet"),
         queries,
         first["vec_id"].to_numpy(),
         k=10,
@@ -1293,11 +1294,11 @@ def _q_ann_topk_ivf(sf_dir: str):
 
     from raydedup.embed import ann_topk_ivf
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     first = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     queries = np.stack(first["embedding"].to_numpy())
     out = ann_topk_ivf(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        _read_parquet(f"{sf_dir}/embeddings.parquet"),
         queries,
         first["vec_id"].to_numpy(),
         k=10,
@@ -1323,13 +1324,13 @@ def _q_ann_topk_ivf_indexed(sf_dir: str):
 
     from raydedup.embed import ann_topk_ivf_indexed, write_ivf_index
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     first = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     queries = np.stack(first["embedding"].to_numpy())
     idx_dir = tempfile.mkdtemp(prefix="raydedup_ivf_")
     try:
         write_ivf_index(
-            ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            _read_parquet(f"{sf_dir}/embeddings.parquet"),
             idx_dir,
             n_lists=16,
         )
@@ -1346,7 +1347,7 @@ def _q_embedding_dup_pairs(sf_dir: str):
 
     from raydedup.embed import embedding_dup_pairs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     # n_bits=0 → single bucket → exact all-pairs verification (oracle mode);
     # max_bucket raised so the single bucket is never star-degraded
     return embedding_dup_pairs(emb, threshold=0.45, n_bits=0, max_bucket=1 << 20)
@@ -1357,7 +1358,7 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
 
     from raydedup.embed import embedding_dup_pairs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     # 16 hyperplane tables: recall >= 0.95 vs the exact tier at this
     # threshold (measured 1.0 at sf0.01; tests/test_textstats_embed.py)
     return embedding_dup_pairs(emb, threshold=0.45, n_bits=4, n_tables=16)
@@ -1373,10 +1374,10 @@ def _q_kmeans_clusters(sf_dir: str):
 
     from raydedup.cluster import kmeans_assign, kmeans_fit
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     cent = kmeans_fit(emb, k=4, n_iter=2)
     return kmeans_assign(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), cent
+        _read_parquet(f"{sf_dir}/embeddings.parquet"), cent
     )
 
 
@@ -1390,10 +1391,10 @@ def _q_semdedup_survivors(sf_dir: str):
 
     from raydedup.cluster import kmeans_fit, semdedup
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     cent = kmeans_fit(emb, k=4, n_iter=2)
     return semdedup(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        _read_parquet(f"{sf_dir}/embeddings.parquet"),
         cent,
         threshold=0.4,
     )
@@ -1408,7 +1409,7 @@ def _q_pack_sequences(sf_dir: str):
 
     from raydedup.scan import pack_and_chop
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return pack_and_chop(docs, budget=512)
@@ -1431,12 +1432,12 @@ def _q_quality_classifier_scores(sf_dir: str):
             "y", pc.cast(pc.equal(b.column("label"), 0), pa.int64())
         )
 
-    labeled = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+    labeled = _read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
         add_y, batch_format="pyarrow"
     )
     w_q, b_q = train_logreg(labeled, n_iter=2, lr=0.5)
     return logreg_scores(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), w_q, b_q
+        _read_parquet(f"{sf_dir}/embeddings.parquet"), w_q, b_q
     )
 
 
@@ -1467,7 +1468,7 @@ def _q_embedding_covariance(sf_dir: str):
 
     from raydedup.pca import vector_moments_exact
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet")
     _, ss, _ = vector_moments_exact(emb)
     # triangle length -> dim (exact Python ints end-to-end: no float53
     # rounding between the engine and DuckDB's HUGEINT sums)
@@ -1494,12 +1495,12 @@ def _q_pq_codes(sf_dir: str):
 
     from raydedup.pq import _codes_matrix, pq_encode, pq_train
 
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     books = pq_train(emb, m=2, k_codes=4, n_iter=2)
     enc = pq_encode(
-        ray.data.read_parquet(
+        _read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ),
         books,
@@ -1533,12 +1534,12 @@ def _q_pq_adc_topk(sf_dir: str):
 
     from raydedup.pq import pq_adc_topk, pq_encode, pq_train
 
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     books = pq_train(emb, m=2, k_codes=4, n_iter=2)
     enc = pq_encode(
-        ray.data.read_parquet(
+        _read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ),
         books,
@@ -1563,14 +1564,14 @@ def _q_ivfpq_codes(sf_dir: str):
     from raydedup.ivfpq import ivfpq_encode, ivfpq_train
     from raydedup.pq import _codes_matrix
 
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     coarse, books = ivfpq_train(
         emb, n_lists=2, m=2, k_codes=4, n_iter_coarse=1, n_iter_pq=1, dim=64
     )
     enc = ivfpq_encode(
-        ray.data.read_parquet(
+        _read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ),
         coarse,
@@ -1606,14 +1607,14 @@ def _q_ivfpq_adc_topk(sf_dir: str):
 
     from raydedup.ivfpq import ivfpq_adc_topk, ivfpq_encode, ivfpq_train
 
-    emb = ray.data.read_parquet(
+    emb = _read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     coarse, books = ivfpq_train(
         emb, n_lists=2, m=2, k_codes=4, n_iter_coarse=1, n_iter_pq=1, dim=64
     )
     enc = ivfpq_encode(
-        ray.data.read_parquet(
+        _read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         ),
         coarse,
@@ -1631,7 +1632,7 @@ def _q_text_stats(sf_dir: str):
 
     from raydedup.textstats import text_stats
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats6(batch: pa.Table) -> pa.Table:
         out = text_stats(batch)
@@ -1661,7 +1662,7 @@ def _q_token_counts(sf_dir: str):
 
     from raydedup.textstats import token_counts
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(token_counts, batch_format="pyarrow")
 
 
@@ -1675,7 +1676,7 @@ def _q_pack_token_shards(sf_dir: str):
 
     from raydedup.scan import pack_token_shards
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return pack_token_shards(docs, budget=8192)
 
 
@@ -1689,7 +1690,7 @@ def _q_redact_pii(sf_dir: str):
 
     from raydedup.textstats import redact_pii
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(redact_pii, batch_format="pyarrow")
 
 
@@ -1698,7 +1699,7 @@ def _q_lang_id(sf_dir: str):
 
     from raydedup.textstats import lang_id
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(lang_id, batch_format="pyarrow")
 
 
@@ -1707,7 +1708,7 @@ def _q_doc_fingerprints(sf_dir: str):
 
     from raydedup.textstats import fingerprint
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(fingerprint, batch_format="pyarrow")
 
 
@@ -1782,7 +1783,7 @@ def _q_theta_setops_orders(sf_dir: str):
         init=base.init, merge=base.merge, accumulate_block=base.accumulate_block,
         finalize=lambda s: s, name="sk",
     )
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
     )
     rows = li.groupby("l_returnflag").aggregate(sketch_agg).take_all()
@@ -1805,7 +1806,7 @@ def _q_tuple_parts_qty(sf_dir: str):
 
     from raydedup.aggregates import tuple_distinct_sum
 
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_partkey", "l_quantity"],
     )
@@ -1834,7 +1835,7 @@ def _q_fdt_supplier_parts(sf_dir: str):
 
     from raydedup.fdt import frequent_distinct_tuples
 
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
     )
     out = frequent_distinct_tuples(
@@ -1864,7 +1865,7 @@ def _q_asof_purchase_attribution(sf_dir: str):
 
     from raydedup.asof import asof_join
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
     )
@@ -1911,7 +1912,7 @@ def _q_sessionize_events(sf_dir: str):
 
     from raydedup.sessions import sessionize
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return sessionize(ev, gap_s=1800)
@@ -1926,7 +1927,7 @@ def _q_sliding_window_counts(sf_dir: str):
 
     from raydedup.sessions import sliding_window_count
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return sliding_window_count(ev, window_s=300)
@@ -1940,7 +1941,7 @@ def _q_windowed_events(sf_dir: str):
     from raydedup.aggregates import theta_distinct
     from ray.data.aggregate import Count
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
     )
 
@@ -1987,7 +1988,7 @@ def _q_quality_scores(sf_dir: str):
 
     from raydedup.textstats import quality_score
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(quality_score, batch_format="pyarrow")
     return out.select_columns(["doc_id", "quality"])
 
@@ -2003,7 +2004,7 @@ def _q_gopher_rules(sf_dir: str):
     from raydedup.corpus import qdocs_parquet_path
     from raydedup.gopher import gopher_rules
 
-    docs = ray.data.read_parquet(qdocs_parquet_path(sf_dir))
+    docs = _read_parquet(qdocs_parquet_path(sf_dir))
     return docs.map_batches(gopher_rules, batch_format="pyarrow")
 
 
@@ -2084,7 +2085,7 @@ def _q_dsir_weights(sf_dir: str):
 
     from raydedup.dsir import dsir_weights
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -2148,7 +2149,7 @@ def _q_ngram_repetition(sf_dir: str):
 
     from raydedup.ngramrep import ngram_repetition_signals
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(ngram_repetition_signals, batch_format="pyarrow")
@@ -2267,7 +2268,7 @@ def _q_para_repetition(sf_dir: str):
     from raydedup.corpus import qdocs_parquet_path
     from raydedup.textstats import para_repetition_signals
 
-    docs = ray.data.read_parquet(qdocs_parquet_path(sf_dir))
+    docs = _read_parquet(qdocs_parquet_path(sf_dir))
     return docs.map_batches(para_repetition_signals, batch_format="pyarrow")
 
 
@@ -2281,7 +2282,7 @@ def _q_gopher_full_filter(sf_dir: str):
     from raydedup.corpus import qdocs_parquet_path
     from raydedup.gopher import gopher_full_filter
 
-    docs = ray.data.read_parquet(qdocs_parquet_path(sf_dir))
+    docs = _read_parquet(qdocs_parquet_path(sf_dir))
     return gopher_full_filter(docs)
 
 
@@ -2344,7 +2345,7 @@ def _q_c4_page_filter(sf_dir: str):
     from raydedup.c4filter import c4_filter
     from raydedup.corpus import webpages_parquet_path
 
-    pages = ray.data.read_parquet(webpages_parquet_path(sf_dir))
+    pages = _read_parquet(webpages_parquet_path(sf_dir))
     return c4_filter(pages, min_sentences=_C4_MIN_SENTENCES)
 
 
@@ -2468,7 +2469,7 @@ def _q_cap_docs_per_source(sf_dir: str):
 
     from raydedup.curate import cap_per_key
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     return cap_per_key(docs, key="source", order_col="doc_id", k=18)
@@ -2484,7 +2485,7 @@ def _q_split_train_val_test(sf_dir: str):
 
     from raydedup.curate import split_assign
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return split_assign(
         docs,
         "doc_id",
@@ -2504,7 +2505,7 @@ def _q_curate_corpus(sf_dir: str):
 
     from raydedup.curate import curate_corpus
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return curate_corpus(
@@ -2527,7 +2528,7 @@ def _q_quality_percentiles(sf_dir: str):
     from raydedup.scan import global_ranks
     from raydedup.textstats import quality_score
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     scored = docs.map_batches(quality_score, batch_format="pyarrow").select_columns(
         ["doc_id", "quality"]
     )
@@ -3297,7 +3298,7 @@ def _q_strip_markup(sf_dir: str):
     from raydedup.corpus import html_parquet_path
     from raydedup.textstats import strip_markup
 
-    pages = ray.data.read_parquet(html_parquet_path(sf_dir))
+    pages = _read_parquet(html_parquet_path(sf_dir))
     return pages.map_batches(strip_markup, batch_format="pyarrow")
 
 

@@ -18,6 +18,7 @@ import os
 import subprocess
 import sys
 import time
+from raydedup.io import read_parquet as _read_parquet
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -67,7 +68,7 @@ def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
     extra: dict[str, float] = {}
 
     def read_corpus():
-        return ray.data.read_parquet(corpus_dir)
+        return _read_parquet(corpus_dir)
 
     # warm up the worker pool so the timed runs measure steady-state
     # throughput, not process spawn (fresh-process scaling runs would
@@ -96,7 +97,7 @@ def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
         from raydedup.aggregates import kll_quantile, theta_distinct
 
         t0 = time.time()
-        li = ray.data.read_parquet(
+        li = _read_parquet(
             f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
         )
         li.groupby("l_returnflag").aggregate(
@@ -105,7 +106,7 @@ def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
         queries["theta_distinct_orders"] = round(time.time() - t0, 3)
 
         t0 = time.time()
-        li2 = ray.data.read_parquet(
+        li2 = _read_parquet(
             f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"]
         )
         li2.aggregate(kll_quantile("l_extendedprice", [0.5, 0.9, 0.99], k=200, name="q"))
@@ -114,11 +115,11 @@ def run_benchmarks(num_cpus: int, flagship_only: bool = False) -> dict:
         from raydedup.embed import ann_topk
 
         t0 = time.time()
-        emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        emb = _read_parquet(f"{SF_DIR}/embeddings.parquet")
         first = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
         q = np.stack(first["embedding"].to_numpy())
         assert ann_topk(
-            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            _read_parquet(f"{SF_DIR}/embeddings.parquet"),
             q,
             first["vec_id"].to_numpy(),
             k=10,

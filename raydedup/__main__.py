@@ -23,6 +23,7 @@ import dataclasses
 import json
 import os
 import sys
+from .io import read_parquet as _read_parquet
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -72,7 +73,7 @@ def _init_ray(num_cpus: int | None) -> None:
 def _read_corpus(args: argparse.Namespace, extra_cols: tuple[str, ...] = ()):
     import ray.data
 
-    ds = ray.data.read_parquet(args.inputs)
+    ds = _read_parquet(args.inputs)
     renames = {}
     if args.id_col != "id":
         renames[args.id_col] = "id"
@@ -213,7 +214,7 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
     from .cluster import kmeans_fit, semdedup
 
     _init_ray(args.num_cpus)
-    ds = ray.data.read_parquet(args.inputs)
+    ds = _read_parquet(args.inputs)
     if args.id_col != "vec_id":
         ds = ds.rename_columns({args.id_col: "vec_id"})
     ds = ds.select_columns(["vec_id", args.vec_col])
@@ -262,7 +263,7 @@ def cmd_filter(args: argparse.Namespace) -> int:
     import ray.data
 
     _init_ray(args.num_cpus)
-    ds = ray.data.read_parquet(args.inputs)
+    ds = _read_parquet(args.inputs)
     if args.mode == "c4":
         from .c4filter import MIN_SENTENCES, c4_filter
 
@@ -356,7 +357,7 @@ def cmd_convert(args: argparse.Namespace) -> int:
     ds = (
         ray.data.read_json(args.inputs)
         if fmt_in == "jsonl"
-        else ray.data.read_parquet(args.inputs)
+        else _read_parquet(args.inputs)
     )
     if args.to == "parquet":
         # hive-style partitioning → one directory per key value: the
@@ -398,7 +399,7 @@ def cmd_incremental(args: argparse.Namespace) -> int:
     from .incremental import incremental_dedup_indexed
 
     _init_ray(args.num_cpus)
-    base_assign = ray.data.read_parquet(args.base_assign)
+    base_assign = _read_parquet(args.base_assign)
     res = incremental_dedup_indexed(
         args.index,
         base_assign,

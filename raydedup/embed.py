@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from .io import put_broadcast
+from .io import read_parquet as _read_parquet
 
 # Embeddings are quantized to integers (floor(v * 2^20)) before cosine
 # computation. Integer dot products and norms are exactly representable in
@@ -86,8 +88,9 @@ class AnnScorer:
     output is ≤ nq*k rows per batch regardless of batch size."""
 
     def __init__(self, queries_ref, query_ids, k: int):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.q = np.asarray(q, dtype=np.float64)
+        from .io import broadcast_value
+
+        self.q = np.asarray(broadcast_value(queries_ref), dtype=np.float64)
         self.query_ids = np.asarray(query_ids, dtype=np.int64)
         self.k = k
 
@@ -201,7 +204,7 @@ def ann_topk(
 
     Scoring is distributed with a per-batch pre-cut, so only
     ``n_blocks * nq * k`` candidate rows ever leave the map stage."""
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    q_ref = put_broadcast(np.asarray(queries, dtype=np.float64))
 
     scored = embeddings.map_batches(
         AnnScorer,
@@ -256,13 +259,10 @@ class AnnIvfScorer:
     placement or summation order."""
 
     def __init__(self, queries_ref, query_ids, k: int, centroids_ref, nprobe: int):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        cent = (
-            ray.get(centroids_ref)
-            if isinstance(centroids_ref, ray.ObjectRef)
-            else centroids_ref
-        )
-        self.q = np.asarray(q, dtype=np.float64)
+        from .io import broadcast_value
+
+        cent = broadcast_value(centroids_ref)
+        self.q = np.asarray(broadcast_value(queries_ref), dtype=np.float64)
         self.query_ids = np.asarray(query_ids, dtype=np.int64)
         self.k = k
         self.cent = np.asarray(cent, dtype=np.float64)
@@ -375,8 +375,8 @@ def ann_topk_ivf(
     cent = kmeans_centroids(
         _batch_matrix(sample, "embedding"), n_lists, seed=seed
     )
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    c_ref = ray.put(cent)
+    q_ref = put_broadcast(np.asarray(queries, dtype=np.float64))
+    c_ref = put_broadcast(cent)
 
     scored = embeddings.map_batches(
         AnnIvfScorer,
@@ -536,9 +536,9 @@ def ann_topk_ivf_indexed(
                 "cosine": pa.array([], pa.float64()),
             }
         )
-    ds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    c_ref = ray.put(cent)
+    ds = _read_parquet(files, columns=["vec_id", "embedding"])
+    q_ref = put_broadcast(np.asarray(queries, dtype=np.float64))
+    c_ref = put_broadcast(cent)
     scored = ds.map_batches(
         AnnIvfScorer,
         fn_constructor_kwargs={

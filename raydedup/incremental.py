@@ -43,6 +43,7 @@ from .pipeline import (
 )
 from .stages import SignatureStage
 from .unionfind import cluster_edges
+from .io import read_parquet as _read_parquet
 
 
 def write_signature_index(
@@ -55,7 +56,7 @@ def write_signature_index(
 
 
 def read_signature_index(path: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(path)
+    return _read_parquet(path)
 
 
 def _cross_filter(boundary: int):

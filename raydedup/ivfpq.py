@@ -35,6 +35,7 @@ import pyarrow as pa
 
 from .cluster import _assign, kmeans_fit, quantized_matrix
 from .pq import _codes_matrix, pq_train
+from .io import read_parquet as _read_parquet
 
 
 def residual_view(ds, coarse: np.ndarray, col: str = "embedding", id_col: str = "vec_id"):
@@ -169,12 +170,8 @@ class IvfPqAdcScorer:
     no query probes cost one mask test."""
 
     def __init__(self, queries_ref, query_ids, coarse_ref, codebooks_ref, k, nprobe):
-        import ray
-
-        def _get(x):
-            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
-
         from .embed import quantize
+        from .io import broadcast_value as _get
 
         qq = quantize(np.asarray(_get(queries_ref), dtype=np.float64))
         coarse = np.asarray(_get(coarse_ref), dtype=np.float64)
@@ -274,9 +271,11 @@ def ivfpq_adc_topk(
 
     from .embed import _final_topk, _pool
 
-    c_ref = ray.put(np.asarray(coarse, dtype=np.float64))
-    b_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    from .io import put_broadcast
+
+    c_ref = put_broadcast(np.asarray(coarse, dtype=np.float64))
+    b_ref = put_broadcast(np.asarray(codebooks, dtype=np.float64))
+    q_ref = put_broadcast(np.asarray(queries, dtype=np.float64))
     scored = encoded.map_batches(
         IvfPqAdcScorer,
         fn_constructor_args=(q_ref, np.asarray(query_ids), c_ref, b_ref, k, nprobe),
@@ -506,7 +505,7 @@ def ann_topk_ivfpq_indexed(
             }
         )
 
-    ds = ray.data.read_parquet(files, include_paths=True).map_batches(
+    ds = _read_parquet(files, include_paths=True).map_batches(
         unpack, batch_format="pyarrow"
     )
     return ivfpq_adc_topk(ds, coarse, books, queries, query_ids, k=k, nprobe=nprobe)

@@ -32,6 +32,7 @@ from .hashing import splitmix64
 from .sketches.hll import HllSketch
 from .sketches.kll import KllSketch
 from .stages import SignatureStage
+from .io import read_parquet as _read_parquet
 
 
 class StageCheckpoint:
@@ -186,7 +187,7 @@ def resumable_signatures(
         os.path.join(ckpt.dir, f"shard={_shard_of_path(p)}", "part-0.parquet")
         for p in input_files
     ]
-    return ray.data.read_parquet(sorted(shard_files))
+    return _read_parquet(sorted(shard_files))
 
 
 def run_dedup_job(
@@ -234,6 +235,6 @@ def write_clusters_checkpoint(
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     assignments.write_parquet(out_dir)
-    n = ray.data.read_parquet(out_dir).count()
+    n = _read_parquet(out_dir).count()
     ckpt.record("clusters", rows=n)
     return out_dir

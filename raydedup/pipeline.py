@@ -451,8 +451,9 @@ class _BroadcastVerify:
     the 'broadcast small side instead of a shuffle join' pattern)."""
 
     def __init__(self, sketches_ref, cfg: SigConfig):
-        table = ray.get(sketches_ref) if isinstance(sketches_ref, ray.ObjectRef) else sketches_ref
-        self.ids, self.thetas, self.off, self.flat = table
+        from .io import broadcast_value
+
+        self.ids, self.thetas, self.off, self.flat = broadcast_value(sketches_ref)
         self.cfg = cfg
 
     def _theta(self, t):
@@ -510,11 +511,15 @@ def _near_edges_broadcast(
     )
     uniq = np.unique(both, axis=0)
     cand_ids = np.unique(uniq.reshape(-1))
-    ids_ref = ray.put(cand_ids)
+    from .io import put_broadcast
+
+    ids_ref = put_broadcast(cand_ids)
 
     class FilterSketches:
         def __init__(self, ids_ref):
-            self.cand = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+            from .io import broadcast_value
+
+            self.cand = broadcast_value(ids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("id").to_numpy()
@@ -542,7 +547,9 @@ def _near_edges_broadcast(
     dt = "<u4" if wb == 4 else "<u8"
     flat = np.frombuffer(b"".join(blobs), dtype=dt)
     flat = flat.astype(np.uint32 if wb == 4 else np.uint64)
-    sketches_ref = ray.put((sk_ids, sk_thetas, off, flat))
+    from .io import put_broadcast
+
+    sketches_ref = put_broadcast((sk_ids, sk_thetas, off, flat))
 
     pairs_ds = ray.data.from_arrow(
         pa.table({"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1])})
@@ -576,7 +583,9 @@ def _sketch_broadcast_ref(sigs: "ray.data.Dataset", cfg: SigConfig):
     idx = np.repeat(starts, lens) + _intra(lens)
     flat = flat_all[idx]
     off = np.concatenate([[0], np.cumsum(lens)])
-    return ray.put((sk_ids, sk_thetas, off, flat))
+    from .io import put_broadcast
+
+    return put_broadcast((sk_ids, sk_thetas, off, flat))
 
 
 AUTO_HYBRID_FLOOR = 256 << 20  # sketch-table bytes below which bucket wins

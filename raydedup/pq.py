@@ -134,21 +134,12 @@ class PqAdcScorer:
     asc, id asc) — output <= nq*k rows per batch."""
 
     def __init__(self, queries_ref, query_ids, codebooks_ref, k: int):
-        import ray
-
-        q = (
-            ray.get(queries_ref)
-            if isinstance(queries_ref, ray.ObjectRef)
-            else queries_ref
-        )
-        books = (
-            ray.get(codebooks_ref)
-            if isinstance(codebooks_ref, ray.ObjectRef)
-            else codebooks_ref
-        )
-        from .embed import quantize
-
         from .cluster import _sq_dists
+        from .embed import quantize
+        from .io import broadcast_value
+
+        q = broadcast_value(queries_ref)
+        books = broadcast_value(codebooks_ref)
 
         qq = quantize(np.asarray(q, dtype=np.float64))
         m, kc, dsub = books.shape
@@ -215,9 +206,11 @@ def pq_adc_topk(
 
     from .embed import _final_topk, _pool
 
+    from .io import put_broadcast
+
     books = np.asarray(codebooks, dtype=np.float64)
-    c_ref = ray.put(books)
-    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    c_ref = put_broadcast(books)
+    q_ref = put_broadcast(np.asarray(queries, dtype=np.float64))
     scored = encoded.map_batches(
         PqAdcScorer,
         fn_constructor_args=(q_ref, np.asarray(query_ids), c_ref, k),

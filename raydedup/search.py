@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from .hashing import xxh64_flat
 from .tokenize import _string_array_np, tokenize_hashes
+from .io import read_parquet as _read_parquet
 
 
 def _term_hashes(terms: tuple[str, ...], seed: int) -> np.ndarray:
@@ -243,7 +244,7 @@ def text_search_indexed(
                 }
             )
         )
-    posts = ray.data.read_parquet(files)
+    posts = _read_parquet(files)
 
     def hit_filter(b: pa.Table) -> pa.Table:
         t = b.column("t").to_numpy()

@@ -17,6 +17,7 @@ import sys
 import time
 
 import numpy as np
+from raydedup.io import read_parquet as _read_parquet
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -80,7 +81,7 @@ def main() -> None:
     from raydedup.cluster import kmeans_assign, kmeans_fit, semdedup
 
     def read():
-        return ray.data.read_parquet(corpus)
+        return _read_parquet(corpus)
 
     res = {"rows": args.rows, "dim": args.dim, "k": args.k, "cpus": args.cpus}
 
@@ -122,7 +123,7 @@ def main() -> None:
 
     idx = os.path.join(OUT, f"ivfpq_{args.rows}_{args.cpus}")
     shutil.rmtree(idx, ignore_errors=True)
-    sample = ray.data.read_parquet(
+    sample = _read_parquet(
         os.path.join(corpus, f"part-{0:010d}.parquet")
     )
     t0 = time.time()

@@ -55,6 +55,7 @@ import numpy as np
 
 import ray
 import ray.data
+from raydedup.io import read_parquet as _read_parquet
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT_MD = os.path.join(
@@ -116,8 +117,8 @@ def main() -> int:
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{li_path}')")
 
     t0 = time.time()
-    li_keys = ray.data.read_parquet(li_path, columns=["l_orderkey"])
-    li_price = ray.data.read_parquet(li_path, columns=["l_extendedprice"])
+    li_keys = _read_parquet(li_path, columns=["l_orderkey"])
+    li_price = _read_parquet(li_path, columns=["l_extendedprice"])
 
     exact_orders = con.execute(
         "SELECT count(DISTINCT l_orderkey) FROM lineitem"
@@ -148,7 +149,7 @@ def main() -> int:
            sigma * 1.04 / math.sqrt(4096), "")
 
     # ---- hllmap: per-key distinct, every key deep in the HLL tier ----
-    li_ln = ray.data.read_parquet(li_path, columns=["l_linenumber", "l_orderkey"])
+    li_ln = _read_parquet(li_path, columns=["l_linenumber", "l_orderkey"])
     blob = li_ln.aggregate(
         hllmap_unique("l_linenumber", "l_orderkey", lg_k=10, name="m")
     )["m"]
@@ -211,7 +212,7 @@ def main() -> int:
                r, true_rank, abs(true_rank - r), b, "")
 
     # ---- varopt subset-sum: 2-sigma bounds must bracket the truth ----
-    li_kw = ray.data.read_parquet(li_path, columns=["l_orderkey", "l_extendedprice"])
+    li_kw = _read_parquet(li_path, columns=["l_orderkey", "l_extendedprice"])
     blob = li_kw.aggregate(
         varopt_sample("l_orderkey", "l_extendedprice", k=256, seed=7, name="v")
     )["v"]
@@ -246,7 +247,7 @@ def main() -> int:
            f"n carried exactly: {res['n']}")
 
     # ---- frequencies: deterministic Misra-Gries guarantee ----
-    li_supp = ray.data.read_parquet(li_path, columns=["l_suppkey"])
+    li_supp = _read_parquet(li_path, columns=["l_suppkey"])
     blob = li_supp.aggregate(frequent_items("l_suppkey", max_map_size=64, name="f"))["f"]
     fsk = FrequentKeysSketch.deserialize(blob)
     max_err = fsk.maximum_error
@@ -269,7 +270,7 @@ def main() -> int:
         FAILURES.append("frequent_items: an estimate undershot the true count")
 
     # ---- theta Jaccard: 2-sigma bounds bracket exact J of two big sets ----
-    li_ab = ray.data.read_parquet(li_path, columns=["l_orderkey", "l_linenumber"])
+    li_ab = _read_parquet(li_path, columns=["l_orderkey", "l_linenumber"])
     sk_a_b = li_ab.filter(lambda r: r["l_linenumber"] <= 4).aggregate(
         theta_sketch_agg("l_orderkey", k=4096, name="s")
     )["s"]
@@ -290,7 +291,7 @@ def main() -> int:
            f"[{lb:.4f}, {ub:.4f}] {'bracket' if bracket_ok else 'MISS'} J={j_true:.4f}")
 
     # ---- tuple sketch: distinct + scaled sum in estimation mode ----
-    li_kq = ray.data.read_parquet(li_path, columns=["l_orderkey", "l_quantity"])
+    li_kq = _read_parquet(li_path, columns=["l_orderkey", "l_quantity"])
     blob = li_kq.aggregate(
         tuple_sketch("l_orderkey", "l_quantity", k=4096, name="t")
     )["t"]

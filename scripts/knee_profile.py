@@ -22,6 +22,7 @@ import shutil
 import subprocess
 import sys
 import time
+from raydedup.io import read_parquet as _read_parquet
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -90,12 +91,12 @@ def run_child(cpus: int, replicas: int, mode: str, block_mb: int) -> dict:
     corpus_dir = amplified_corpus_path(SF_DIR, replicas=replicas)
     cfg = bench.bench_config()
     # same warmup as bench.py: steady-state workers, not process spawn
-    ray.data.read_parquet(corpus_dir).limit(1000).map_batches(
+    _read_parquet(corpus_dir).limit(1000).map_batches(
         lambda b: b, batch_format="pyarrow"
     ).count()
     t0 = time.time()
     out = dedup_clusters(
-        ray.data.read_parquet(corpus_dir), cfg, with_substring=False, near_mode=mode
+        _read_parquet(corpus_dir), cfg, with_substring=False, near_mode=mode
     )
     n = out.count()
     wall = time.time() - t0

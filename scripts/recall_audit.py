@@ -36,6 +36,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from raydedup.io import read_parquet as _read_parquet
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("BENCH_REPLICAS", "29"))
@@ -60,7 +61,7 @@ def main() -> int:
 
     cfg = SigConfig(kmv_k=128, jaccard_threshold=0.8, kmv_hash_bytes=4)  # bench_config
     corpus_dir = amplified_corpus_path(SF_DIR, replicas=REPLICAS)
-    ds = ray.data.read_parquet(corpus_dir)
+    ds = _read_parquet(corpus_dir)
     n_files = ds.count()
 
     t0 = time.time()
