@@ -737,6 +737,17 @@ def _explode_winnow(batch: pa.Table) -> pa.Table:
 
 
 def _fp_block_pairs(max_bucket: int, cross_min_id: int | None = None):
+    """Block fn: all id-pairs within each duplicated-fp run, vectorized.
+
+    No Python iteration per fp bucket (a boilerplate-heavy corpus makes
+    millions of small buckets per partition): one (fp, id) lexsort, a
+    duplicate-posting filter, star emission for over-``max_bucket`` runs
+    via repeat/_intra, and triangle emission batched per DISTINCT run
+    size — all runs of size m become one (n_runs, m) gather + one
+    triu_indices, so the Python loop count is bounded by the number of
+    distinct sizes (≤ max_bucket), not the number of buckets."""
+    from .stages import _intra
+
     def emit(block: pa.Table) -> pa.Table:
         n = len(block)
         empty = pa.table(
@@ -748,22 +759,34 @@ def _fp_block_pairs(max_bucket: int, cross_min_id: int | None = None):
         ids = block.column("id").to_numpy()
         order = np.lexsort((ids, fps))
         fps, ids = fps[order], ids[order]
-        new_run = np.concatenate([[True], fps[1:] != fps[:-1]])
+        # _explode_winnow dedupes fps per doc, so (fp, id) is unique and
+        # each run's ids are sorted unique; guard anyway for direct callers
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = (fps[1:] == fps[:-1]) & (ids[1:] == ids[:-1])
+        if dup.any():
+            keep = ~dup
+            fps, ids = fps[keep], ids[keep]
+            n = len(fps)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = fps[1:] != fps[:-1]
         starts = np.flatnonzero(new_run)
-        ends = np.concatenate([starts[1:], [n]])
+        counts = np.diff(np.concatenate([starts, [n]]))
         out_s, out_d = [], []
-        for s, e in zip(starts, ends):
-            u = np.unique(ids[s:e])
-            m = len(u)
-            if m < 2:
-                continue
-            if m > max_bucket:
-                out_s.append(np.full(m - 1, u[0], dtype=np.int64))
-                out_d.append(u[1:])
-            else:
-                iu = np.triu_indices(m, k=1)
-                out_s.append(u[iu[0]])
-                out_d.append(u[iu[1]])
+        big = counts > max_bucket
+        if big.any():
+            # representative star: min id (first of the sorted run) → rest
+            bs, bc = starts[big], counts[big]
+            out_s.append(np.repeat(ids[bs], bc - 1))
+            idx = np.repeat(bs + 1, bc - 1) + _intra(bc - 1)
+            out_d.append(ids[idx])
+        small = (counts >= 2) & ~big
+        ss, sc = starts[small], counts[small]
+        for m in np.unique(sc):
+            sel = sc == m
+            mat = ids[ss[sel][:, None] + np.arange(m)]
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_s.append(mat[:, iu].ravel())
+            out_d.append(mat[:, ju].ravel())
         if not out_s:
             return empty
         src = np.concatenate(out_s)

@@ -93,3 +93,73 @@ def test_read_parquet_strips_schema_metadata(ray_session, tmp_path):
     assert tables.schema.metadata is None
     hash(tables.schema)  # must not raise
     assert sorted(tables.column("a").to_pylist()) == [1, 2, 3]
+
+
+def _fp_pairs_reference(fps, ids, max_bucket, cross_min_id=None):
+    """Scalar reference for the fp-bucket pair kernel (the pre-round-5
+    per-bucket loop, kept as the parity oracle)."""
+    order = np.lexsort((ids, fps))
+    fps, ids = fps[order], ids[order]
+    n = len(fps)
+    new_run = np.concatenate([[True], fps[1:] != fps[:-1]])
+    starts = np.flatnonzero(new_run)
+    ends = np.concatenate([starts[1:], [n]])
+    out = []
+    for s, e in zip(starts, ends):
+        u = np.unique(ids[s:e])
+        m = len(u)
+        if m < 2:
+            continue
+        if m > max_bucket:
+            out += [(u[0], d) for d in u[1:]]
+        else:
+            out += [(u[i], u[j]) for i in range(m) for j in range(i + 1, m)]
+    if cross_min_id is not None:
+        out = [(s, d) for s, d in out if s >= cross_min_id or d >= cross_min_id]
+    return sorted(out)
+
+
+@pytest.mark.parametrize("cross_min_id", [None, 50])
+def test_fp_block_pairs_vectorized_parity(cross_min_id):
+    from raydedup.pipeline import _fp_block_pairs
+
+    rng = np.random.default_rng(42)
+    # heavy-tailed bucket sizes: many singletons/pairs, a few big runs,
+    # one over-max_bucket star run, plus duplicated (fp, id) postings
+    fps, ids = [], []
+    fp = 0
+    for size in [1] * 200 + [2] * 150 + [3] * 40 + [4] * 10 + [7, 12, 30]:
+        fp += 1
+        members = rng.choice(200, size=size, replace=False)
+        fps += [fp] * size
+        ids += list(members)
+    # star run above max_bucket=8
+    fps += [9999] * 20
+    ids += list(rng.choice(500, size=20, replace=False))
+    # duplicated postings (guard path)
+    fps += [3, 3]
+    ids += [ids[fps.index(3)]] * 2
+    fps = np.array(fps, dtype=np.uint64)
+    ids = np.array(ids, dtype=np.int64)
+
+    perm = rng.permutation(len(fps))
+    block = pa.table({"fp": pa.array(fps[perm]), "id": pa.array(ids[perm])})
+    got = _fp_block_pairs(8, cross_min_id)(block)
+    got_pairs = sorted(
+        zip(got.column("src").to_pylist(), got.column("dst").to_pylist())
+    )
+    assert got_pairs == _fp_pairs_reference(fps, ids, 8, cross_min_id)
+    # pairs are (min, other): src < dst everywhere
+    assert all(s < d for s, d in got_pairs)
+
+
+def test_fp_block_pairs_empty_and_singletons():
+    from raydedup.pipeline import _fp_block_pairs
+
+    emit = _fp_block_pairs(8)
+    empty = pa.table({"fp": pa.array([], pa.uint64()), "id": pa.array([], pa.int64())})
+    assert emit(empty).num_rows == 0
+    singles = pa.table(
+        {"fp": pa.array([1, 2, 3], pa.uint64()), "id": pa.array([7, 8, 9], pa.int64())}
+    )
+    assert emit(singles).num_rows == 0
