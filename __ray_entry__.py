@@ -2391,12 +2391,12 @@ def _q_ccnet_buckets(sf_dir: str):
     boundary decision has no float to drift. One sort + O(blocks) driver
     state; scores never materialize driver-side."""
     from raydedup.lm import lm_scores
-    from raydedup.scan import global_ranks
+    from raydedup.scan import global_ranks_with_count
 
     scored = lm_scores(
         _corpus_ds(sf_dir), _cfg(), min_count=_LM_MIN_COUNT
     ).select_columns(["id", "score"])
-    ranked, n = global_ranks(scored, "score", "id", with_count=True)
+    ranked, n = global_ranks_with_count(scored, "score", "id")
 
     def bucket(b: pa.Table) -> pa.Table:
         r = b.column("rank").to_numpy().astype(np.int64)

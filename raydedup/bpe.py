@@ -569,22 +569,27 @@ def _collect_word_table(
     )
 
 
-def _lookup_or_raise(
-    w_arr: np.ndarray, toks: np.ndarray
-) -> np.ndarray:
-    """Indices of ``toks`` in the sorted vocabulary ``w_arr``; raises
-    KeyError on out-of-vocabulary tokens (the shared apply-time contract:
-    BPE was trained on a different corpus — train on a superset or
-    pre-filter instead of silently mis-counting)."""
+def _lookup(
+    w_arr: np.ndarray, toks: np.ndarray, strict: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """(indices of ``toks`` in the sorted vocabulary ``w_arr``, hit mask).
+
+    strict=True (the default apply-time contract since round 4: BPE was
+    trained on a different corpus — train on a superset or pre-filter
+    instead of silently mis-counting) raises KeyError on any
+    out-of-vocabulary token. strict=False returns hit=False rows for the
+    caller to handle explicitly (tokenize counts them 0, encode passes
+    the word through unsegmented) — the opt-in migration path for
+    pre-round-4 lenient callers."""
     idx = np.searchsorted(w_arr, toks)
     idx = np.clip(idx, 0, max(len(w_arr) - 1, 0))
     hit = w_arr[idx] == toks if len(w_arr) else np.zeros(len(toks), bool)
-    if not hit.all():
+    if strict and not hit.all():
         missing = toks[~hit][:3]
         raise KeyError(
             f"tokens not in the trained vocabulary: {missing.tolist()}"
         )
-    return idx
+    return idx, hit
 
 
 def tokenize_with_merges(
@@ -592,14 +597,16 @@ def tokenize_with_merges(
     train_result: dict,
     content_col: str = "content",
     id_col: str = "id",
+    strict: bool = True,
 ) -> "ray.data.Dataset":
     """Apply a trained BPE to documents → Dataset(id, n_bpe): per document
     the total BPE symbol count over its tokens. The word→n_syms table is
     broadcast ONCE (ray.put) and looked up map-side by searchsorted — no
     shuffle of the corpus. Documents with zero tokens report 0.
-    Out-of-vocabulary tokens raise KeyError (the same contract as
-    :func:`bpe_encode_docs` — a silent 0 count would corrupt token
-    budgets downstream)."""
+    Out-of-vocabulary tokens raise KeyError by default (the same contract
+    as :func:`bpe_encode_docs` — a silent 0 count would corrupt token
+    budgets downstream); ``strict=False`` restores the pre-round-4
+    lenient behavior of counting OOV tokens as 0."""
     import ray
 
     words, _, nsyms = _collect_word_table(train_result, with_bpe=False)
@@ -617,9 +624,9 @@ def tokenize_with_merges(
         n = batch.num_rows
         out = np.zeros(n, np.int64)
         if len(toks):
-            idx = _lookup_or_raise(w_arr, toks)
+            idx, hit = _lookup(w_arr, toks, strict)
             row_of = np.repeat(np.arange(n, dtype=np.int64), per_row)
-            np.add.at(out, row_of, n_arr[idx])
+            np.add.at(out, row_of, np.where(hit, n_arr[idx], 0))
         return pa.table(
             {
                 "id": batch.column(id_col),
@@ -637,6 +644,7 @@ def bpe_encode_docs(
     train_result: dict,
     content_col: str = "content",
     id_col: str = "id",
+    strict: bool = True,
 ) -> "ray.data.Dataset":
     """Apply a trained BPE to documents → Dataset(id, bpe_text, n_bpe):
     the space-joined BPE symbol sequence of the whole document (tokens in
@@ -646,7 +654,9 @@ def bpe_encode_docs(
     The word→segmentation table is broadcast ONCE (ray.put, sorted string
     arrays) and applied map-side by searchsorted — no corpus shuffle, no
     per-round work at apply time. Documents with zero tokens yield an
-    empty string."""
+    empty string. Out-of-vocabulary tokens raise KeyError by default;
+    ``strict=False`` passes an OOV word through unsegmented (the word
+    itself as one symbol, n_bpe contribution 1)."""
     import pyarrow.compute as pc
 
     import ray
@@ -661,9 +671,14 @@ def bpe_encode_docs(
         toks = np.array(flat.to_pylist())
         n = batch.num_rows
         if len(toks):
-            idx = _lookup_or_raise(w_arr, toks)
+            idx, hit = _lookup(w_arr, toks, strict)
             seg = b_arr[idx]
             counts = n_arr[idx]
+            if not hit.all():
+                miss = ~hit
+                seg = seg.copy()
+                seg[miss] = toks[miss]  # unsegmented pass-through
+                counts = np.where(hit, counts, 1)
         else:
             seg = np.array([], dtype=object)
             counts = np.zeros(0, np.int64)

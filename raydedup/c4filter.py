@@ -85,9 +85,11 @@ def c4_page_filter(
         np.int64
     )
     kept_flat = flat.filter(pa.array(keep_line))
-    kept_off = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
-    kept_list = pa.ListArray.from_arrays(
-        pa.array(kept_off, pa.int32()), kept_flat
+    # int64 offsets + LargeList: an int32 cumsum would silently wrap past
+    # 2^31 cumulative kept lines and corrupt the list layout
+    kept_off = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int64)
+    kept_list = pa.LargeListArray.from_arrays(
+        pa.array(kept_off, pa.int64()), kept_flat
     )
     text_clean = pc.binary_join(kept_list, "\n")
     n_sentences = pc.count_substring_regex(

@@ -40,6 +40,15 @@ import pyarrow as pa
 from .embed import _batch_matrix, quantize
 
 
+def matrix_list_array(m: np.ndarray) -> pa.ListArray:
+    """(n, d) numpy matrix -> list<item> column via one flat values buffer
+    + computed offsets; pa.array(list(matrix)) pays a Python object per
+    ROW, which dominates hot encode/project paths."""
+    n, d = m.shape
+    off = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), pa.int32())
+    return pa.ListArray.from_arrays(off, pa.array(np.ascontiguousarray(m).reshape(-1)))
+
+
 def quantized_matrix(batch: pa.Table, col: str) -> np.ndarray:
     """(rows, dim) float64 matrix of exact integers: floor(x * 2^20)."""
     return quantize(_batch_matrix(batch, col))

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .cluster import matrix_list_array
 from .tokenize import tokenize_hashes
 
 
@@ -78,7 +79,7 @@ def hashing_vectors(
         if norm == "l2":
             m = l2_normalize(m)
         return pa.table(
-            {id_col: batch.column(id_col), out_col: pa.array(list(m))}
+            {id_col: batch.column(id_col), out_col: matrix_list_array(m)}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")

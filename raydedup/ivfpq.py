@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .cluster import _assign, kmeans_fit, quantized_matrix
+from .cluster import _assign, kmeans_fit, matrix_list_array, quantized_matrix
 from .pq import _codes_matrix, pq_train
 from .io import read_parquet as _read_parquet
 
@@ -64,7 +64,7 @@ def residual_view(ds, coarse: np.ndarray, col: str = "embedding", id_col: str = 
             {
                 id_col: batch.column(id_col),
                 "list_id": pa.array(a, pa.int64()),
-                col: pa.array(list(res)),
+                col: matrix_list_array(res),
             }
         )
 
@@ -145,7 +145,7 @@ def ivfpq_encode(
             {
                 id_col: batch.column(id_col),
                 "list_id": pa.array(a, pa.int64()),
-                "codes": pa.array(list(codes)),
+                "codes": matrix_list_array(codes),
             }
         )
 
@@ -214,10 +214,10 @@ class IvfPqAdcScorer:
         ids, lid, codes = ids[order], lid[order], codes[order]
         starts = np.flatnonzero(np.r_[True, lid[1:] != lid[:-1]])
         ends = np.r_[starts[1:], len(lid)]
-        nq = len(self.query_ids)
-        # per query: candidate (dist, vec_id) arrays across this batch's runs
-        cand_v: list[list[np.ndarray]] = [[] for _ in range(nq)]
-        cand_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        # flat candidate triples across runs: Python work is O(list runs),
+        # never O(runs x probing queries) — each run contributes its whole
+        # (query, vec, dist) block via repeat/tile/ravel
+        run_q, run_v, run_d = [], [], []
         for s, e in zip(starts, ends):
             entry = self.lists.get(int(lid[s]))
             if entry is None:
@@ -227,28 +227,31 @@ class IvfPqAdcScorer:
             dist = np.zeros((len(q_idx), e - s), dtype=np.float64)
             for j in range(self.m):
                 dist += lut[:, j, cs[:, j]]
-            for qi_pos, qi in enumerate(q_idx):
-                cand_v[qi].append(ids[s:e])
-                cand_d[qi].append(dist[qi_pos])
-        out_q, out_v, out_d = [], [], []
-        for qi in range(nq):
-            if not cand_v[qi]:
-                continue
-            v = np.concatenate(cand_v[qi])
-            d = np.concatenate(cand_d[qi])
-            cut = np.lexsort((v, d))[: self.k]
-            out_q.append(np.full(len(cut), self.query_ids[qi], dtype=np.int64))
-            out_v.append(v[cut])
-            out_d.append(d[cut])
-        if not out_q:
+            run_q.append(np.repeat(q_idx, e - s))
+            run_v.append(np.tile(ids[s:e], len(q_idx)))
+            run_d.append(dist.ravel())
+        if not run_q:
             return self._empty()
+        from .stages import _intra
+
+        q = np.concatenate(run_q)
+        v = np.concatenate(run_v)
+        d = np.concatenate(run_d)
+        # one global (q, dist asc, vec_id asc) sort, then the per-query
+        # top-k cut via run boundaries — same order the per-query lexsort
+        # produced, without a Python pass per query
+        order = np.lexsort((v, d, q))
+        qs, vs, ds_ = q[order], v[order], d[order]
+        first = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        kk = np.minimum(np.diff(np.r_[first, len(qs)]), self.k)
+        take = np.repeat(first, kk) + _intra(kk)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "query_id": pa.array(self.query_ids[qs[take]], pa.int64()),
+                "vec_id": pa.array(vs[take], pa.int64()),
                 # negated distance under the "cosine" name so the
                 # embed._final_topk max-score combiner tree merges it as-is
-                "cosine": pa.array(-np.concatenate(out_d), pa.float64()),
+                "cosine": pa.array(-ds_[take], pa.float64()),
             }
         )
 

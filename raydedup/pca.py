@@ -26,7 +26,7 @@ import pickle
 import numpy as np
 import pyarrow as pa
 
-from .cluster import quantized_matrix
+from .cluster import matrix_list_array, quantized_matrix
 from .embed import QUANT_SCALE
 
 
@@ -208,7 +208,7 @@ def pca_project(
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "projected": pa.array(list(proj)),
+                "projected": matrix_list_array(proj),
             }
         )
 

@@ -338,12 +338,19 @@ def _banded(
     verify: bool,
     carry_bandhashes: bool = True,
     cross_min_id: int | None = None,
+    wave: tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     cols = ["id", "minhash", "n_shingles"]
     if carry_kmv:
         cols += ["kmv_theta", "kmv"]
     band = sigs.select_columns(cols).map_batches(
-        BandEmitStage(cfg, hot, carry_kmv=carry_kmv, carry_bandhashes=carry_bandhashes),
+        BandEmitStage(
+            cfg,
+            hot,
+            carry_kmv=carry_kmv,
+            carry_bandhashes=carry_bandhashes,
+            wave=wave,
+        ),
         batch_format="pyarrow",
     )
     from .hashing import splitmix64 as _smix
@@ -591,6 +598,43 @@ def _sketch_broadcast_ref(sigs: "ray.data.Dataset", cfg: SigConfig):
 AUTO_HYBRID_FLOOR = 256 << 20  # sketch-table bytes below which bucket wins
 
 
+def _near_budget(budget: int | None = None) -> int:
+    """Default broadcast/wave byte budget: 20% of the cluster object-store
+    capacity (2 GiB when Ray can't report capacity)."""
+    if budget is not None:
+        return budget
+    try:
+        cap = ray.cluster_resources().get("object_store_memory", 0)
+    except Exception:  # noqa: BLE001 — outside a Ray session
+        cap = 0
+    return int(0.2 * cap) if cap else 2 << 30
+
+
+def _bucket_shuffle_bytes(n_rows: int, cfg: SigConfig) -> int:
+    """Estimated all-to-all payload of bucket mode's band shuffle: every
+    valid doc ships ``bands`` rows each carrying (band_key, orig_key,
+    salted, band_idx, id) + its band-hash vector + its KMV sketch."""
+    per_band_row = (
+        8 + 8 + 1 + 1 + 8  # band_key, orig_key, salted, band_idx, id
+        + cfg.bands * 8  # bandhashes (owner-band rule)
+        + 8 + cfg.kmv_k * cfg.kmv_hash_bytes  # kmv_theta + kmv blob
+    )
+    return n_rows * cfg.bands * per_band_row
+
+
+def _auto_num_waves(
+    n_rows: int, cfg: SigConfig, budget: int | None = None
+) -> int:
+    """Wave count such that ONE wave's band shuffle fits the byte budget
+    (expected payload is uniform across waves — the wave key is a hash of
+    the band key). Capped at 256: beyond that the W× re-read of the
+    signature checkpoint dominates and a coarser wave simply spills a
+    little, which is the cheaper failure."""
+    import math as _math
+
+    return max(1, min(256, _math.ceil(_bucket_shuffle_bytes(n_rows, cfg) / _near_budget(budget))))
+
+
 def _auto_near_mode(
     sigs: "ray.data.Dataset",
     cfg: SigConfig,
@@ -608,20 +652,22 @@ def _auto_near_mode(
     box is between 150k rows (~79 MB table: bucket 9.7-10.4 s vs hybrid
     13.4-14.1 s) and 1.25M rows (~660 MB: hybrid 1.3-1.9× faster) with the
     gap exploding once bucket spills (2.5M rows: hybrid 2.5× faster,
-    zero spill vs 40 GB — BASELINE.md round-4)."""
-    import ray
+    zero spill vs 40 GB — BASELINE.md round-4).
 
-    if budget is None:
-        try:
-            cap = ray.cluster_resources().get("object_store_memory", 0)
-        except Exception:
-            cap = 0
-        budget = int(0.2 * cap) if cap else 2 << 30
+    Above the budget (the sketch table no longer fits a node's plasma as
+    ONE broadcast copy) the answer is 'bucket_waves': bucket layout, but
+    the band-key space sharded into W hash ranges executed as sequential
+    waves so each wave's sketch-carrying shuffle fits the object store
+    instead of going disk-bound (the round-4 knee: 40.6 GB spilled at
+    2.5M rows in monolithic bucket mode)."""
+    budget = _near_budget(budget)
     if floor is None:
         floor = AUTO_HYBRID_FLOOR
     per_row = 16 + cfg.kmv_k * cfg.kmv_hash_bytes  # id + theta + kmv blob
     est = sigs.count() * per_row
-    return "hybrid" if floor <= est <= budget else "bucket"
+    if est > budget:
+        return "bucket_waves"
+    return "hybrid" if est >= floor else "bucket"
 
 
 def near_edges(
@@ -632,6 +678,7 @@ def near_edges(
     mode: str = "bucket",
     cross_min_id: int | None = None,
     auto_broadcast_budget: int | None = None,
+    num_waves: int | None = None,
 ) -> "ray.data.Dataset":
     """Verified near-dup edges. Modes (all same verification semantics):
       'auto': 'hybrid' when the whole sketch table lands inside the
@@ -639,7 +686,8 @@ def near_edges(
         broadcast+actor cost beats its ~4.5× all-to-all byte reduction;
         measured crossover in BASELINE.md round-4), budget 20% of the
         cluster's object-store capacity (or 2 GiB if Ray can't report
-        it) — else 'bucket'. The estimate is rows × the broadcast table's
+        it) — 'bucket' below the floor, 'bucket_waves' above the budget.
+        The estimate is rows × the broadcast table's
         exact per-row footprint (id + theta + the kmv blob: 16 +
         kmv_k·hash_bytes — the hybrid broadcast carries ONLY these, not
         minhash or band keys), computed from the materialized signature
@@ -658,20 +706,42 @@ def near_edges(
         sketch distributed verify — minimal object-store bytes; right when
         candidates << corpus but pays driver-side latency.
       'join': ids-only shuffle + hash-join verify — decouples shuffle bytes
-        from sketch size at extreme scale."""
-    if mode == "auto":
+        from sketch size at extreme scale.
+      'bucket_waves': bucket layout executed as ``num_waves`` sequential
+        waves over hash ranges of the ORIGINAL band key — each wave's
+        sketch-carrying all-to-all fits the object store (no spill), at
+        the cost of re-reading the materialized signature checkpoint once
+        per wave (map-side, cheap next to a disk-bound shuffle). The scale
+        path above hybrid's broadcast budget: wave payload is corpus/W, so
+        any corpus size fits by raising W. ``num_waves`` defaults to the
+        byte-estimate the auto selector computes. Edges are identical to
+        'bucket': every band row lands in exactly one wave, the owner-band
+        rule assigns each pair to exactly one band bucket globally, and a
+        hot key's salted sub-buckets + delegate round share the wave of
+        their orig_key."""
+    if mode in ("auto", "bucket_waves"):
         # materialize BEFORE counting: the count consumes the pipeline and
-        # every mode re-reads sigs, so an unmaterialized signature stage —
-        # the most expensive map in the flagship — would execute twice.
-        # dedup_clusters already passes a materialized table (for which
-        # this is a guarded no-op — re-materializing would copy blocks);
-        # this makes the invariant hold for direct near_edges(mode='auto')
-        # callers too.
+        # every mode re-reads sigs (waves W times!), so an unmaterialized
+        # signature stage — the most expensive map in the flagship — would
+        # execute repeatedly. dedup_clusters already passes a materialized
+        # table (for which this is a guarded no-op — re-materializing
+        # would copy blocks); this makes the invariant hold for direct
+        # near_edges(mode='auto'/'bucket_waves') callers too.
         from ray.data.dataset import MaterializedDataset
 
         if not isinstance(sigs, MaterializedDataset):
             sigs = sigs.materialize()
-        mode = _auto_near_mode(sigs, cfg, auto_broadcast_budget)
+        if mode == "auto":
+            mode = _auto_near_mode(sigs, cfg, auto_broadcast_budget)
+    if mode == "bucket_waves":
+        if num_waves is None:
+            num_waves = _auto_num_waves(sigs.count(), cfg, auto_broadcast_budget)
+        if num_waves <= 1:
+            mode = "bucket"
+        else:
+            return _near_edges_bucket_waves(
+                sigs, cfg, hot, num_waves, cross_min_id=cross_min_id
+            )
     if mode == "broadcast":
         return _near_edges_broadcast(sigs, cfg, hot)
     if mode == "bucket":
@@ -693,6 +763,46 @@ def near_edges(
         )
     pairs = candidate_pairs_lsh(sigs, cfg, hot)
     return verify_pairs(pairs, sigs, cfg, num_partitions)
+
+
+def _near_edges_bucket_waves(
+    sigs: "ray.data.Dataset",
+    cfg: SigConfig,
+    hot: dict[int, int] | None,
+    num_waves: int,
+    cross_min_id: int | None = None,
+) -> "ray.data.Dataset":
+    """Bucket mode bounded to object-store-sized shuffles: run the band
+    shuffle + in-bucket verify once per band-key hash range, materializing
+    each wave's (tiny) verified edge set before the next wave starts — so
+    at most ONE wave's sketch-carrying all-to-all is in flight, and its
+    payload is ~1/num_waves of monolithic bucket mode's.
+
+    Correctness is layout-independent: the wave key is a pure function of
+    orig_key, so every band bucket (and every hot key's salted sub-buckets
+    + delegates) lives in exactly one wave, and the owner-band rule keeps
+    pairs globally unique across waves. Union-find downstream is
+    idempotent under the same rare duplicate sources bucket mode has
+    (delegate + capped-star edges). ``sigs`` must be materialized (the
+    caller guarantees it) — each wave re-reads the checkpoint map-side."""
+    parts = []
+    for w in range(num_waves):
+        edges = _banded(
+            sigs,
+            cfg,
+            hot,
+            carry_kmv=True,
+            verify=True,
+            cross_min_id=cross_min_id,
+            wave=(w, num_waves),
+        ).select_columns(["src", "dst", "jaccard"])
+        # materialize = the wave barrier: verified edges are ~24 B/pair,
+        # tiny next to the band shuffle this bounds
+        parts.append(edges.materialize())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .cluster import _assign, kmeans_fit, quantized_matrix
+from .cluster import _assign, kmeans_fit, matrix_list_array, quantized_matrix
 
 
 def _slice_view(ds, col: str, id_col: str, lo: int, hi: int):
@@ -44,7 +44,7 @@ def _slice_view(ds, col: str, id_col: str, lo: int, hi: int):
             )
         m = quantized_matrix(batch, col)[:, lo:hi] / 1048576.0
         return pa.table(
-            {id_col: batch.column(id_col), col: pa.array(list(m))}
+            {id_col: batch.column(id_col), col: matrix_list_array(m)}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -105,7 +105,7 @@ def pq_encode(ds, codebooks: np.ndarray, col: str = "embedding", id_col: str = "
         for j in range(m):
             codes[:, j] = _assign(qm[:, j * dsub : (j + 1) * dsub], b[j])
         return pa.table(
-            {id_col: batch.column(id_col), "codes": pa.array(list(codes))}
+            {id_col: batch.column(id_col), "codes": matrix_list_array(codes)}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -98,14 +98,28 @@ def ordered_prefix_sum(
     return ds.map_batches(_apply, batch_size=None, batch_format="pyarrow")
 
 
+def global_ranks_with_count(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    out_rank: str = "rank",
+    out_pct: str = "pct_rank",
+) -> tuple["ray.data.Dataset", int]:
+    """(:func:`global_ranks` result, total row count) — exposes the row
+    total the rank scan already computed so callers that need n (e.g.
+    integer tercile boundaries) don't pay an extra execution of the rank
+    map just to count rows. Split from ``global_ranks`` so neither
+    function's return type depends on a flag."""
+    return _global_ranks_impl(ds, value_col, id_col, out_rank, out_pct)
+
+
 def global_ranks(
     ds: "ray.data.Dataset",
     value_col: str,
     id_col: str,
     out_rank: str = "rank",
     out_pct: str = "pct_rank",
-    with_count: bool = False,
-):
+) -> "ray.data.Dataset":
     """Exact SQL ``rank()`` / ``percent_rank()`` over the WHOLE dataset
     (ORDER BY value_col): rank = 1 + count of strictly smaller values,
     pct = (rank-1)/(n-1). The training-data use is percentile-normalizing a
@@ -119,6 +133,16 @@ def global_ranks(
     ``value_col`` must not contain NaN/NULL (NaN breaks both sort order and
     the block-offset key equality).
     """
+    return _global_ranks_impl(ds, value_col, id_col, out_rank, out_pct)[0]
+
+
+def _global_ranks_impl(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    out_rank: str = "rank",
+    out_pct: str = "pct_rank",
+) -> tuple["ray.data.Dataset", int]:
     sorted_ds = ds.sort([value_col, id_col]).materialize()
     n_total = sorted_ds.count()
 
@@ -190,10 +214,7 @@ def global_ranks(
     ranked = sorted_ds.map_batches(
         _apply, batch_size=None, batch_format="pyarrow"
     )
-    # with_count exposes the already-computed row total so callers that
-    # need n (e.g. integer tercile boundaries) don't pay an extra
-    # execution of the rank map just to count rows
-    return (ranked, n_total) if with_count else ranked
+    return ranked, n_total
 
 
 def pack_token_shards(

@@ -214,7 +214,20 @@ class BandEmitStage:
         the dup rate (it decouples shuffle volume from sketch size).
     ``hot_keys``: dict band_key → n_salts from the heavy-hitter pre-pass;
     hot keys split by hash(id) into sub-buckets, reconnected by delegates.
+
+    ``wave=(w, W)``: emit only band rows whose ORIGINAL band key hashes to
+    wave ``w`` of ``W`` — the map-side shard filter behind
+    pipeline's bucket_waves mode (each wave's band shuffle fits the object
+    store instead of one monolithic sketch-carrying all-to-all). Keying on
+    ``orig_key`` (not the salted sub-key) keeps every sub-bucket AND the
+    delegate round of a hot key inside one wave, so cross-salt
+    connectivity never spans waves. The filter runs before the bandhashes/
+    kmv payload is gathered, so skipped rows never materialize their
+    ~(bands·8 + kmv_k·hash_bytes) B payload.
     """
+
+    #: wave-hash domain separator (any fixed odd-ish constant)
+    WAVE_SEED = np.uint64(0x57A7E5EED)
 
     def __init__(
         self,
@@ -222,11 +235,13 @@ class BandEmitStage:
         hot_keys: dict[int, int] | None = None,
         carry_kmv: bool = True,
         carry_bandhashes: bool = True,
+        wave: tuple[int, int] | None = None,
     ):
         self.cfg = cfg
         self.hot = hot_keys or {}
         self.carry_kmv = carry_kmv
         self.carry_bandhashes = carry_bandhashes
+        self.wave = wave
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -250,8 +265,18 @@ class BandEmitStage:
         nv = int(valid.sum())
         rep_ids = np.repeat(ids[valid], cfg.bands)
         orig_keys = keys[valid].reshape(-1)
-        flat_keys, salted = self._salt(orig_keys, rep_ids)
         band_idx = np.tile(np.arange(cfg.bands, dtype=np.uint8), nv)
+        src_rows = np.repeat(np.flatnonzero(valid), cfg.bands)
+        if self.wave is not None:
+            w, n_waves = self.wave
+            in_wave = (
+                splitmix64(orig_keys ^ self.WAVE_SEED) % np.uint64(n_waves)
+            ) == np.uint64(w)
+            rep_ids = rep_ids[in_wave]
+            orig_keys = orig_keys[in_wave]
+            band_idx = band_idx[in_wave]
+            src_rows = src_rows[in_wave]
+        flat_keys, salted = self._salt(orig_keys, rep_ids)
         # when carry_bandhashes: every row carries the doc's band-hash
         # vector (bands×8 B) so the pair stage can assign each pair to its
         # FIRST co-bucketed band — exactly one bucket emits any given pair
@@ -265,11 +290,9 @@ class BandEmitStage:
             "id": pa.array(rep_ids, type=pa.int64()),
         }
         if self.carry_bandhashes:
-            bh_rows = np.repeat(bh[valid], cfg.bands, axis=0)
-            cols["bandhashes"] = _matrix_binary(bh_rows)
+            cols["bandhashes"] = _matrix_binary(bh[src_rows])
         if self.carry_kmv:
-            reps = np.repeat(np.flatnonzero(valid), cfg.bands)
-            take = pa.array(reps)
+            take = pa.array(src_rows)
             cols["kmv_theta"] = kmv_theta.take(take)
             cols["kmv"] = kmv_col.take(take)
         return pa.table(cols)

@@ -383,19 +383,29 @@ def test_near_modes_agree(ray_session):
     for mode in ("bucket", "hybrid", "broadcast", "join", "auto"):
         out = near_edges(sigs, CFG, mode=mode).to_pandas()
         sets[mode] = set(zip(out["src"], out["dst"]))
+    # wave-sharded bucket: identical edges regardless of wave count
+    for w in (2, 5):
+        out = near_edges(sigs, CFG, mode="bucket_waves", num_waves=w).to_pandas()
+        sets[f"bucket_waves_{w}"] = set(zip(out["src"], out["dst"]))
     assert (
         sets["bucket"] == sets["hybrid"] == sets["broadcast"]
         == sets["join"] == sets["auto"]
+        == sets["bucket_waves_2"] == sets["bucket_waves_5"]
     )
     assert len(sets["bucket"]) > 50
     # auto resolves by the [floor, budget] window: a table too small to
     # amortize hybrid's fixed broadcast cost -> bucket, in-window ->
-    # hybrid, above-budget -> bucket
-    from raydedup.pipeline import _auto_near_mode
+    # hybrid, above-budget -> wave-sharded bucket (bounded shuffles)
+    from raydedup.pipeline import _auto_near_mode, _auto_num_waves
 
     assert _auto_near_mode(sigs, CFG) == "bucket"  # tiny: below the floor
     assert _auto_near_mode(sigs, CFG, floor=0) == "hybrid"
-    assert _auto_near_mode(sigs, CFG, budget=1, floor=0) == "bucket"
+    assert _auto_near_mode(sigs, CFG, budget=1, floor=0) == "bucket_waves"
+    # wave count scales with the bucket-shuffle estimate / budget
+    assert _auto_num_waves(10, CFG, budget=1 << 40) == 1
+    n1 = _auto_num_waves(1_000_000, CFG, budget=1 << 30)
+    n2 = _auto_num_waves(4_000_000, CFG, budget=1 << 30)
+    assert 1 < n1 < n2 <= 256
 
 
 def test_decontaminate_pairs_matches_bruteforce(ray_session):
@@ -510,3 +520,43 @@ def test_drop_contaminated_broadcast_and_antijoin(ray_session):
         assert list(out["id"]) == [1, 3, 4], limit
         assert list(out.columns) == ["id", "content"]
         assert out["content"][1] == "doc 2"  # id 3 carries its content
+
+
+def test_bucket_waves_agree_with_hot_keys(ray_session):
+    """Wave sharding must preserve hot-key handling: a hot band key's
+    salted sub-buckets AND its delegate round live in one wave (the wave
+    key hashes orig_key, not the salted sub-key), so the edge set equals
+    monolithic bucket mode's connectivity even with salting active."""
+    import ray.data
+
+    from raydedup.pipeline import detect_hot_band_keys, near_edges, signatures
+    from raydedup.unionfind import cluster_edges
+
+    shared = "the quick brown fox jumps over the lazy dog " * 6
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(1200):
+        if i < 300:
+            rows.append(shared)  # one giant hot cluster -> salting fires
+        else:
+            rows.append(" ".join(f"tok{rng.integers(0, 50000)}" for _ in range(40)))
+    tbl = pa.table(
+        {"id": pa.array(np.arange(1200, dtype=np.int64)), "content": pa.array(rows)}
+    )
+    sigs = signatures(ray.data.from_arrow(tbl), CFG).materialize()
+    hot = detect_hot_band_keys(sigs, CFG, sample=1.0)
+    assert hot, "fixture must trigger salting"
+
+    def clusters(mode, **kw):
+        edges = near_edges(sigs, CFG, hot, mode=mode, **kw)
+        assigned = cluster_edges(edges.select_columns(["src", "dst"])).to_pandas()
+        return dict(zip(assigned["id"], assigned["cluster_id"]))
+
+    base = clusters("bucket")
+    waves = clusters("bucket_waves", num_waves=4)
+    # identical connectivity (edge SETS can differ only in the rare
+    # delegate/capped-star duplicate sources, which do not change clusters)
+    assert base == waves
+    hot_members = [i for i in range(300)]
+    roots = {base.get(i) for i in hot_members if i in base}
+    assert len(roots) == 1, "hot cluster split across waves"

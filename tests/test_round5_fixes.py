@@ -163,3 +163,73 @@ def test_fp_block_pairs_empty_and_singletons():
         {"fp": pa.array([1, 2, 3], pa.uint64()), "id": pa.array([7, 8, 9], pa.int64())}
     )
     assert emit(singles).num_rows == 0
+
+
+def test_bpe_lenient_mode(ray_session):
+    """strict=False restores the pre-round-4 lenient OOV contract:
+    tokenize counts OOV tokens as 0; encode passes the word through
+    unsegmented as one symbol."""
+    import ray.data
+
+    from raydedup.bpe import bpe_encode_docs, tokenize_with_merges, train_bpe
+
+    train = pa.table(
+        {
+            "id": pa.array([0, 1], pa.int64()),
+            "content": pa.array(["low lower lowest", "low low newer"]),
+        }
+    )
+    tr = train_bpe(ray.data.from_arrow(train), n_merges=3)
+    apply_tbl = pa.table(
+        {
+            "id": pa.array([10, 11], pa.int64()),
+            "content": pa.array(["low UNSEEN", "lower"]),
+        }
+    )
+    ds = ray.data.from_arrow(apply_tbl)
+    with pytest.raises(Exception):  # strict default raises on OOV
+        tokenize_with_merges(ds, tr).to_pandas()
+    tok = tokenize_with_merges(ds, tr, strict=False).to_pandas()
+    tok = dict(zip(tok["id"], tok["n_bpe"]))
+    strict_known = tokenize_with_merges(
+        ray.data.from_arrow(
+            pa.table({"id": pa.array([11], pa.int64()), "content": pa.array(["lower"])})
+        ),
+        tr,
+    ).to_pandas()
+    assert tok[11] == strict_known["n_bpe"].iloc[0]  # known rows unchanged
+    lone_low = tokenize_with_merges(
+        ray.data.from_arrow(
+            pa.table({"id": pa.array([0], pa.int64()), "content": pa.array(["low"])})
+        ),
+        tr,
+    ).to_pandas()["n_bpe"].iloc[0]
+    assert tok[10] == lone_low  # UNSEEN contributed 0
+
+    enc = bpe_encode_docs(ds, tr, strict=False).to_pandas()
+    enc = dict(zip(enc["id"], zip(enc["bpe_text"], enc["n_bpe"])))
+    assert "UNSEEN" in enc[10][0]  # passed through unsegmented
+    assert enc[10][1] == lone_low + 1  # one extra symbol for the OOV word
+
+
+def test_global_ranks_with_count(ray_session):
+    import ray.data
+
+    from raydedup.scan import global_ranks, global_ranks_with_count
+
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(20, dtype=np.int64)),
+            "score": pa.array((np.arange(20) % 7).astype(np.float64)),
+        }
+    )
+    ranked, n = global_ranks_with_count(ray.data.from_arrow(t), "score", "id")
+    assert n == 20
+    a = ranked.to_pandas().sort_values("id").reset_index(drop=True)
+    b = (
+        global_ranks(ray.data.from_arrow(t), "score", "id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
