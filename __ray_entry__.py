@@ -2728,57 +2728,11 @@ def _q_incremental_dedup_assign(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Driver-sampling rotation (round-4 verdict item 7): the driver
+    # value-checks the FIRST 50 entries each round, so the 54 queries it
+    # did not sample in round 4 are listed first this round — every
+    # registered query gets a driver-side oracle check within 2 rounds.
     return {
-        "exact_dup_clusters": _q_exact_dup_clusters,
-        "dedup_survivors": _q_dedup_survivors,
-        "exact_dup_groups": _q_exact_dup_groups,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "ngram_containment_pairs": _q_ngram_containment_pairs,
-        "decontam_pairs": _q_decontam_pairs,
-        "repetition_signals": _q_repetition_signals,
-        "boilerplate_line_dedup": _q_boilerplate_line_dedup,
-        "oov_rate": _q_oov_rate,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "sample_sources": _q_sample_sources,
-        "media_resized_features": _q_media_resized_features,
-        "media_audio_windows": _q_media_audio_windows,
-        "strip_markup": _q_strip_markup,
-        "decontam_survivors": _q_decontam_survivors,
-        "containment_pairs": _q_containment_pairs,
-        "duplicate_spans": _q_duplicate_spans,
-        "strip_duplicate_spans": _q_strip_duplicate_spans,
-        "lm_quality_scores": _q_lm_quality_scores,
-        "url_dedup_survivors": _q_url_dedup_survivors,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "bpe_train": _q_bpe_train,
-        "bpe_tokenize_words": _q_bpe_tokenize_words,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "bpe_encode_docs": _q_bpe_encode_docs,
-        "shuffle_shards": _q_shuffle_shards,
-        "snapshot_diff": _q_snapshot_diff,
-        "curate_corpus_v2": _q_curate_corpus_v2,
-        "text_search_topk": _q_text_search_topk,
-        "text_search_indexed": _q_text_search_indexed,
-        "temperature_mix": _q_temperature_mix,
-        "profile_sources": _q_profile_sources,
-        "chunk_documents": _q_chunk_documents,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_oracle": _q_dedup_clusters_oracle,
-        "cluster_size_histogram": _q_cluster_size_histogram,
-        "cluster_best_survivors": _q_cluster_best_survivors,
-        "minhash_signatures": _q_minhash_signatures,
-        "theta_distinct_orders": _q_theta_distinct_orders,
-        "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
-        "cpc_distinct_customers": _q_cpc_distinct_customers,
-        "alpha_distinct_parts": _q_alpha_distinct_parts,
-        "frequent_suppliers": _q_frequent_suppliers,
-        "frequent_part_types": _q_frequent_part_types,
-        "top_tokens": _q_top_tokens,
-        "hll_distinct_orders_by_priority": _q_hll_distinct_orders_by_priority,
-        "req_quantiles_qty": _q_req_quantiles_qty,
-        "kll_quantiles_price": _q_kll_quantiles_price,
-        "ks_price_by_returnflag": _q_ks_price_by_returnflag,
-        "hllmap_event_types_by_user": _q_hllmap_event_types_by_user,
         "tuple_jaccard_priorities": _q_tuple_jaccard_priorities,
         "theta_rollup_regions": _q_theta_rollup_regions,
         "varopt_qty_by_flag": _q_varopt_qty_by_flag,
@@ -2833,6 +2787,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_train_val_test": _q_split_train_val_test,
         "incremental_exact_matches": _q_incremental_exact_matches,
         "incremental_dedup_assign": _q_incremental_dedup_assign,
+        "exact_dup_clusters": _q_exact_dup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_containment_pairs": _q_ngram_containment_pairs,
+        "decontam_pairs": _q_decontam_pairs,
+        "repetition_signals": _q_repetition_signals,
+        "boilerplate_line_dedup": _q_boilerplate_line_dedup,
+        "oov_rate": _q_oov_rate,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "sample_sources": _q_sample_sources,
+        "media_resized_features": _q_media_resized_features,
+        "media_audio_windows": _q_media_audio_windows,
+        "strip_markup": _q_strip_markup,
+        "decontam_survivors": _q_decontam_survivors,
+        "containment_pairs": _q_containment_pairs,
+        "duplicate_spans": _q_duplicate_spans,
+        "strip_duplicate_spans": _q_strip_duplicate_spans,
+        "lm_quality_scores": _q_lm_quality_scores,
+        "url_dedup_survivors": _q_url_dedup_survivors,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_train": _q_bpe_train,
+        "bpe_tokenize_words": _q_bpe_tokenize_words,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_encode_docs": _q_bpe_encode_docs,
+        "shuffle_shards": _q_shuffle_shards,
+        "snapshot_diff": _q_snapshot_diff,
+        "curate_corpus_v2": _q_curate_corpus_v2,
+        "text_search_topk": _q_text_search_topk,
+        "text_search_indexed": _q_text_search_indexed,
+        "temperature_mix": _q_temperature_mix,
+        "profile_sources": _q_profile_sources,
+        "chunk_documents": _q_chunk_documents,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_oracle": _q_dedup_clusters_oracle,
+        "cluster_size_histogram": _q_cluster_size_histogram,
+        "cluster_best_survivors": _q_cluster_best_survivors,
+        "minhash_signatures": _q_minhash_signatures,
+        "theta_distinct_orders": _q_theta_distinct_orders,
+        "theta_distinct_users_by_type": _q_theta_distinct_users_by_type,
+        "cpc_distinct_customers": _q_cpc_distinct_customers,
+        "alpha_distinct_parts": _q_alpha_distinct_parts,
+        "frequent_suppliers": _q_frequent_suppliers,
+        "frequent_part_types": _q_frequent_part_types,
+        "top_tokens": _q_top_tokens,
+        "hll_distinct_orders_by_priority": _q_hll_distinct_orders_by_priority,
+        "req_quantiles_qty": _q_req_quantiles_qty,
+        "kll_quantiles_price": _q_kll_quantiles_price,
+        "ks_price_by_returnflag": _q_ks_price_by_returnflag,
+        "hllmap_event_types_by_user": _q_hllmap_event_types_by_user,
     }
 
 
