@@ -22,8 +22,48 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+def _inject_stripped_schema(args: tuple, kwargs: dict) -> bool:
+    """Set ``kwargs["schema"]`` to the files' physical schema minus metadata.
+
+    Ray's parquet read task builds each output block with
+    ``pa.Table.from_batches([batch], schema=schema)`` — with ``schema=None``
+    the blocks inherit the file's pandas metadata INSIDE the read task, so a
+    post-read strip stage can't stop the per-worker ``Failed to hash the
+    schemas`` warning (``SplitBlocks`` prevents fusing the strip into the
+    read). Passing a metadata-free schema fixes it at the source.
+
+    Returns False (leaving kwargs untouched) whenever injection could change
+    semantics: caller already passed schema/partitioning/_block_udf, a
+    requested column is not in the physical file schema (it must then be a
+    hive partition column ray materializes from the path), or schema
+    discovery fails."""
+    if any(k in kwargs for k in ("schema", "partitioning", "_block_udf")):
+        return False
+    paths = args[0] if args else kwargs.get("paths")
+    if paths is None:
+        return False
+    try:
+        import pyarrow.dataset as pads
+
+        pa_ds = pads.dataset(
+            paths, format="parquet", filesystem=kwargs.get("filesystem")
+        )
+        schema = pa_ds.schema.remove_metadata()
+        cols = kwargs.get("columns")
+        if cols:
+            if any(c not in schema.names for c in cols):
+                return False
+            schema = pa.schema([schema.field(c) for c in cols])
+        kwargs["schema"] = schema
+        return True
+    except Exception:
+        return False
+
+
 def read_parquet(*args, **kwargs) -> "ray.data.Dataset":
     """``ray.data.read_parquet`` with hashable (metadata-free) block schemas."""
+    if _inject_stripped_schema(args, kwargs):
+        return ray.data.read_parquet(*args, **kwargs)
     return ray.data.read_parquet(*args, **kwargs).map_batches(
         _strip_schema_metadata, batch_format="pyarrow", batch_size=None
     )

@@ -52,6 +52,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -309,6 +310,84 @@ def main() -> int:
            sum_true, est_sum, abs(est_sum - sum_true) / sum_true,
            1.5 * sigma / math.sqrt(4096),
            "ratio estimator: count-RSE x 1.5 margin")
+
+    # ---- fdt: per-group distinct-rank output with UB/LB/RSE ----
+    # (round-4 verdict item 5: fdt/FdtSketch.java:49-142 + Group.java:100-108
+    # — the sketch's whole contract is its per-group bounds, so every group
+    # must bracket the exact distinct count at num_std_dev sigma)
+    from raydedup.fdt import frequent_distinct_tuples
+
+    fdt_out = frequent_distinct_tuples(
+        li_ln, ["l_linenumber"], "l_orderkey",
+        k=4096, limit=32, num_std_dev=int(sigma),
+    ).to_pandas()
+    worst_key, worst_err, brackets_ok = None, 0.0, True
+    for _, row in fdt_out.iterrows():
+        ex = exact_per_key[row["l_linenumber"]]
+        err = abs(row["distinct_est"] - ex) / ex
+        if err > worst_err:
+            worst_key, worst_err = row["l_linenumber"], err
+        if not (row["lb"] <= ex <= row["ub"]):
+            brackets_ok = False
+            FAILURES.append(
+                f"fdt group {row['l_linenumber']}: exact {ex} outside "
+                f"[{row['lb']:.1f}, {row['ub']:.1f}]"
+            )
+    assert len(fdt_out) == len(exact_per_key), "fdt dropped a group"
+    record("fdt_grouped_distinct", "k=4096, worst group",
+           exact_per_key[worst_key],
+           float(fdt_out.set_index("l_linenumber")["distinct_est"][worst_key]),
+           worst_err, sigma / math.sqrt(4096),
+           f"{len(fdt_out)} groups, {int(sigma)}-sigma LB<=exact<=UB "
+           f"{'held for all' if brackets_ok else 'VIOLATED'}; "
+           f"regime {min(exact_per_key.values())/4096:.0f}-"
+           f"{max(exact_per_key.values())/4096:.0f}x k")
+
+    # ---- cross-lgK HLL union chain (round-4 verdict item 5) ----
+    # three partials at DIFFERENT lgK (13/12/11) over disjoint row slices,
+    # chained through HllSketch.merge (folds to min lgK); bound at the
+    # smallest lgK in the chain (hll/Union.java gadget semantics)
+    from raydedup.aggregates import _column_hash_pairs, _column_theta_hashes
+    from raydedup.hashing import splitmix64 as _smix
+    from raydedup.sketches.hll import HllSketch as _Hll
+
+    ok_tbl = li_keys.to_pandas()
+    keys_np = ok_tbl["l_orderkey"].to_numpy()
+    slices = np.array_split(keys_np, 3)
+    chain = None
+    for lg_k, part in zip((13, 12, 11), slices):
+        sk = _Hll(lg_k)
+        h = _column_theta_hashes(
+            pa.table({"l_orderkey": part}), "l_orderkey", 9001
+        )
+        sk.update_hashes(_smix(h))
+        chain = sk if chain is None else chain.merge(sk)
+    est = chain.estimate()
+    assert chain.lg_k == 11, f"union should fold to min lgK, got {chain.lg_k}"
+    record("hll_union_cross_lgk", "lgK 13+12+11 chain",
+           exact_orders, est, abs(est - exact_orders) / exact_orders,
+           sigma * 1.04 / math.sqrt(1 << 11),
+           f"folded to lgK={chain.lg_k}")
+
+    # ---- CPC merge chain of 64 partials (round-4 verdict item 5) ----
+    # 64 disjoint row slices -> 64 CpcSketch partials (every 8th at lgK=12
+    # to exercise the lgK-fold merge), merged through one chain; ICON
+    # estimate bound at the folded lgK=11 (cpc/CpcConfidence.java:35-36)
+    from raydedup.sketches.cpc import CpcSketch as _Cpc
+
+    chain = None
+    for i, part in enumerate(np.array_split(keys_np, 64)):
+        sk = _Cpc(12 if i % 8 == 0 else 11)
+        h0, h1 = _column_hash_pairs(
+            pa.table({"l_orderkey": part}), "l_orderkey", 9001
+        )
+        sk.update_hash_pairs(h0, h1)
+        chain = sk if chain is None else chain.merge(sk)
+    est = chain.estimate()
+    record("cpc_merge_chain", "64 partials, mixed lgK",
+           exact_orders, est, abs(est - exact_orders) / exact_orders,
+           sigma * math.log(2) / math.sqrt(1 << 11),
+           "every 8th partial lgK=12, folded to 11, ICON")
 
     wall = time.time() - t0
 
