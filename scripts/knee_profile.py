@@ -22,10 +22,11 @@ import shutil
 import subprocess
 import sys
 import time
-from raydedup.io import read_parquet as _read_parquet
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+from raydedup.io import read_parquet as _read_parquet  # noqa: E402
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
