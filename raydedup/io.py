@@ -75,21 +75,56 @@ def read_parquet(*args, **kwargs) -> "ray.data.Dataset":
 
 _BROADCAST_KEY = "__raydedup_broadcast__"
 
+# Stay comfortably under Ray's ~100 KB task-arg inline threshold: args
+# above it are promoted to plasma by the owner, which re-creates the very
+# ray#53727 restart dependency this function exists to avoid.
+_BROADCAST_INLINE_LIMIT = 64 << 10
 
-def put_broadcast(obj) -> dict:
-    """``ray.put`` a broadcast object and wrap the ref in a tiny dict.
 
-    Passing a bare ObjectRef (or a >100 KB by-value arg) in an actor pool's
-    ``fn_constructor_args`` puts the constructor argument itself in the
-    object store; with Ray Data's ``max_restarts > 0`` map actors, a lost
-    primary copy then makes the actor UNRESTARTABLE mid-job (ray issue
-    53727 — the ``core_worker.cc:2246`` error in every bench tail).  A ref
-    nested inside a plain container is serialized by reference without
-    becoming a task-spec dependency: the creation args stay inline (tiny),
-    the broadcast payload still lives in plasma exactly once, and a
-    restarted actor re-fetches it itself in ``__init__``."""
+def _payload_bytes(obj) -> int | None:
+    """Cheap recursive size estimate for the broadcast payload shapes this
+    repo uses (ndarrays / bytes / tuples-lists of them); None = unknown."""
+    import numpy as np
+
+    if isinstance(obj, np.ndarray):
+        return int(obj.nbytes)
+    if isinstance(obj, (bytes, bytearray)):
+        return len(obj)
+    if isinstance(obj, (tuple, list)):
+        total = 0
+        for x in obj:
+            n = _payload_bytes(x)
+            if n is None:
+                return None
+            total += n
+        return total
+    return None
+
+
+def put_broadcast(obj, inline_limit: int = _BROADCAST_INLINE_LIMIT):
+    """Broadcast handle for an actor pool's ``fn_constructor_kwargs``.
+
+    Ray warns (and on a real cluster risks an unrestartable actor) when a
+    ``max_restarts > 0`` actor's creation args depend on the object store
+    in ANY form — a bare ObjectRef, a ref nested inside a container, or a
+    by-value arg large enough (> ~100 KB) that Ray promotes it to plasma
+    (ray issue 53727; nesting does NOT dodge the dependency tracking).
+
+    So: SMALL payloads (≤ ``inline_limit``) are returned by value — they
+    serialize inline in the actor creation task spec, giving restarts zero
+    object-store dependencies. BIG payloads are ``ray.put`` once (one
+    plasma copy, zero-copy reads in every actor) with the ref nested in a
+    dict; the put is driver-side, so the driver OWNS the primary copy and
+    pins it while the dataset plan holds the ref — losing it requires
+    losing the driver node, which ends the job anyway. The warning Ray
+    logs for these big broadcasts is therefore accepted: the alternative
+    (shipping the table by value into every actor's creation spec) copies
+    it per actor instead of once per node."""
     import ray
 
+    n = _payload_bytes(obj)
+    if n is not None and n <= inline_limit:
+        return obj
     return {_BROADCAST_KEY: ray.put(obj)}
 
 

@@ -14,9 +14,11 @@ def test_put_broadcast_roundtrip(ray_session):
     from raydedup.io import broadcast_value, put_broadcast
 
     arr = np.arange(100, dtype=np.float64)
-    h = put_broadcast(arr)
-    assert isinstance(h, dict)
+    h = put_broadcast(arr)  # small → inlined by value (zero store deps)
     np.testing.assert_array_equal(broadcast_value(h), arr)
+    h = put_broadcast(np.zeros(1 << 18))  # big → one plasma copy
+    assert isinstance(h, dict)
+    assert broadcast_value(h).shape == (1 << 18,)
     # plain values and bare refs resolve too (direct-construction tests)
     np.testing.assert_array_equal(broadcast_value(arr), arr)
     import ray
@@ -53,14 +55,22 @@ def test_actor_pool_stage_survives_kill_and_restart(ray_session):
     assert after.equals(before)
 
 
-def test_ann_topk_emits_no_restart_hazard(ray_session, capfd):
-    """The bench-tail `core_worker.cc:2246` error is gone: AnnScorer's
-    constructor kwargs no longer hold object-store args."""
+def test_ann_topk_constructor_kwargs_hold_no_store_refs(ray_session):
+    """AnnScorer's OWN constructor kwargs add no object-store dependency:
+    put_broadcast inlines query matrices of realistic size by value. (The
+    bench-tail `core_worker.cc:2246` line itself cannot be eliminated —
+    Ray Data ray.puts its map transformer and passes that ref to every
+    map actor, actor_pool_map_operator.py:295, so the warning fires even
+    for a kwargs-free actor-pool stage; the transformer ref is
+    driver-owned, same lifetime argument as our big broadcasts.)"""
     import ray.data
 
+    from raydedup.io import put_broadcast
     from raydedup.embed import ann_topk
 
     rng = np.random.default_rng(11)
+    q = rng.normal(size=(2, 8))
+    assert isinstance(put_broadcast(np.asarray(q, dtype=np.float64)), np.ndarray)
     emb = pa.table(
         {
             "vec_id": pa.array(np.arange(500, dtype=np.int64)),
@@ -68,10 +78,8 @@ def test_ann_topk_emits_no_restart_hazard(ray_session, capfd):
         }
     )
     ds = ray.data.from_arrow(emb).repartition(4)
-    res = ann_topk(ds, rng.normal(size=(2, 8)), np.arange(2, dtype=np.int64), k=3)
+    res = ann_topk(ds, q, np.arange(2, dtype=np.int64), k=3)
     assert res.num_rows == 6
-    err = capfd.readouterr().err
-    assert "has constructor arguments in the object store" not in err
 
 
 def test_read_parquet_strips_schema_metadata(ray_session, tmp_path):
@@ -233,3 +241,33 @@ def test_global_ranks_with_count(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_put_broadcast_inlines_small_refs_big(ray_session):
+    """ray#53727 follow-up: nesting a ref in a dict does NOT dodge the
+    dependency tracking (verified empirically), so put_broadcast now keeps
+    SMALL payloads by value — zero object-store dependencies in the actor
+    creation spec — and only big payloads go to plasma (driver-owned, so
+    the primary copy's lifetime is the job's). The residual core_worker
+    warning on every actor-pool stage is Ray Data's own transformer
+    ray.put (actor_pool_map_operator.py:295) and fires even for a
+    kwargs-free stage — unfixable from library code."""
+    import ray
+
+    from raydedup.io import _BROADCAST_KEY, broadcast_value, put_broadcast
+
+    small = np.arange(128, dtype=np.float64)  # 1 KB
+    h = put_broadcast(small)
+    assert isinstance(h, np.ndarray)  # by value, no store dependency
+    assert (broadcast_value(h) == small).all()
+
+    big = np.zeros(1 << 18, dtype=np.float64)  # 2 MB
+    h = put_broadcast(big)
+    assert isinstance(h, dict) and isinstance(h[_BROADCAST_KEY], ray.ObjectRef)
+    assert broadcast_value(h).shape == big.shape
+
+    # tuple payloads (the pipeline sketch-table shape) size up recursively
+    tup = (np.arange(8, dtype=np.uint64), np.arange(8, dtype=np.uint64))
+    assert isinstance(put_broadcast(tup), tuple)
+    mixed = (np.zeros(1 << 17, dtype=np.uint64), np.arange(8, dtype=np.uint64))
+    assert isinstance(put_broadcast(mixed), dict)
