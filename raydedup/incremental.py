@@ -83,8 +83,14 @@ def incremental_dup_pairs(
     e_exact = exact_edges(all_sigs).map_batches(
         _cross_filter(boundary), batch_format="pyarrow"
     )
+    # bucket_waves, not auto: the hybrid layout has no cross_min_id
+    # (base×base pairs must be dropped BEFORE verification here), while
+    # bucket_waves carries it and collapses to plain bucket whenever the
+    # estimated band shuffle fits the byte budget (num_waves == 1) — so
+    # small deltas run exactly the old plan and huge ones bound their
+    # shuffle to object-store-sized waves instead of spilling.
     e_near = near_edges(
-        all_sigs, cfg, hot, mode="bucket", cross_min_id=boundary
+        all_sigs, cfg, hot, mode="bucket_waves", cross_min_id=boundary
     ).select_columns(["src", "dst"])
     edges = e_exact.union(e_near)
     if with_substring:

@@ -212,7 +212,9 @@ def run_dedup_job(
     sigs = resumable_signatures(input_files, ckpt_root, cfg).materialize()
     hot = detect_hot_band_keys(sigs, cfg) if with_salting else None
     edges = exact_edges(sigs).union(
-        near_edges(sigs, cfg, hot).select_columns(["src", "dst"])
+        # same near-layout selection as the flagship: hybrid inside the
+        # broadcast window, bucket below the floor, waves above the budget
+        near_edges(sigs, cfg, hot, mode="auto").select_columns(["src", "dst"])
     )
     if with_substring:
         edges = edges.union(substring_edges(sigs, cfg))

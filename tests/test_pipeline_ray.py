@@ -560,3 +560,25 @@ def test_bucket_waves_agree_with_hot_keys(ray_session):
     hot_members = [i for i in range(300)]
     roots = {base.get(i) for i in hot_members if i in base}
     assert len(roots) == 1, "hot cluster split across waves"
+
+
+def test_bucket_waves_cross_min_id_agrees_with_bucket(ray_session):
+    """The incremental tier's base×base pre-filter (cross_min_id) is
+    wave-layout-invariant: waves emit exactly bucket's cross/delta edges."""
+    import ray.data
+
+    from raydedup.corpus import corpus_parquet_path
+    from raydedup.pipeline import near_edges, signatures
+
+    ds = ray.data.read_parquet(corpus_parquet_path("/root/testdata/sf0.001"))
+    sigs = signatures(ds, CFG).materialize()
+    boundary = int(sigs.to_pandas()["id"].median())
+    ref = near_edges(sigs, CFG, mode="bucket", cross_min_id=boundary).to_pandas()
+    ref_set = set(zip(ref["src"], ref["dst"]))
+    assert ref_set  # fixture has cross-boundary dups
+    assert all(s >= boundary or d >= boundary for s, d in ref_set)
+    for w in (2, 4):
+        out = near_edges(
+            sigs, CFG, mode="bucket_waves", num_waves=w, cross_min_id=boundary
+        ).to_pandas()
+        assert set(zip(out["src"], out["dst"])) == ref_set
