@@ -46,6 +46,11 @@ class SigConfig:
     # token normalization
     lowercase: bool = False
     max_content_bytes: int = 1 << 20  # truncate pathological rows for shingling
+    # bumped whenever a signature ALGORITHM changes (not just its params),
+    # so persisted checkpoints built by older code can never silently mix
+    # with new shards (fingerprint covers every field). v2: winnow gram
+    # hash switched from per-window xxh64 to the O(T) rolling polynomial
+    algo_version: int = 2
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
