@@ -271,3 +271,29 @@ def test_put_broadcast_inlines_small_refs_big(ray_session):
     assert isinstance(put_broadcast(tup), tuple)
     mixed = (np.zeros(1 << 17, dtype=np.uint64), np.arange(8, dtype=np.uint64))
     assert isinstance(put_broadcast(mixed), dict)
+
+
+def test_rolling_gram_hash_scalar_reference():
+    """The O(T) rolling winnow gram hash matches an independent scalar
+    evaluation of its definition (h_i = splitmix64(seed-fold of
+    Σ_j tok[i+j]·B^j · B^-i mod 2^64)) and is position-independent:
+    equal k-token windows hash equal anywhere in the stream."""
+    from raydedup.hashing import splitmix64
+    from raydedup.winnow import _gram_hashes
+
+    rng = np.random.default_rng(5)
+    k, T = 7, 200
+    tok = rng.integers(0, 2**63, T, dtype=np.uint64)
+    tok[100 : 100 + k] = tok[40 : 40 + k]  # planted equal window
+    h = _gram_hashes(tok, k, seed=42)
+    assert h[100] == h[40]
+
+    B, M = 0x9E3779B97F4A7C15, (1 << 64) - 1
+    seed_mix = int(splitmix64(np.array([42], dtype=np.uint64))[0])
+    for i in (0, 1, 40, 100, T - k):
+        # Σ_j tok[i+j]·B^j — local exponents, already position-normalized
+        core = 0
+        for j in range(k):
+            core = (core + int(tok[i + j]) * pow(B, j, 1 << 64)) & M
+        expect = int(splitmix64(np.array([core ^ seed_mix], dtype=np.uint64))[0])
+        assert int(h[i]) == expect, i
