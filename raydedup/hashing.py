@@ -471,3 +471,43 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
     return z ^ (z >> U64(31))
+
+
+_POLY_B = U64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+_POLY_BINV = U64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def poly_rolling_hashes(flat_tokens: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """uint64 hash of EVERY k-element window of ``flat_tokens`` in O(T).
+
+    Polynomial rolling hash mod 2^64 (h_i = Σ_j tok[i+j]·B^j, position-
+    normalized by B^-i so equal windows hash equal anywhere in the
+    stream), passed through a seed-folded splitmix64 finisher for uniform
+    bits. Replaces xxh64 over a (T, k) strided window matrix — O(T·k) and
+    a strided copy — in the WINNOW tier (13× at k=24 on 1M-token blocks;
+    inputs are already xxh64 word hashes, and winnow fingerprints are
+    equality-based candidates the substring verifier re-checks, so hash
+    choice is perf-only there). Deliberately NOT used for shingles: the
+    shingle hash feeds the MinHash/KMV estimators, and swapping it —
+    though estimator-quality-neutral in expectation (measured: rmse
+    0.0289 vs 0.0279 over 300 controlled trials) — redraws the
+    deterministic detection lottery for threshold-boundary pairs, which
+    moved the measured recall draw from 0.9969 to 0.9890 (BASELINE.md
+    round-5). Requires ``len(flat_tokens) >= k``; caller masks cross-row
+    windows."""
+    flat_tokens = np.ascontiguousarray(flat_tokens, dtype=np.uint64)
+    T = len(flat_tokens)
+    m = T - k + 1
+    with np.errstate(over="ignore"):
+        cb = np.full(T, _POLY_B, dtype=np.uint64)
+        cb[0] = U64(1)
+        powb = np.multiply.accumulate(cb)  # B^i
+        ci = np.full(m, _POLY_BINV, dtype=np.uint64)
+        ci[0] = U64(1)
+        binv = np.multiply.accumulate(ci)  # B^-i
+        prefix = np.empty(T + 1, dtype=np.uint64)
+        prefix[0] = U64(0)
+        np.cumsum(flat_tokens * powb, out=prefix[1:])
+        core = (prefix[k:] - prefix[:-k]) * binv
+    seed_mix = splitmix64(np.array([U64(seed)], dtype=np.uint64))[0]
+    return splitmix64(core ^ seed_mix)

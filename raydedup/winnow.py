@@ -14,40 +14,13 @@ from __future__ import annotations
 import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 
-from .hashing import splitmix64
+from .hashing import poly_rolling_hashes
 
 U64 = np.uint64
 
-_B = U64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
-_BINV = U64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
-
-
-def _gram_hashes(flat_tokens: np.ndarray, k: int, seed: int) -> np.ndarray:
-    """uint64 hash of every k-token window of ``flat_tokens`` in O(T).
-
-    Polynomial rolling hash mod 2^64 (h = Σ tok[i+j]·B^j, position-
-    normalized by B^-i so equal windows hash equal anywhere), passed
-    through a seed-folded splitmix64 finisher for uniform bits. Replaces
-    xxh64 over a (T, k) strided window matrix — O(T·k) and the dominant
-    cost of the signature stage's substring tier (measured 13× faster at
-    k=24 on a 1M-token block, 0 collisions on 1M grams; tokens are
-    already xxh64 word hashes, and any residual collision only creates a
-    candidate pair the substring verifier re-checks)."""
-    T = len(flat_tokens)
-    m = T - k + 1
-    with np.errstate(over="ignore"):
-        cb = np.full(T, _B, dtype=np.uint64)
-        cb[0] = U64(1)
-        powb = np.multiply.accumulate(cb)  # B^i
-        ci = np.full(m, _BINV, dtype=np.uint64)
-        ci[0] = U64(1)
-        binv = np.multiply.accumulate(ci)  # B^-i
-        prefix = np.empty(T + 1, dtype=np.uint64)
-        prefix[0] = U64(0)
-        np.cumsum(flat_tokens * powb, out=prefix[1:])
-        core = (prefix[k:] - prefix[:-k]) * binv
-    seed_mix = splitmix64(np.array([U64(seed)], dtype=np.uint64))[0]
-    return splitmix64(core ^ seed_mix)
+# the O(T) rolling gram hash lives in hashing.poly_rolling_hashes (shared
+# with the shingle tier); kept under the local name the tests lock
+_gram_hashes = poly_rolling_hashes
 
 
 def winnow_fingerprints(
