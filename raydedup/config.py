@@ -34,6 +34,17 @@ class SigConfig:
                                 # 4 = top-32-bit truncation: halves the
                                 # near-tier shuffle, collision odds 2^-32)
     jaccard_threshold: float = 0.85
+    # subtracted from jaccard_threshold at VERIFY time (default 0 = keep
+    # pairs with estimate >= threshold exactly). The KMV estimate of a
+    # pair at TRUE J = threshold falls below it with probability ~1/2
+    # (estimator sigma ~= sqrt(J(1-J)/k)), so threshold-BOUNDARY recall is
+    # a deterministic lottery of the hash draw (measured: a hash-family
+    # swap alone moved the 150k recall draw 0.9969 -> 0.9890, BASELINE.md
+    # round-5). Setting verify_margin to ~1 estimator sigma converts that
+    # lottery into a small controlled false-positive band (pairs down to
+    # threshold - margin may be kept) — the right trade when the
+    # downstream contract is "dedup everything AT OR ABOVE threshold".
+    verify_margin: float = 0.0
     simhash_max_hamming: int = 8
     # skew handling
     max_bucket_size: int = 256      # LSH buckets above this get salted
@@ -58,6 +69,12 @@ class SigConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"must equal num_perm ({self.num_perm})"
             )
+
+    @property
+    def verify_threshold(self) -> float:
+        """The estimate cut every near-tier verify site applies (all modes
+        share it, so mode agreement is preserved for any margin)."""
+        return self.jaccard_threshold - self.verify_margin
 
     @property
     def fingerprint(self) -> int:

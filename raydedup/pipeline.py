@@ -479,7 +479,7 @@ class _BroadcastVerify:
             self.flat, self.off[ib], self.off[ib + 1], thetas[ib],
             self.cfg.kmv_k,
         )
-        keep = jac >= self.cfg.jaccard_threshold
+        keep = jac >= self.cfg.verify_threshold
         return pa.table(
             {
                 "src": pa.array(src[keep]),

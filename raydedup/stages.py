@@ -503,7 +503,7 @@ def make_block_pair_emitter(
                 kmv_flat, kstart[rb], kend[rb], thetas_all[rb],
                 cfg.kmv_k,
             )
-            km = jac >= cfg.jaccard_threshold
+            km = jac >= cfg.verify_threshold
             if not km.any():
                 return _empty_pair_table(verify)
             src, dst, jac, cap = src[km], dst[km], jac[km], cap[km]
@@ -584,7 +584,7 @@ class PairVerifyStage:
         out = kmv_jaccard_many(
             fa, oa[:-1], oa[1:], ta, fb, ob[:-1], ob[1:], tb, cfg.kmv_k
         )
-        keep = out >= cfg.jaccard_threshold
+        keep = out >= cfg.verify_threshold
         return pa.table(
             {
                 "src": pa.array(src[keep]),

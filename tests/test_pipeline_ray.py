@@ -582,3 +582,37 @@ def test_bucket_waves_cross_min_id_agrees_with_bucket(ray_session):
             sigs, CFG, mode="bucket_waves", num_waves=w, cross_min_id=boundary
         ).to_pandas()
         assert set(zip(out["src"], out["dst"])) == ref_set
+
+
+def test_verify_margin_widens_the_edge_set_consistently(ray_session):
+    """verify_margin=0 is bit-identical to the historical behavior (the
+    mode-agreement tests above run at the default); a positive margin
+    keeps a SUPERSET of edges, every extra edge's estimate lies inside
+    the [threshold - margin, threshold) band, and all near modes still
+    agree at the widened cut."""
+    import dataclasses
+
+    import ray.data
+
+    from raydedup.corpus import corpus_parquet_path
+    from raydedup.pipeline import near_edges, signatures
+
+    ds = ray.data.read_parquet(corpus_parquet_path("/root/testdata/sf0.001"))
+    sigs = signatures(ds, CFG).materialize()
+    base = near_edges(sigs, CFG, mode="bucket").to_pandas()
+    base_set = set(zip(base["src"], base["dst"]))
+
+    wide_cfg = dataclasses.replace(CFG, verify_margin=0.1)
+    assert wide_cfg.verify_threshold == CFG.jaccard_threshold - 0.1
+    wide = {}
+    for mode in ("bucket", "hybrid", "bucket_waves"):
+        kw = {"num_waves": 3} if mode == "bucket_waves" else {}
+        out = near_edges(sigs, wide_cfg, mode=mode, **kw).to_pandas()
+        wide[mode] = set(zip(out["src"], out["dst"]))
+        est = dict(zip(zip(out["src"], out["dst"]), out["jaccard"])) if "jaccard" in out else None
+        if est is not None:
+            for pair in wide[mode] - base_set:
+                assert wide_cfg.verify_threshold <= est[pair] < CFG.jaccard_threshold
+    assert wide["bucket"] == wide["hybrid"] == wide["bucket_waves"]
+    assert wide["bucket"] >= base_set
+    assert len(wide["bucket"]) > len(base_set)  # fixture has band pairs
